@@ -1,0 +1,51 @@
+"""Detection thresholds and cadence constants.
+
+Every constant is lifted from the reference (cited) so query semantics are
+reproducible. Kept as plain config → Catalyst constant-folds literals.
+
+Reference citations (paths relative to /root/reference):
+- PKT_RATE_THRESHOLD 25 pkt/s:  ryu/testing/experimental_development/TestCase_5/timeStamp.py:300-308
+- BIAS_THRESHOLD 0.6:           ryu/src/deployed_controller/DIPA_Controller.py:497
+- COMPROMISE_PCT 50:            ryu/src/deployed_controller/DIPA_Controller.py:351
+- ATTACK_THRESHOLD 4000 Kbit/s: ryu/testing/experimental_development/TestCase_2/Controller1.py:83-97
+- ATTACKER_THRESHOLD 1000:      same
+- PEACE_THRESHOLD 10:           same
+- PORT_FLOOD_PKTS 1000:         ryu/testing/experimental_development/TestCase_3/TesCase2.py:95-98
+- SUSTAINED_COUNT 5:            ryu/testing/experimental_development/TestCase_2/Controller1.py:93,419-429
+- EGRESS_THRESHOLD 20:          ryu/testing/experimental_development/TestCase_2/Controller2.py:79-80
+- ESCALATE_PERSIST 4:           ryu/testing/experimental_development/TestCase_7/timeStamp2.py:353-359
+- POLL_INTERVAL_S 2 (3 in TCs): ryu/src/deployed_controller/DIPA_Controller.py:308-320; TestCase_5/timeStamp.py:199-203
+- LOADER_PORT 48101, TELNET 23/2323: DIPA_Controller.py:469,478; local_controller/demo4.py:360
+- FLOW_IDLE/HARD timeouts 60/100 s: DIPA_Controller.py:222,225
+- DETECT_PRIORITY 10 / BLOCK 100:   DIPA_Controller.py:459; TestCase_5/timeStamp.py:318
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DetectionConfig:
+    pkt_rate_threshold: float = 25.0
+    bias_threshold: float = 0.6
+    compromise_pct: float = 50.0
+    attack_threshold_kbps: float = 4000.0
+    attacker_threshold_kbps: float = 1000.0
+    peace_threshold_kbps: float = 10.0
+    port_flood_pkts: int = 1000
+    sustained_count: int = 5
+    calm_count: int = 5
+    egress_threshold: int = 20
+    escalate_persist: int = 4
+    poll_interval_s: float = 2.0
+    test_poll_interval_s: float = 3.0
+    loader_port: int = 48101
+    telnet_ports: tuple[int, ...] = (23, 2323)
+    flow_idle_timeout_s: int = 60
+    flow_hard_timeout_s: int = 100
+    detect_priority: int = 10
+    block_priority: int = 100
+
+
+DEFAULT = DetectionConfig()

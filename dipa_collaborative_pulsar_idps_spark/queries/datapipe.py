@@ -1,0 +1,132 @@
+"""Training-data-pipeline operators over documents/embeddings (SURVEY.md §7
+Phase 6): dedup, text analysis, similarity search. Batch 1 — exact/portable
+operators with DuckDB oracles; LSH/MinHash variants live in
+``functions/dedup.py`` and are registered with weaker checks where the
+candidate set is approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import Tables
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting + quality scoring (built-ins only — stays in
+# whole-stage codegen, no Python in the hot path).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    survey="J10,J11,ext-text",
+    oracle="""
+SELECT doc_id,
+       LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens,
+       LENGTH(text) AS n_chars_computed,
+       n_chars
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality_score",
+    survey="ext-text",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, lang, n_chars,
+           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+)
+SELECT doc_id, lang,
+       LEN(tokens) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / LEN(tokens) AS avg_token_len,
+       LEN(LIST_FILTER(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+           * 1.0 / LEN(tokens) AS stopword_ratio
+FROM tok
+WHERE LEN(tokens) > 0
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword-ratio quality signals (all JVM-side built-ins)."""
+    t = Tables(spark, sf_dir)
+    stop = ("the", "a", "of", "and", "to")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = t.documents.select("doc_id", "lang", "n_chars", toks.alias("tokens")).where(
+        F.size("tokens") > 0
+    )
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("tokens").alias("n_tokens"),
+        (F.col("n_chars").cast("double") / F.size("tokens")).alias("avg_token_len"),
+        (
+            F.size(F.filter(F.col("tokens"), lambda x: F.array_contains(stop_arr, x)))
+            * F.lit(1.0)
+            / F.size("tokens")
+        ).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication: content-hash groupBy (the 100 TB-scale baseline —
+# one shuffle on md5(text)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    survey="ext-dedup",
+    oracle="""
+SELECT MD5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norms (sanity surface for similarity search; full cosine top-k in
+# batch 2 once DuckDB list-function parity is pinned).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norms",
+    survey="ext-sim",
+    oracle="""
+SELECT vec_id, label,
+       SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+       LEN(embedding) AS dim
+FROM embeddings
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
+    return t.embeddings.select(
+        "vec_id",
+        "label",
+        F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )

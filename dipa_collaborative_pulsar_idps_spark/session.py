@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Design notes (100 TB stance):
+- AQE on: runtime join-strategy switching, skew-join splitting, partition
+  coalescing replace most hand-tuning.
+- ``spark.sql.shuffle.partitions`` defaults to 2× local cores here; on a real
+  cluster AQE coalesces, and callers override via env.
+- Session timezone pinned to UTC so TIMESTAMP (tz-aware) values collected by
+  any harness are stable regardless of host timezone.
+- ``spark.sql.legacy.parquet.nanosAsLong`` lets us read the nanosecond
+  `events.ts` parquet column (Spark has no ns timestamp); `tables.py` converts
+  to timestamp_ntz at µs precision.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs the engine needs on ANY session (including one the
+#: verification driver created without our builder). Applied idempotently by
+#: :func:`ensure_runtime_confs`.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply engine-required runtime confs to *spark*."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "dipa-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine SparkSession.
+
+    Env knobs: ``SPARK_GRAFT_CPUS`` (local parallelism, default 32).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return ensure_runtime_confs(builder.getOrCreate())
