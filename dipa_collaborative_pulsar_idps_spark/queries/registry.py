@@ -66,6 +66,14 @@ def _load_all() -> None:
     global _loaded
     if _loaded:
         return
-    from . import datapipe, detection, relational, windows  # noqa: F401
+    from . import (  # noqa: F401
+        datapipe,
+        datapipe2,
+        detection,
+        relational,
+        relational_ext,
+        scalars,
+        windows,
+    )
 
     _loaded = True

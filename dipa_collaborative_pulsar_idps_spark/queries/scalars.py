@@ -1,0 +1,186 @@
+"""Scalar-function surface (SURVEY.md §2 J rows): the reference's string /
+date / math repertoire as declared queries, incl. the `@`-delimited Pulsar
+message convention (DIPA_Controller.py:333-342,367-373) round-tripped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import Tables
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# J1/J3/J4: build "<ip>@<KIND>" alert payloads, then parse them back —
+# the exact producer/consumer convention of the alert topic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "alert_message_roundtrip",
+    survey="J1,J3,J9,B13",
+    oracle="""
+WITH msgs AS (
+    SELECT event_id,
+           printf('10.0.0.%d@%s', CAST(user_id % 8 + 1 AS INTEGER), UPPER(event_type)) AS payload
+    FROM events
+)
+SELECT event_id, payload,
+       STRING_SPLIT(payload, '@')[1] AS ip,
+       STRING_SPLIT(payload, '@')[2] AS kind,
+       STARTS_WITH(payload, '10.0.0.1@') AS from_host1,
+       CONTAINS(payload, 'ERROR') AS is_error
+FROM msgs
+""",
+)
+def alert_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    payload = F.format_string(
+        "10.0.0.%d@%s", (F.col("user_id") % 8 + 1).cast("int"), F.upper("event_type")
+    )
+    d = t.events.select("event_id", payload.alias("payload"))
+    return d.select(
+        "event_id",
+        "payload",
+        F.split("payload", "@").getItem(0).alias("ip"),
+        F.split("payload", "@").getItem(1).alias("kind"),
+        F.col("payload").startswith("10.0.0.1@").alias("from_host1"),
+        F.col("payload").contains("ERROR").alias("is_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: strip-braces/quotes parse (demo3.py:332-337 "{*/\}" cleanup) on the
+# JSON props column, then extract the numeric field both ways.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "props_strip_and_json",
+    survey="J2,J11,ext-json",
+    oracle="""
+SELECT event_id,
+       TRANSLATE(props, '{}" ', '') AS stripped,
+       CAST(STRING_SPLIT(TRANSLATE(props, '{}" ', ''), ':')[2] AS INTEGER) AS k_parsed,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_json
+FROM events
+""",
+)
+def props_strip_and_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional string parse (the reference's way) vs from_json (the
+    engine's declared upgrade) — both exposed, equality is the test."""
+    t = Tables(spark, sf_dir)
+    stripped = F.translate("props", '{}" ', "")
+    return t.events.select(
+        "event_id",
+        stripped.alias("stripped"),
+        F.split(stripped, ":").getItem(1).cast("int").alias("k_parsed"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/J6/J7: timestamp format/parse round-trip + sub-second duration.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timestamp_roundtrip",
+    survey="J5,J7,I9",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_parsed,
+       (epoch_us(ts) - epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')))
+           / 1e6 AS subsec_s
+FROM events
+""",
+)
+def timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    parsed = F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss").cast("timestamp_ntz")
+    sub = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(parsed.cast("timestamp"))
+    ) / 1e6
+    return t.events.select(
+        "event_id",
+        s.alias("ts_str"),
+        parsed.alias("ts_parsed"),
+        sub.alias("subsec_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8: char-extraction host mapping (Controller1.py:469 MAC→host name).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "char_extract_mapping",
+    survey="J8,J12",
+    oracle="""
+SELECT doc_id, source,
+       UPPER(SUBSTRING(source, 4, 1)) AS host_char,
+       CONCAT('H', SUBSTRING(source, 4, 10)) AS host_name,
+       LENGTH(source) * 2 + 1 AS derived_len
+FROM documents
+""",
+)
+def char_extract_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        "source",
+        F.upper(F.substring("source", 4, 1)).alias("host_char"),
+        F.concat(F.lit("H"), F.substring("source", 4, 10)).alias("host_name"),
+        (F.length("source") * 2 + 1).alias("derived_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J15: host-universe generation — spark.range + format_string
+# (DIPA_Controller.py:59-60 '10.0.0.{}'.format(i)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "host_universe",
+    survey="J15,J14,A8",
+    oracle="""
+SELECT i AS host_idx, printf('10.0.0.%d', CAST(i AS INTEGER)) AS host_ip
+FROM generate_series(1, 8) t(i)
+""",
+)
+def host_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1, 9).select(
+        F.col("id").alias("host_idx"),
+        F.format_string("10.0.0.%d", F.col("id").cast("int")).alias("host_ip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext-json: from_json into typed struct + aggregate over extracted field.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_props_agg",
+    survey="ext-json,D1",
+    oracle="""
+SELECT event_type,
+       AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = F.from_json("props", "k INT").getField("k")
+    return t.events.groupBy("event_type").agg(
+        F.avg(k).alias("avg_k"), F.max(k).alias("max_k"), F.count("*").alias("n")
+    )
