@@ -1,0 +1,164 @@
+"""End-to-end pipeline compositions — the Spark equivalents of the
+reference's three entry points (SURVEY.md §3 EP1/EP2/EP3).
+
+Each function takes streaming (or batch — the operators are mode-agnostic
+where possible) DataFrames and returns the transformed DataFrame; the caller
+picks the sink (memory for tests, Pulsar/parquet/foreachBatch in prod).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, DetectionConfig
+from ..functions.parsing import parse_alert, protocol_classifier
+from .state import alert_state_machine, counter_delta_stream
+
+# ---------------------------------------------------------------------------
+# EP1 — detection: flow-stats poll stream → classify → per-flow delta →
+# rate → sustained-alert state machine.
+# (DIPA_Controller.py:452-501 + mirai_checker :323-352.)
+# ---------------------------------------------------------------------------
+
+
+def ep1_rates(
+    flow_stats: DataFrame,
+    cfg: DetectionConfig = DEFAULT,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """EP1 stage 1: flow-stats stream → hot-rate stream.
+
+    Stages (all keyed by the REAL flow identity, not sort position):
+      1. priority==detect filter (B1) + telnet/loader null-safe predicate
+         (B5/B6) — pushed to the source scan;
+      2. per-flow cumulative-counter delta with reset detection (C1);
+      3. pkt rate = delta / poll_interval (C5) → hot flag (B7).
+    Output: (src, poll_ts, pkt_rate, hot).
+    """
+    telnet_or_loader = F.col("tcp_dst").isin(*cfg.telnet_ports) | (
+        (F.col("udp_dst") == cfg.loader_port) & (F.col("udp_src") == cfg.loader_port)
+    )
+    detect = flow_stats.where(
+        (F.col("priority") == cfg.detect_priority) & telnet_or_loader
+    )
+    deltas = counter_delta_stream(
+        detect.select(
+            F.col("ipv4_src").alias("src"),
+            F.concat_ws(
+                "|", "dpid", "in_port", "ipv4_src", "ipv4_dst", "tcp_dst", "udp_dst"
+            ).alias("flow_key"),
+            "poll_ts",
+            "packet_count",
+        ),
+        key_cols=["flow_key", "src"],
+        counter_col="packet_count",
+        ts_col="poll_ts",
+        idle_timeout_ms=idle_timeout_ms,
+    )
+    return deltas.select(
+        "src",
+        "poll_ts",
+        (F.col("delta") / F.lit(cfg.test_poll_interval_s)).alias("pkt_rate"),
+    ).withColumn("hot", F.col("pkt_rate") > cfg.pkt_rate_threshold)
+
+
+def ep1_alerts(hot_rates: DataFrame, cfg: DetectionConfig = DEFAULT) -> DataFrame:
+    """EP1 stage 2: per-source sustained-count hysteresis (I3/I4/I16).
+
+    Spark allows one applyInPandasWithState per streaming query, so EP1 is
+    two chained queries (stage 1 → intermediate log → stage 2) — the same
+    decomposition as the reference's poll thread vs mirai_checker
+    (DIPA_Controller.py:308-320 vs :323-352); the intermediate log replaces
+    the shared dicts + semaphore (I13).
+    """
+    return alert_state_machine(
+        hot_rates, key_col="src", hot_col="hot", ts_col="poll_ts", cfg=cfg
+    )
+
+
+# ---------------------------------------------------------------------------
+# EP2 — collaboration: alert-message stream → parse → topology lookup →
+# mitigation action rows (DIPA_Controller.py:357-421).
+# ---------------------------------------------------------------------------
+
+
+def ep2_collaboration(
+    alerts: DataFrame, hosts: DataFrame, cfg: DetectionConfig = DEFAULT
+) -> DataFrame:
+    """Input: ALERTS-schema stream + hosts dimension (broadcast).
+    Output: one action row per alert: (msg_ts, ip, kind, action, switch,
+    port_no, priority, match_field, match_value).
+
+    Branching mirrors _monitor2: BOT → per-switch QoS + loader block;
+    CNC → telnet block from ip; COMPROMISE ≥50% → network lockdown (B11).
+    """
+    parsed = alerts.withColumn("p", parse_alert(F.col("value"))).select(
+        "msg_ts", F.col("p.ip").alias("ip"), F.col("p.kind").alias("kind"), F.col("p.pct").alias("pct")
+    )
+    joined = parsed.join(
+        F.broadcast(hosts), parsed.ip == hosts.host_ip, "left"
+    )
+    action = (
+        F.when(F.col("kind") == "BOT", "RATE_LIMIT_AND_BLOCK_LOADER")
+        .when(F.col("kind") == "CNC", "BLOCK_TELNET_FROM_IP")
+        .when(
+            (F.col("kind") == "COMPROMISE") & (F.col("pct") >= cfg.compromise_pct),
+            "NETWORK_LOCKDOWN",
+        )
+        .otherwise("IGNORE")
+    )
+    return joined.select(
+        "msg_ts",
+        "ip",
+        "kind",
+        "pct",
+        action.alias("action"),
+        "switch",
+        "port_no",
+        F.when(action != "IGNORE", cfg.block_priority).alias("priority"),
+        F.when(F.col("kind") == "BOT", F.lit("udp_dst"))
+        .when(F.col("kind") == "CNC", F.lit("tcp_dst"))
+        .alias("match_field"),
+        F.when(F.col("kind") == "BOT", F.lit(cfg.loader_port))
+        .when(F.col("kind") == "CNC", F.lit(cfg.telnet_ports[0]))
+        .alias("match_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EP3 — packet admission: packet_in stream → LLDP drop → classify →
+# flow-rule rows (DIPA_Controller.py:230-291).
+# ---------------------------------------------------------------------------
+
+_LLDP_ETH_TYPE = 0x88CC
+
+
+def ep3_packet_admission(
+    packet_in: DataFrame, cfg: DetectionConfig = DEFAULT
+) -> DataFrame:
+    """Input: PACKET_IN-schema stream. Output: flow-rule rows
+    (event_ts, dpid, eth_src, eth_dst, protocol, priority, idle_timeout,
+    hard_timeout). MAC learning (C6) is a separate last-write aggregate
+    (see queries.detection.last_write_upsert for the batch form)."""
+    return (
+        packet_in.where(
+            F.col("eth_type").isNull() | (F.col("eth_type") != _LLDP_ETH_TYPE)
+        )
+        .withColumn(
+            "protocol",
+            protocol_classifier(
+                F.col("ip_proto"), F.col("l4_dst_port"), F.col("l4_src_port")
+            ),
+        )
+        .select(
+            "event_ts",
+            "dpid",
+            "eth_src",
+            "eth_dst",
+            "protocol",
+            F.lit(cfg.detect_priority).alias("priority"),
+            F.lit(cfg.flow_idle_timeout_s).alias("idle_timeout"),
+            F.lit(cfg.flow_hard_timeout_s).alias("hard_timeout"),
+        )
+    )

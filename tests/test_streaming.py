@@ -1,0 +1,124 @@
+"""Streaming golden tests (SURVEY.md §5 strategy: planted attacks, known
+ground truth — alert set must equal planted bot set)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipa_collaborative_pulsar_idps_spark.schemas import ALERTS, FLOW_STATS
+from dipa_collaborative_pulsar_idps_spark.streaming.fixtures import (
+    flow_stats_attack,
+    hosts_dim,
+    packet_in_sample,
+)
+from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+    ep1_alerts,
+    ep1_rates,
+    ep2_collaboration,
+    ep3_packet_admission,
+)
+from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+    replay_stream,
+    run_to_memory,
+    write_replay_chunks,
+)
+import datetime as dt
+
+
+@pytest.fixture()
+def replay_dir():
+    d = tempfile.mkdtemp(prefix="dipa_replay_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ep1_detects_planted_bots(spark, replay_dir):
+    """EP1 end-to-end over a replayed poll stream (two chained queries, as in
+    production): exactly the planted bots alert; the counter reset does not
+    break detection; benign hosts stay silent."""
+    fixture = flow_stats_attack(spark)
+    write_replay_chunks(fixture, replay_dir, n_chunks=5, order_col="poll_ts")
+    stream = replay_stream(spark, replay_dir, FLOW_STATS)
+
+    # stage 1: rates → intermediate parquet log
+    stage_dir = tempfile.mkdtemp(prefix="dipa_stage1_")
+    ckpt = tempfile.mkdtemp(prefix="dipa_ckpt_")
+    q1 = (
+        ep1_rates(stream)
+        .writeStream.format("parquet")
+        .option("path", stage_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    # stage 2: hysteresis over the rate log
+    rates = replay_stream(
+        spark, stage_dir, "src string, poll_ts timestamp, pkt_rate double, hot boolean"
+    )
+    run_to_memory(ep1_alerts(rates), "ep1_alerts_out")
+    got = {
+        r.src
+        for r in spark.sql("SELECT src FROM ep1_alerts_out WHERE event='ALERT'").collect()
+    }
+    assert got == {"10.0.0.2", "10.0.0.5"}
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_counter_reset_produces_no_negative_delta(spark, replay_dir):
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import counter_delta_stream
+
+    fixture = flow_stats_attack(spark).select(
+        F.col("ipv4_src").alias("src"), "poll_ts", "packet_count"
+    )
+    write_replay_chunks(fixture, replay_dir, n_chunks=4, order_col="poll_ts")
+    stream = replay_stream(
+        spark, replay_dir, "src string, poll_ts timestamp, packet_count long"
+    )
+    deltas = counter_delta_stream(stream, ["src"], "packet_count", "poll_ts")
+    run_to_memory(deltas, "deltas_out")
+    neg = spark.sql("SELECT count(*) AS n FROM deltas_out WHERE delta < 0").collect()[0].n
+    assert neg == 0
+    # the reset poll still yields the post-reset counter as delta (150)
+    reset_rows = spark.sql(
+        "SELECT delta FROM deltas_out WHERE src='10.0.0.5' ORDER BY poll_ts"
+    ).collect()
+    assert [r.delta for r in reset_rows] == [150] * 10
+
+
+def test_ep2_collaboration_actions(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1), "mirai", "10.0.0.2@BOT", "VM-1 Prod"),
+        (dt.datetime(2024, 1, 1), "mirai", "10.0.0.9@CNC", "VM-1 Prod"),
+        (dt.datetime(2024, 1, 1), "mirai", "10.0.0.9@62.5", "VM-1 Prod"),
+        (dt.datetime(2024, 1, 1), "mirai", "10.0.0.9@10.0", "VM-1 Prod"),
+    ]
+    alerts = spark.createDataFrame(rows, ALERTS)
+    out = ep2_collaboration(alerts, hosts_dim(spark)).collect()
+    by_kind = {(r.ip, r.kind): r for r in out}
+    assert by_kind[("10.0.0.2", "BOT")].action == "RATE_LIMIT_AND_BLOCK_LOADER"
+    assert by_kind[("10.0.0.2", "BOT")].switch == "s1"  # topology join hit
+    assert by_kind[("10.0.0.2", "BOT")].match_value == 48101
+    assert by_kind[("10.0.0.9", "CNC")].action == "BLOCK_TELNET_FROM_IP"
+    assert by_kind[("10.0.0.9", "CNC")].match_value == 23
+    pcts = {r.pct: r.action for r in out if r.kind == "COMPROMISE"}
+    assert pcts[62.5] == "NETWORK_LOCKDOWN"
+    assert pcts[10.0] == "IGNORE"  # below 50% threshold
+
+
+def test_ep3_packet_admission(spark):
+    out = ep3_packet_admission(packet_in_sample(spark)).collect()
+    protos = {r.eth_src: r.protocol for r in out}
+    assert "aa:07" not in protos  # LLDP dropped
+    assert protos["aa:01"] == "HTTP"
+    assert protos["aa:03"] == "Telnet"
+    assert protos["aa:05"] == "Loader"
+    assert protos["aa:09"] == "ICMP"
+    assert protos["aa:0b"] == "DNS"
+    assert all(r.priority == 10 and r.idle_timeout == 60 for r in out)
