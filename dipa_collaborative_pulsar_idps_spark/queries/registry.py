@@ -69,6 +69,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         datapipe,
         datapipe2,
+        datapipe3,
         detection,
         relational,
         relational_ext,

@@ -1,0 +1,103 @@
+"""Property tests for the approximate dedup/similarity operators, using
+planted ground truth (the synthetic testdata docs carry real near-dup pairs;
+ANN uses a seeded clustered corpus)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+    hamming64,
+    minhash_near_dup_pairs,
+    simhash64,
+)
+from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+    ann_topk_lsh,
+    cosine_scores,
+    recall_at_k,
+    topk,
+)
+from dipa_collaborative_pulsar_idps_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Corpus with known near-dup pairs: each base doc gets a copy with one
+    token changed (jaccard ≫ 0.8) plus unrelated filler docs."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    expected = set()
+    for i in range(10):
+        base = [rng.choice(vocab) for _ in range(60)]
+        near = list(base)
+        near[30] = "CHANGED"
+        rows.append((i * 2, " ".join(base)))
+        rows.append((i * 2 + 1, " ".join(near)))
+        expected.add((i * 2, i * 2 + 1))
+    for i in range(100, 140):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(60))))
+    return spark.createDataFrame(rows, ["doc_id", "text"]), expected
+
+
+def test_minhash_finds_planted_pairs(spark, planted_docs):
+    docs, expected = planted_docs
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_matches_testdata_brute_force(spark, sf_dir):
+    """On the driver's documents table the LSH result must equal the planted
+    near-dup set (same check the oracle performs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    assert all(r.jaccard >= 0.8 for r in pairs)
+    assert len(pairs) > 0  # testdata plants near-dups at every sf
+
+
+def test_simhash_separates_near_dups(spark, planted_docs):
+    docs, expected = planted_docs
+    sims = simhash64(docs)
+    a = sims.select(F.col("id").alias("ida"), F.col("simhash").alias("ha"))
+    b = sims.select(F.col("id").alias("idb"), F.col("simhash").alias("hb"))
+    d = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select("ida", "idb", hamming64(F.col("ha"), F.col("hb")).alias("dist"))
+        .collect()
+    )
+    near = [r.dist for r in d if (r.ida, r.idb) in expected]
+    far = [r.dist for r in d if (r.ida, r.idb) not in expected]
+    assert max(near) < 8, f"near-dup hamming too large: {near}"
+    assert sum(far) / len(far) > 20, "unrelated docs should differ in many bits"
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """20 clusters × 10 members around seeded centroids — real neighbor
+    structure for ANN recall measurement."""
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for _ in range(20):
+        c = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(10):
+            rows.append((vid, [x + rng.gauss(0, 0.15) for x in c]))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "e"])
+
+
+def test_ann_recall_on_clustered_data(spark, clustered_vectors):
+    corpus = clustered_vectors
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = topk(cosine_scores(corpus, queries), 5)
+    approx = ann_topk_lsh(corpus, queries, dim=64, k=5, n_planes=8, probe_radius=2)
+    r = recall_at_k(approx, exact, 5)
+    assert r >= 0.8, f"ANN recall@5 too low: {r}"

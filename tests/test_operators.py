@@ -1,0 +1,118 @@
+"""Unit tests for the generic operator library (operators/, functions/)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dipa_collaborative_pulsar_idps_spark.operators import (
+    asof_join,
+    counter_delta,
+    top_k,
+    top_k_per_group,
+)
+from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    media_stats,
+    resize_images,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def test_counter_delta_reset_detection(spark):
+    rows = [
+        ("f1", _ts(0), 100),
+        ("f1", _ts(2), 250),
+        ("f1", _ts(4), 50),  # reset: 50 < 250 → delta = 50
+        ("f1", _ts(6), 80),
+        ("f2", _ts(0), 10),
+    ]
+    df = spark.createDataFrame(rows, ["flow", "poll_ts", "pkts"])
+    out = {
+        (r.flow, r.poll_ts): r.delta
+        for r in counter_delta(df, ["flow"], "pkts", ["poll_ts"]).collect()
+    }
+    assert out[("f1", _ts(0))] == 100  # first sample vs zero-seeded state
+    assert out[("f1", _ts(2))] == 150
+    assert out[("f1", _ts(4))] == 50  # reset handled, not -200
+    assert out[("f1", _ts(6))] == 30
+    assert out[("f2", _ts(0))] == 10
+
+
+def test_asof_join_nearest_prior(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(5), "p1"), ("u1", _ts(1), "p0"), ("u2", _ts(3), "p2")],
+        ["uid", "ts", "purchase"],
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(2), 10.0), ("u1", _ts(4), 20.0), ("u1", _ts(6), 30.0)],
+        ["uid", "ts", "price"],
+    )
+    out = {
+        (r.uid, r.purchase): r.price_asof
+        for r in asof_join(left, right, ["uid"], "ts", ["price"]).collect()
+    }
+    assert out[("u1", "p1")] == 20.0  # latest right ≤ ts(5) is ts(4)
+    assert out[("u1", "p0")] is None  # nothing before ts(1)
+    assert out[("u2", "p2")] is None  # no right rows for u2
+
+
+def test_asof_join_same_instant_visible(spark):
+    left = spark.createDataFrame([("u1", _ts(2), "p")], ["uid", "ts", "purchase"])
+    right = spark.createDataFrame([("u1", _ts(2), 7.0)], ["uid", "ts", "price"])
+    out = asof_join(left, right, ["uid"], "ts", ["price"]).collect()[0]
+    assert out.price_asof == 7.0  # right sorts before left at identical ts
+
+
+def test_topk_helpers(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        ["g", "id", "v"],
+    )
+    top = top_k(df, [F.desc("v"), F.asc("id")], 2).collect()
+    assert [(r.g, r.id) for r in top] == [("a", 2), ("a", 3)]
+    per = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], 1).collect()
+    assert {(r.g, r.id) for r in per} == {("a", 2), ("b", 4)}
+
+
+def _media_df(spark):
+    rows = [
+        ("m1", "image", bytearray(b"\x01" * 100), 640, 480, None),
+        ("m2", "image", bytearray(b"\x02" * 50), 320, 240, None),
+        ("m3", "audio", bytearray(b"\x03" * 200), None, None, 5000),
+        ("m4", "video", bytearray(b"\x04" * 300), 1920, 1080, 2500),
+    ]
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_feature_extract(spark):
+    out = extract_features(_media_df(spark)).collect()
+    assert len(out) == 4
+    by_id = {r.media_id: r for r in out}
+    assert len(by_id["m1"].feature) == 16
+    assert by_id["m1"].n_bytes == 100
+    # deterministic stub: same payload → same features
+    again = extract_features(_media_df(spark)).collect()
+    assert {r.media_id: r.feature for r in again} == {r.media_id: r.feature for r in out}
+
+
+def test_multimodal_resize_and_frames(spark):
+    m = _media_df(spark)
+    resized = resize_images(m, 224, 224).collect()
+    assert {r.media_id for r in resized} == {"m1", "m2"}
+    assert all(r.width == 224 and r.height == 224 for r in resized)
+    frames = frame_sample_stub(m, every_ms=1000).collect()
+    assert [(r.media_id, r.frame_ts_ms) for r in frames] == [
+        ("m4", 0), ("m4", 1000), ("m4", 2000)
+    ]
+    stats = {r.media_type: r for r in media_stats(m).collect()}
+    assert stats["image"].n_items == 2 and stats["image"].total_bytes == 150
