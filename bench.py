@@ -35,6 +35,11 @@ HEADLINE = [
     "dedup_exact_groups",
     "text_quality_score",
     "embedding_norms",
+    "minhash_lsh_near_dups",
+    "cosine_topk_neighbors",
+    "global_view_anomalies",
+    "session_windows_30m",
+    "spend_last_30d_range_frame",
 ]
 
 

@@ -67,6 +67,7 @@ def _load_all() -> None:
     if _loaded:
         return
     from . import (  # noqa: F401
+        analytic,
         datapipe,
         datapipe2,
         datapipe3,

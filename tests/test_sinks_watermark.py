@@ -1,0 +1,86 @@
+"""Mitigation-sink idempotency (I12/A10) and event-time watermark semantics
+(SURVEY.md §2.I: late rows beyond watermark dropped — documented divergence
+from the reference, which would silently mis-bin them)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+    replay_stream,
+    run_to_memory,
+    write_replay_chunks,
+)
+from dipa_collaborative_pulsar_idps_spark.streaming.sinks import MitigationSink
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture()
+def tmpdirs():
+    ds = [tempfile.mkdtemp(prefix="dipa_t_") for _ in range(3)]
+    yield ds
+    for d in ds:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_mitigation_sink_idempotent(spark, tmpdirs):
+    ledger, _, _ = tmpdirs
+    applied = []
+    sink = MitigationSink(
+        ledger_path=f"{ledger}/ledger",
+        key_cols=["action", "ip"],
+        apply_fn=lambda rows: applied.extend((r["action"], r["ip"]) for r in rows),
+    )
+    b1 = spark.createDataFrame(
+        [("BLOCK", "10.0.0.2"), ("BLOCK", "10.0.0.5")], ["action", "ip"]
+    )
+    sink(b1, 0)
+    assert sorted(applied) == [("BLOCK", "10.0.0.2"), ("BLOCK", "10.0.0.5")]
+    # replay of the same batch (at-least-once delivery) → no re-application
+    sink(b1, 1)
+    assert len(applied) == 2
+    # a new action for a known target still applies
+    sink(spark.createDataFrame([("RATE_LIMIT", "10.0.0.2")], ["action", "ip"]), 2)
+    assert ("RATE_LIMIT", "10.0.0.2") in applied and len(applied) == 3
+
+
+def test_watermark_drops_late_rows(spark, tmpdirs):
+    """Windowed count with a 10 s watermark: a row arriving after the
+    watermark has passed its window is dropped."""
+    _, replay_dir, _ = tmpdirs
+    import time
+
+    # three micro-batches: (1) events through ts=80 → watermark will move to
+    # 70; (2) ts=90 → the [0,10) window (count 2) is finalized+emitted and
+    # its state evicted; (3) a late ts=2 row — beyond watermark → dropped.
+    batches = [
+        [(T0 + dt.timedelta(seconds=s), "a") for s in (0, 5, 20, 40, 60, 80)],
+        [(T0 + dt.timedelta(seconds=90), "a")],
+        [(T0 + dt.timedelta(seconds=2), "late")],
+    ]
+    for rows_ in batches:
+        spark.createDataFrame(rows_, ["ts", "tag"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay_dir)
+        time.sleep(0.05)
+    stream = replay_stream(spark, replay_dir, "ts timestamp, tag string")
+    counts = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    run_to_memory(counts, "wm_counts", output_mode="append")
+    rows = [
+        (r.bucket, r.n)
+        for r in spark.sql("SELECT * FROM wm_counts WHERE bucket = TIMESTAMP '2024-01-01 00:00:00'").collect()
+    ]
+    # exactly one emission of the [0,10) window, with the late row dropped —
+    # not 3, and no duplicate/spurious second row for the same window
+    assert rows == [(T0, 2)]
