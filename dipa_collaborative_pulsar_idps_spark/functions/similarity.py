@@ -43,10 +43,12 @@ def cosine_scores(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     """Exact cosine of every (query, corpus) pair.
 
     corpus: (vec_id, e array<double>); queries: (query_id, qe array<double>).
-    Query side is broadcast — corpus streams through one stage."""
+    Query side is broadcast — corpus streams through one stage, repartitioned
+    off the scan so the dot products spread across cores."""
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
     return (
         F.broadcast(queries)
-        .join(corpus, F.col("query_id") != F.col("vec_id"))
+        .join(corpus.repartition(n_part, "vec_id"), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

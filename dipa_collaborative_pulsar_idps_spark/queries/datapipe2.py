@@ -213,7 +213,8 @@ def cosine_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast the query side; corpus side streams — at scale this is one
     pass over the corpus per query batch (classic brute-force ANN batch)."""
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
+    n_part = spark.sparkContext.defaultParallelism
+    emb = t.embeddings.repartition(n_part, "vec_id").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     q = emb.where(F.col("vec_id") < 50).select(
