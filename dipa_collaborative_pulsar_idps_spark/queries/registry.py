@@ -75,6 +75,7 @@ def _load_all() -> None:
         relational,
         relational_ext,
         scalars,
+        thresholds,
         windows,
     )
 

@@ -103,15 +103,18 @@ def alert_state_machine(
     idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-source alert lifecycle: suspected → ALERT after
-    ``cfg.sustained_count`` consecutive hot polls; ALERT → CLEAR after
+    ``cfg.sustained_count`` consecutive hot polls; ALERT → ESCALATE
+    (rate-limit → block, I5: TestCase_7/timeStamp2.py:353-359) after
+    ``cfg.escalate_persist`` further hot polls; ALERT/ESCALATE → CLEAR after
     ``cfg.calm_count`` calm polls. Output: (key, event, event_ts, streak).
 
     ``idle_timeout_ms``: state TTL for continuous streams only (see
     :func:`counter_delta_stream`).
     """
     out_schema = f"{key_col} string, event string, event_ts timestamp, streak int"
-    state_schema = "streak int, calm int, alerted boolean"
+    state_schema = "streak int, calm int, alerted boolean, escalated boolean"
     sustained, calm_needed = cfg.sustained_count, cfg.calm_count
+    escalate_at = cfg.sustained_count + cfg.escalate_persist
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -119,7 +122,9 @@ def alert_state_machine(
         if state.hasTimedOut:
             state.remove()
             return
-        streak, calm, alerted = state.get if state.exists else (0, 0, False)
+        streak, calm, alerted, escalated = (
+            state.get if state.exists else (0, 0, False, False)
+        )
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         events = []
         for _, r in rows.iterrows():
@@ -128,12 +133,15 @@ def alert_state_machine(
                 if not alerted and streak >= sustained:
                     alerted = True
                     events.append(("ALERT", r[ts_col], streak))
+                elif alerted and not escalated and streak >= escalate_at:
+                    escalated = True
+                    events.append(("ESCALATE", r[ts_col], streak))
             else:
                 calm, streak = calm + 1, 0
                 if alerted and calm >= calm_needed:
-                    alerted = False
+                    alerted = escalated = False
                     events.append(("CLEAR", r[ts_col], calm))
-        state.update((int(streak), int(calm), bool(alerted)))
+        state.update((int(streak), int(calm), bool(alerted), bool(escalated)))
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)
         if events:

@@ -1,0 +1,99 @@
+"""Tests for the coverage-closing operators: escalation (I5), latch/
+change-detection (I7), raw-packet parsing (K1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipa_collaborative_pulsar_idps_spark.functions.packets import (
+    build_packet,
+    parse_packets,
+)
+from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+    replay_stream,
+    run_to_memory,
+)
+from dipa_collaborative_pulsar_idps_spark.streaming.state import alert_state_machine
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture()
+def replay_dir():
+    d = tempfile.mkdtemp(prefix="dipa_cx_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_alert_escalation_lifecycle(spark, replay_dir):
+    """hot×12 → ALERT at streak 5, ESCALATE at streak 9 (5+4), CLEAR after
+    5 calm polls; escalation fires once (latch)."""
+    rows = [(T0 + dt.timedelta(seconds=3 * i), "h1", True) for i in range(12)]
+    rows += [(T0 + dt.timedelta(seconds=3 * (12 + i)), "h1", False) for i in range(6)]
+    spark.createDataFrame(rows, ["poll_ts", "src", "hot"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(replay_dir)
+    stream = replay_stream(spark, replay_dir, "poll_ts timestamp, src string, hot boolean")
+    run_to_memory(alert_state_machine(stream), "esc_out")
+    got = [
+        (r.event, r.streak)
+        for r in spark.sql("SELECT * FROM esc_out ORDER BY event_ts").collect()
+    ]
+    assert got == [("ALERT", 5), ("ESCALATE", 9), ("CLEAR", 5)]
+
+
+def test_latch_change_detection_stream(spark, replay_dir):
+    """I7: CNC change-detect — emit only on change of value per key
+    (streaming dropDuplicates as the latch)."""
+    import time
+
+    for batch in [[("cnc", "10.0.0.4")], [("cnc", "10.0.0.4")], [("cnc", "10.0.0.7")]]:
+        spark.createDataFrame(batch, ["kind", "ip"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay_dir)
+        time.sleep(0.05)
+    stream = replay_stream(spark, replay_dir, "kind string, ip string")
+    dedup = stream.dropDuplicates(["kind", "ip"])
+    run_to_memory(dedup, "latch_out")
+    got = sorted(r.ip for r in spark.sql("SELECT ip FROM latch_out").collect())
+    assert got == ["10.0.0.4", "10.0.0.7"]  # duplicate announcement suppressed
+
+
+def test_packet_parse_roundtrip(spark):
+    pkts = [
+        ("p1", build_packet("0a:00:00:00:00:01", "0a:00:00:00:00:02",
+                            "10.0.0.1", "10.0.0.2", 6, 51000, 23)),
+        ("p2", build_packet("0a:00:00:00:00:03", "0a:00:00:00:00:04",
+                            "10.0.0.3", "10.0.0.4", 17, 48101, 48101)),
+        ("p3", build_packet("0a:00:00:00:00:05", "0a:00:00:00:00:06",
+                            eth_type=0x88CC)),  # LLDP: no IP header
+        ("p4", b"\x00\x01"),  # runt frame
+    ]
+    df = spark.createDataFrame(pkts, ["pkt_id", "payload"])
+    out = {r.pkt_id: r for r in parse_packets(df).collect()}
+    assert out["p1"].ipv4_src == "10.0.0.1" and out["p1"].l4_dst_port == 23
+    assert out["p1"].eth_dst == "0a:00:00:00:00:01"
+    assert out["p2"].ip_proto == 17 and out["p2"].l4_src_port == 48101
+    assert out["p3"].eth_type == 0x88CC and out["p3"].ipv4_src is None
+    assert out["p4"].eth_dst is None  # runt → all-NULL header, no crash
+
+
+def test_packet_parse_feeds_classifier(spark):
+    """K1 output flows into the EP3 classifier unchanged."""
+    from dipa_collaborative_pulsar_idps_spark.functions.parsing import protocol_classifier
+
+    df = spark.createDataFrame(
+        [("p1", build_packet("0a:00:00:00:00:01", "0a:00:00:00:00:02",
+                             "10.0.0.1", "10.0.0.2", 6, 51000, 2323))],
+        ["pkt_id", "payload"],
+    )
+    parsed = parse_packets(df).withColumn(
+        "protocol",
+        protocol_classifier(F.col("ip_proto"), F.col("l4_dst_port"), F.col("l4_src_port")),
+    )
+    assert parsed.collect()[0].protocol == "Telnet"
