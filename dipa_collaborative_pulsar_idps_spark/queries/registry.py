@@ -76,6 +76,7 @@ def _load_all() -> None:
         relational_ext,
         scalars,
         thresholds,
+        tpch,
         windows,
     )
 

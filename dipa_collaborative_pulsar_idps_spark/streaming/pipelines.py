@@ -77,6 +77,40 @@ def ep1_alerts(hot_rates: DataFrame, cfg: DetectionConfig = DEFAULT) -> DataFram
     )
 
 
+def ep1_running_totals(
+    flow_stats: DataFrame, cfg: DetectionConfig = DEFAULT
+) -> DataFrame:
+    """Streaming running telnet totals per source — mean_dict as a
+    complete-mode aggregate (D1, DIPA_Controller.py:479-481).
+
+    Run with ``outputMode('complete')``: each trigger re-emits the totals
+    since stream start. Semantics pinned per SURVEY.md §4 #3: the reference
+    argmaxes over mean_dict's RUNNING totals (not a recent window); chain
+    :func:`cnc_from_totals` over each emitted snapshot for the CNC pick —
+    Spark (rightly) refuses chained stateful aggregates in one query, and
+    the reference itself recomputes argmax per poll over the dict snapshot.
+    A windowed-recent variant is `groupBy(window(ts, ...), src)` upstream.
+    """
+    telnet = flow_stats.where(
+        (F.col("priority") == cfg.detect_priority)
+        & F.col("tcp_dst").isin(*cfg.telnet_ports)
+    )
+    return telnet.groupBy(F.col("ipv4_src").alias("src")).agg(
+        F.sum("packet_count").alias("total_traffic")
+    )
+
+
+def cnc_from_totals(totals: DataFrame) -> DataFrame:
+    """Argmax over a totals snapshot (D2/G3): ties broken deterministically
+    (hash order). Batch operator — applied per emitted complete-mode table."""
+    return totals.agg(
+        F.max_by(
+            "src", F.struct(F.col("total_traffic"), (-F.xxhash64("src")).alias("tb"))
+        ).alias("cnc"),
+        F.max("total_traffic").alias("total_traffic"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # EP2 — collaboration: alert-message stream → parse → topology lookup →
 # mitigation action rows (DIPA_Controller.py:357-421).

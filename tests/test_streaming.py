@@ -112,6 +112,32 @@ def test_ep2_collaboration_actions(spark):
     assert pcts[10.0] == "IGNORE"  # below 50% threshold
 
 
+def test_ep1_cnc_pick_complete_mode(spark, replay_dir):
+    """Streaming argmax in complete mode: after all polls, the CNC is the
+    source with the highest RUNNING telnet total (the planted bots)."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        cnc_from_totals,
+        ep1_running_totals,
+    )
+
+    fixture = flow_stats_attack(spark, bots=("10.0.0.7",), bot_rate=500)
+    write_replay_chunks(fixture, replay_dir, n_chunks=3, order_col="poll_ts")
+    stream = replay_stream(spark, replay_dir, FLOW_STATS)
+    q = (
+        ep1_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("cnc_totals")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = spark.table("cnc_totals")
+    assert totals.count() == 8  # one running total per source, full history
+    row = cnc_from_totals(totals).collect()[0]
+    assert row.cnc == "10.0.0.7"
+
+
 def test_ep3_packet_admission(spark):
     out = ep3_packet_admission(packet_in_sample(spark)).collect()
     protos = {r.eth_src: r.protocol for r in out}
