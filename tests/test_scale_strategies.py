@@ -1,0 +1,115 @@
+"""Scale-strategy tests: salted aggregation equivalence, bucketed co-located
+joins (no shuffle), approximate distinct-count sanity, and a stateful-operator
+volume stress — the 100 TB tactics exercised at test scale."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipa_collaborative_pulsar_idps_spark.operators.skew import (
+    explode_salt_dim,
+    salted_count,
+    salted_sum,
+)
+from dipa_collaborative_pulsar_idps_spark.plans.explain import plan_text
+from dipa_collaborative_pulsar_idps_spark.tables import load_table
+
+
+def test_salted_sum_equals_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r.l_returnflag: r.s
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    salted = {
+        r.l_returnflag: r.sum_l_quantity
+        for r in salted_sum(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    assert direct.keys() == salted.keys()
+    for k in direct:
+        assert abs(direct[k] - salted[k]) < 1e-6
+
+
+def test_salted_count_and_join_dim(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {r.l_suppkey: r["count"] for r in li.groupBy("l_suppkey").count().collect()}
+    salted = {r.l_suppkey: r.n for r in salted_count(li, ["l_suppkey"]).collect()}
+    assert direct == salted
+    dim = spark.createDataFrame([(1, "a")], ["k", "v"])
+    assert explode_salt_dim(dim, 4).count() == 4  # replicated per salt
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketing both sides on the join key co-locates partitions: the join
+    plan must contain no Exchange — the 100 TB repeated-join strategy."""
+    wh = tempfile.mkdtemp(prefix="dipa_wh_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .option("path", f"{wh}/b_orders").mode("overwrite").saveAsTable("b_orders"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .option("path", f"{wh}/b_lineitem").mode("overwrite").saveAsTable("b_lineitem"))
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        txt = plan_text(j)
+        join_section = txt.split("HashAggregate")[0]
+        assert "Exchange" not in join_section, f"bucketed join still shuffles:\n{txt}"
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_approx_count_distinct_tracks_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0].n
+    approx = ev.select(F.approx_count_distinct("user_id", 0.02).alias("n")).collect()[0].n
+    assert abs(approx - exact) / exact < 0.1
+
+
+@pytest.mark.slow
+def test_stateful_delta_volume(spark):
+    """Volume sanity: 200k rows / 10k keys through the streaming counter
+    delta — state store handles it and every delta is non-negative."""
+    import datetime as dt
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import counter_delta_stream
+
+    d = tempfile.mkdtemp(prefix="dipa_vol_")
+    try:
+        base = spark.range(200_000).select(
+            (F.col("id") % 10_000).cast("string").alias("src"),
+            F.timestamp_micros(
+                (F.lit(1704067200000000) + (F.col("id") / 10_000).cast("long") * 2_000_000)
+            ).alias("poll_ts"),
+            ((F.col("id") / 10_000).cast("long") * 50).alias("packet_count"),
+        )
+        base.coalesce(2).write.mode("append").parquet(d)
+        stream = replay_stream(
+            spark, d, "src string, poll_ts timestamp, packet_count long"
+        )
+        out = counter_delta_stream(stream, ["src"], "packet_count", "poll_ts")
+        run_to_memory(out, "vol_out")
+        stats = spark.sql(
+            "SELECT count(*) AS n, min(delta) AS mn FROM vol_out"
+        ).collect()[0]
+        assert stats.n == 200_000
+        assert stats.mn >= 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
