@@ -15,8 +15,10 @@ from __future__ import annotations
 from collections.abc import Iterable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..config import DEFAULT, DetectionConfig
@@ -34,21 +36,35 @@ def counter_delta_stream(
     counter_col: str = "packet_count",
     ts_col: str = "poll_ts",
     idle_timeout_ms: int | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
-    """Streaming per-key counter deltas.
+    """Streaming per-key counter deltas, SHARDED state.
 
     Output schema: key_cols + (poll_ts timestamp, counter long, delta long).
 
-    ``idle_timeout_ms`` enables state TTL eviction (I2) for continuous
-    production streams. Leave ``None`` for replay/AvailableNow runs:
-    ProcessingTimeTimeout keeps re-arming and AvailableNow then never
-    terminates (it schedules batches until no pending timeouts remain).
+    Throughput design: ``applyInPandasWithState`` pays a Python invocation
+    per state GROUP per batch — with one group per flow (8k flows/poll,
+    the reference's saturation point) that overhead alone blows the 2 s
+    poll budget. So the state key is a hash SHARD of the flow key
+    (``n_shards`` Python calls per batch, not n_flows) and each shard's
+    state holds the per-flow last-counter map as parallel arrays; the
+    per-flow delta is a vectorized pandas groupby+shift inside the shard.
+    Same semantics, ~n_flows/n_shards× less invocation overhead.
+
+    Per-flow TTL eviction (I2) happens INSIDE the shard using EVENT time:
+    entries whose last poll is older than ``idle_timeout_ms`` behind the
+    shard's newest event are pruned each batch — matching the reference's
+    data-driven flow idle timeout, and safe under Trigger.AvailableNow
+    (no ProcessingTimeTimeout, which would re-arm forever and keep
+    AvailableNow scheduling batches). State size is bounded by live flows;
+    the shard rows themselves are bounded by ``n_shards``.
     """
     out_schema = (
         ", ".join(f"{c} string" for c in key_cols)
         + f", {ts_col} timestamp, {counter_col} long, delta long"
     )
-    state_schema = "last_counter long"
+    state_schema = "flow_keys array<string>, last_counters array<long>, last_seen_us array<long>"
+    sep = "\x1f"
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -56,33 +72,57 @@ def counter_delta_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        last = state.get[0] if state.exists else None
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        deltas = []
-        for c in rows[counter_col]:
-            c = int(c)
-            if last is None:
-                deltas.append(c)  # req1 seeded 0 (DIPA_Controller.py:134)
-            else:
-                d = c - last
-                deltas.append(c if d < 0 else d)  # reset detection
-            last = c
-        state.update((last,))
-        if idle_timeout_ms:
-            state.setTimeoutDuration(idle_timeout_ms)
-        out = pd.DataFrame({c: [str(k)] * len(rows) for c, k in zip(key_cols, key)})
+        if state.exists:
+            ks, vs, seen = state.get
+            prev_map = dict(zip(ks, vs))
+            seen_map = dict(zip(ks, seen))
+        else:
+            prev_map, seen_map = {}, {}
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        flow = rows[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            flow = flow + sep + rows[c].astype(str)
+        rows = rows.assign(__flow=flow).sort_values(["__flow", ts_col])
+        if idle_timeout_ms and seen_map:
+            # evict BEFORE computing deltas: a flow idle past the timeout
+            # re-installed (reference idle_timeout=60 s) — its old counter
+            # must not seed the new delta.
+            batch_max_us = int(rows[ts_col].astype("int64").max() // 1000)
+            horizon = batch_max_us - idle_timeout_ms * 1000
+            for k_ in [k_ for k_, u in seen_map.items() if u < horizon]:
+                del prev_map[k_], seen_map[k_]
+        vals = rows[counter_col].to_numpy(dtype="int64")
+        prev = rows.groupby("__flow", sort=False)[counter_col].shift(1)
+        first_mask = prev.isna().to_numpy()
+        seed = rows["__flow"].map(prev_map).fillna(0).to_numpy(dtype="int64")
+        prev = prev.fillna(0).to_numpy(dtype="int64")
+        prev[first_mask] = seed[first_mask]  # carry state across batches
+        deltas = vals - prev
+        deltas = np.where(deltas < 0, vals, deltas)  # reset detection
+        # update per-flow state: last counter + last event-time seen
+        us = (rows[ts_col].astype("int64") // 1000).to_numpy()  # ns → µs
+        tail = rows.assign(__v=vals, __us=us).groupby("__flow", sort=False).tail(1)
+        prev_map.update(dict(zip(tail["__flow"], (int(v) for v in tail["__v"]))))
+        seen_map.update(dict(zip(tail["__flow"], (int(u) for u in tail["__us"]))))
+        state.update(
+            (list(prev_map.keys()), list(prev_map.values()), [seen_map[k_] for k_ in prev_map])
+        )
+        out = pd.DataFrame(
+            {c: rows[c].astype(str).values for c in key_cols}
+        )
         out[ts_col] = rows[ts_col].values
-        out[counter_col] = rows[counter_col].values
+        out[counter_col] = vals
         out["delta"] = deltas
         yield out
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms
-        else GroupStateTimeout.NoTimeout
-    )
-    return df.groupBy(*key_cols).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    shard = F.pmod(F.xxhash64(*key_cols), F.lit(n_shards)).alias("__shard")
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )
 
 

@@ -92,6 +92,38 @@ def test_counter_reset_produces_no_negative_delta(spark, replay_dir):
     assert [r.delta for r in reset_rows] == [150] * 10
 
 
+def test_event_time_ttl_eviction(spark):
+    """I2: a flow idle past idle_timeout_ms is evicted (event-time based) —
+    its next delta restarts from the raw counter; a shorter gap keeps state."""
+    import tempfile
+    import time
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import counter_delta_stream
+
+    for name, gap_s, want in [("ttl_evict", 300, 150), ("ttl_keep", 30, 50)]:
+        d = tempfile.mkdtemp(prefix="dipa_ttl_")
+        t0 = dt.datetime(2024, 1, 1)
+        for rs in ([(t0, "f1", 100)], [(t0 + dt.timedelta(seconds=gap_s), "f1", 150)]):
+            spark.createDataFrame(rs, ["poll_ts", "src", "packet_count"]).coalesce(
+                1
+            ).write.mode("append").parquet(d)
+            time.sleep(0.05)
+        out = counter_delta_stream(
+            replay_stream(spark, d, "poll_ts timestamp, src string, packet_count long"),
+            ["src"],
+            "packet_count",
+            "poll_ts",
+            idle_timeout_ms=60_000,
+        )
+        run_to_memory(out, name)
+        deltas = [
+            r.delta
+            for r in spark.sql(f"SELECT * FROM {name} ORDER BY poll_ts").collect()
+        ]
+        assert deltas == [100, want], f"{name}: {deltas}"
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_ep2_collaboration_actions(spark):
     rows = [
         (dt.datetime(2024, 1, 1), "mirai", "10.0.0.2@BOT", "VM-1 Prod"),
