@@ -46,6 +46,18 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(t.documents, threshold=0.8)
 
 
+@query("approx_distinct_users", survey="D4-scale")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) beside the exact D4 — the
+    100 TB cardinality path. No SQL oracle: DuckDB's sketch differs by
+    design; tests assert it tracks the exact count within rsd bounds."""
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 @query("simhash_fingerprints", survey="ext-dedup")
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (no SQL oracle: xxhash64 family).

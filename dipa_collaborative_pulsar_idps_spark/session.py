@@ -41,6 +41,25 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Large-state streaming: RocksDB-backed state store (bundled with Spark 4).
+#: The in-memory HDFS-backed provider keeps every key on-heap — fine for
+#: tests, not for 100 TB detection state. Apply to a session running
+#: production streaming queries (settable at runtime before query start).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def enable_rocksdb_state(spark: SparkSession) -> SparkSession:
+    """Switch streaming state to RocksDB (disk-backed, changelog checkpoints)."""
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(
     app_name: str = "dipa-spark-engine",
     master: str | None = None,

@@ -79,6 +79,49 @@ def test_approx_count_distinct_tracks_exact(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.1
 
 
+def test_rocksdb_state_store_runs(spark):
+    """The sharded delta operator runs on the RocksDB state store (the
+    100 TB state path) and produces the same results as the default store."""
+    import datetime as dt
+
+    from dipa_collaborative_pulsar_idps_spark.session import enable_rocksdb_state
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import counter_delta_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    d = tempfile.mkdtemp(prefix="dipa_rdb_")
+    try:
+        enable_rocksdb_state(spark)
+        rows = [
+            (dt.datetime(2024, 1, 1, 0, 0, 2 * i), f"f{j}", 100 * (i + 1))
+            for i in range(5)
+            for j in range(10)
+        ]
+        spark.createDataFrame(rows, ["poll_ts", "src", "packet_count"]).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        out = counter_delta_stream(
+            replay_stream(spark, d, "poll_ts timestamp, src string, packet_count long"),
+            ["src"],
+            "packet_count",
+            "poll_ts",
+        )
+        run_to_memory(out, "rdb_out")
+        got = spark.sql(
+            "SELECT count(*) AS n, min(delta) AS mn, max(delta) AS mx FROM rdb_out"
+        ).collect()[0]
+        assert (got.n, got.mn, got.mx) == (50, 100, 100)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.mark.slow
 def test_stateful_delta_volume(spark):
     """Volume sanity: 200k rows / 10k keys through the streaming counter
