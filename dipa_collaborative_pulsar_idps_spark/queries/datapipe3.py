@@ -67,6 +67,28 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(t.documents).select(F.col("id").alias("doc_id"), "simhash")
 
 
+@query("ann_topk_ivf_neighbors", survey="ext-sim")
+def ann_topk_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted lists, seeded/deterministic) top-5 neighbors
+    for the first 50 query vectors, probing 4 of 16 lists (~25% scan).
+    No SQL oracle (approximate + iterative k-means); recall vs the exact
+    baseline asserted in tests/test_dedup.py."""
+    from ..functions.ivf import build_ivf_index, ivf_search
+
+    t = Tables(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    emb = t.embeddings.repartition(n_part, "vec_id").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(emb, dim=64, n_list=16)
+    return ivf_search(assigned, centroids, q, k=5, n_probe=4).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    )
+
+
 @query("ann_topk_lsh_neighbors", survey="ext-sim")
 def ann_topk_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors for the first 50 query vectors via

@@ -101,3 +101,23 @@ def test_ann_recall_on_clustered_data(spark, clustered_vectors):
     approx = ann_topk_lsh(corpus, queries, dim=64, k=5, n_planes=8, probe_radius=2)
     r = recall_at_k(approx, exact, 5)
     assert r >= 0.8, f"ANN recall@5 too low: {r}"
+
+
+def test_ivf_recall_on_clustered_data(spark, clustered_vectors):
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    corpus = clustered_vectors
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=16)
+    assert centroids.count() == 16
+    exact = topk(cosine_scores(corpus, queries), 5)
+    approx = ivf_search(assigned, centroids, queries, k=5, n_probe=4)
+    r = recall_at_k(approx, exact, 5)
+    # 20 true clusters quantized into 16 lists with 4 probes — cluster
+    # members land in the same/adjacent lists, so recall should be high
+    assert r >= 0.85, f"IVF recall@5 too low: {r}"
