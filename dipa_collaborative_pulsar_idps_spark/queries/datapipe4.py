@@ -1,0 +1,96 @@
+"""Embedding-pipeline queries, wave 2: exact cosine near-dup pairs (the
+dedup variant the LLM-data-pipeline needs beside MinHash text dedup) and
+per-label centroids (the building block IVF list assignment uses).
+
+Scale stance: the exact all-pairs query is the oracle-matched *baseline*;
+at 100 TB the same semantics run through the LSH/IVF candidate generators
+in functions/similarity.py + functions/ivf.py (queries
+``ann_topk_lsh_neighbors`` / ``ann_topk_ivf_neighbors``), which scan a
+bucketed fraction of the corpus instead of N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import Tables
+from .registry import query
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+@query(
+    "cosine_near_dup_pairs",
+    survey="ext-dedup,ext-sim",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+)
+SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       ROUND(LIST_COSINE_SIMILARITY(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.e, b.e) >= 0.4
+""",
+)
+def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold; the lower
+    vec_id is the canonical survivor (keep_id), the higher the duplicate.
+    Exact all-pairs baseline — self-join with a.vec_id < b.vec_id halves the
+    pair space; corpus repartitioned off the single-file scan so the 64-dim
+    dot products spread across cores."""
+    t = Tables(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    v = t.embeddings.repartition(n_part, "vec_id").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("keep_id"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("dup_id"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.join(b, F.col("keep_id") < F.col("dup_id"))
+        .select("keep_id", "dup_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
+@query(
+    "embedding_centroid_by_label",
+    survey="ext-sim,D1",
+    oracle="""
+SELECT label, pos, AVG(x) AS centroid
+FROM (
+    SELECT label,
+           UNNEST(LIST_TRANSFORM(embedding, y -> CAST(y AS DOUBLE))) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+    FROM embeddings
+)
+GROUP BY label, pos
+""",
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension). posexplode →
+    partial-aggregated mean per (label, pos): the map-side combine keeps the
+    shuffle at |labels|×dim rows regardless of corpus size — the same
+    access pattern k-means/IVF training uses (functions/ivf.py)."""
+    t = Tables(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        t.embeddings.repartition(n_part, "vec_id")
+        .select(
+            "label",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "x"),
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.avg("x").alias("centroid"))
+    )

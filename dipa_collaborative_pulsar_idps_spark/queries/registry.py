@@ -71,12 +71,14 @@ def _load_all() -> None:
         datapipe,
         datapipe2,
         datapipe3,
+        datapipe4,
         detection,
         relational,
         relational_ext,
         scalars,
         thresholds,
         tpch,
+        tpch2,
         windows,
     )
 

@@ -62,3 +62,32 @@ def test_events_scan_prunes_and_pushes(spark, sf_dir):
     df = REGISTRY["suspected_bots"].fn(spark, sf_dir)
     txt = plan_text(df)
     assert "EqualTo(event_type,click)" in txt, "event_type filter not pushed"
+
+
+def test_q19_brackets_push_per_side_residuals(spark, sf_dir):
+    """OR-of-brackets: Catalyst must derive and push the per-side residual
+    disjunctions (brand/size onto part, quantity onto lineitem)."""
+    df = REGISTRY["tpch_q19_bracketed_predicates"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    pushed = " ".join(ln for ln in txt.splitlines() if "PushedFilters" in ln)
+    assert "l_quantity" in pushed, "quantity residual not pushed to lineitem scan"
+    assert "p_brand" in pushed or "p_size" in pushed, "part residual not pushed"
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    df = REGISTRY["tpch_q4_order_priority"].fn(spark, sf_dir)
+    assert "LeftSemi" in plan_text(df), "EXISTS should compile to a semi join"
+
+
+def test_q8_dimensions_all_broadcast(spark, sf_dir):
+    # part, supplier, nation ×2, region are all broadcast; only the
+    # lineitem⋈orders⋈customer fact chain may shuffle.
+    df = REGISTRY["tpch_q8_market_share"].fn(spark, sf_dir)
+    assert_broadcast_join(df, at_least=5)
+
+
+def test_new_composites_stay_jvm_side(spark, sf_dir):
+    for name in ("tpch_q7_nation_trade_flows", "tpch_q17_small_quantity_revenue",
+                 "tpch_q22_dormant_rich_customers", "cosine_near_dup_pairs",
+                 "embedding_centroid_by_label"):
+        assert_no_python_udf(REGISTRY[name].fn(spark, sf_dir))
