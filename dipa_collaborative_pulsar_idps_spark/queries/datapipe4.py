@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.rangejoin import interval_join
 from ..tables import Tables
 from .registry import query
 
@@ -93,4 +94,46 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(F.avg("x").alias("centroid"))
+    )
+
+
+@query(
+    "interval_join_error_burst",
+    survey="E-ext(range),D11",
+    oracle="""
+SELECT p.event_id AS purchase_id, COUNT(e.event_id) AS n_errors
+FROM events p
+LEFT JOIN events e
+  ON e.event_type = 'error'
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+)
+def interval_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors observed in the 30 minutes after each purchase — a PURE range
+    join (no equi key). Runs through operators/rangejoin.interval_join:
+    time-binned equi join + residual, never a nested-loop product
+    (asserted in test_plans.py). Zero-match purchases kept via a final
+    left join against the interval set."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    points = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    hits = interval_join(
+        points, "err_ts", intervals, "win_start", "win_end", bin_seconds=1800
+    )
+    counts = hits.groupBy("purchase_id").agg(F.count("*").alias("n_errors"))
+    return (
+        intervals.select("purchase_id")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id", F.coalesce("n_errors", F.lit(0).cast("long")).alias("n_errors")
+        )
     )

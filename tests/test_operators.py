@@ -116,3 +116,33 @@ def test_multimodal_resize_and_frames(spark):
     ]
     stats = {r.media_type: r for r in media_stats(m).collect()}
     assert stats["image"].n_items == 2 and stats["image"].total_bytes == 150
+
+
+def test_interval_join_matches_naive(spark):
+    """Binned range join ≡ naive non-equi join on a synthetic set that
+    crosses bin boundaries (intervals longer and shorter than the bin)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.operators.rangejoin import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "pid long, pts timestamp_ntz",
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(minutes=13 * j), base + dt.timedelta(minutes=13 * j + span))
+            for j, span in [(0, 5), (1, 45), (2, 90), (3, 30), (4, 0), (5, 1440)]
+        ],
+        "iid long, istart timestamp_ntz, iend timestamp_ntz",
+    )
+    got = interval_join(pts, "pts", iv, "istart", "iend", bin_seconds=1800)
+    expect = pts.join(
+        iv, (F.col("istart") <= F.col("pts")) & (F.col("pts") < F.col("iend"))
+    )
+    g = {(r.pid, r.iid) for r in got.collect()}
+    e = {(r.pid, r.iid) for r in expect.collect()}
+    assert g == e and len(e) > 50

@@ -91,3 +91,11 @@ def test_new_composites_stay_jvm_side(spark, sf_dir):
                  "tpch_q22_dormant_rich_customers", "cosine_near_dup_pairs",
                  "embedding_centroid_by_label"):
         assert_no_python_udf(REGISTRY[name].fn(spark, sf_dir))
+
+
+def test_interval_join_is_not_nested_loop(spark, sf_dir):
+    """The pure range join must run as a binned equi join — any
+    nested-loop/cartesian plan would be O(n·m) at scale."""
+    df = REGISTRY["interval_join_error_burst"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in txt and "CartesianProduct" not in txt, txt
