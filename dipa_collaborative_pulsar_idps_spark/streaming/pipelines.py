@@ -196,3 +196,43 @@ def ep3_packet_admission(
             F.lit(cfg.flow_hard_timeout_s).alias("hard_timeout"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join: correlate two live streams inside a time bound.
+# The reference correlates its alert set with per-flow rates through shared
+# process dicts (DIPA_Controller.py:323-352 reading state built at :461-489);
+# the Spark-native equivalent is a watermarked stream-stream interval join —
+# state for both sides is bounded by the watermark, so it runs indefinitely.
+# ---------------------------------------------------------------------------
+
+
+def alert_rate_context(
+    rates: DataFrame,
+    alerts: DataFrame,
+    lookback_s: int = 60,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Join a (src, poll_ts, pkt_rate, hot) rate stream with a parsed alert
+    stream (src, alert_ts, kind): each alert is enriched with every rate
+    observation for that source in the ``lookback_s`` seconds up to the
+    alert — evidence attached to the alert, computed stream-side.
+
+    Both inputs MUST be streaming DataFrames. Watermarks bound the join
+    state: a rate row is droppable once the alert-side watermark passes
+    ``poll_ts + lookback_s``; Spark derives that from the range condition.
+    Inner join ⇒ rows emit as soon as both sides arrive (no watermark
+    finalization wait); use left-outer only with the same condition if
+    unmatched alerts must also surface (they then wait for the watermark).
+    """
+    r = rates.withWatermark("poll_ts", watermark).select(
+        F.col("src").alias("rate_src"), "poll_ts", "pkt_rate", "hot"
+    )
+    a = alerts.withWatermark("alert_ts", watermark)
+    return a.join(
+        r,
+        (F.col("src") == F.col("rate_src"))
+        & (F.col("poll_ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
+        & (F.col("poll_ts") <= F.col("alert_ts")),
+        "inner",
+    ).drop("rate_src")

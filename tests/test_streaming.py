@@ -180,3 +180,86 @@ def test_ep3_packet_admission(spark):
     assert protos["aa:09"] == "ICMP"
     assert protos["aa:0b"] == "DNS"
     assert all(r.priority == 10 and r.idle_timeout == 60 for r in out)
+
+
+def test_stream_stream_alert_context_join(spark, replay_dir):
+    """Watermarked stream-stream interval join: each alert picks up exactly
+    the rate rows for its source within the 60 s lookback — result equals
+    the same join run in batch."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        alert_rate_context,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rate_rows = [
+        (src, base + dt.timedelta(seconds=3 * i), float(10 * i), i % 2 == 0)
+        for src in ("10.0.0.1", "10.0.0.2", "10.0.0.3")
+        for i in range(20)
+    ]
+    rates_schema = StructType(
+        [
+            StructField("src", StringType(), False),
+            StructField("poll_ts", TimestampType(), False),
+            StructField("pkt_rate", DoubleType(), False),
+            StructField("hot", BooleanType(), False),
+        ]
+    )
+    alerts_schema = StructType(
+        [
+            StructField("src", StringType(), False),
+            StructField("alert_ts", TimestampType(), False),
+            StructField("kind", StringType(), False),
+        ]
+    )
+    alert_rows = [
+        ("10.0.0.1", base + dt.timedelta(seconds=30), "BOT"),
+        ("10.0.0.2", base + dt.timedelta(seconds=55), "BOT"),
+        ("10.0.0.9", base + dt.timedelta(seconds=40), "BOT"),  # no rates: no rows
+    ]
+    rates_df = spark.createDataFrame(rate_rows, rates_schema)
+    alerts_df = spark.createDataFrame(alert_rows, alerts_schema)
+
+    rdir = tempfile.mkdtemp(prefix="dipa_ss_rates_")
+    adir = tempfile.mkdtemp(prefix="dipa_ss_alerts_")
+    write_replay_chunks(rates_df, rdir, n_chunks=4, order_col="poll_ts")
+    write_replay_chunks(alerts_df, adir, n_chunks=2, order_col="alert_ts")
+    r_stream = spark.readStream.schema(rates_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(rdir)
+    a_stream = spark.readStream.schema(alerts_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(adir)
+
+    joined = alert_rate_context(r_stream, a_stream, lookback_s=60)
+    q = run_to_memory(joined, "ss_join")
+    got = {
+        (r.src, r.kind, r.poll_ts) for r in spark.table("ss_join").collect()
+    }
+    q.stop()
+
+    # batch twin: same condition on the batch frames
+    batch = alerts_df.join(
+        rates_df.withColumnRenamed("src", "rate_src"),
+        (F.col("src") == F.col("rate_src"))
+        & (F.col("poll_ts") >= F.col("alert_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("poll_ts") <= F.col("alert_ts")),
+    )
+    expect = {(r.src, r.kind, r.poll_ts) for r in batch.collect()}
+    assert got == expect
+    assert len(expect) > 10
+    assert not any(s == "10.0.0.9" for s, _, _ in got)
