@@ -1,0 +1,119 @@
+"""Property-based tests (SURVEY.md §5: counter-reset robustness, parse
+round-trips, operator ≡ naive-model equivalence on randomized inputs).
+
+Spark jobs are expensive per example, so examples are few but each carries
+a whole randomized dataset; hypothesis shrinks on failure as usual.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dipa_collaborative_pulsar_idps_spark.operators.deltas import counter_delta
+from dipa_collaborative_pulsar_idps_spark.operators.rangejoin import interval_join
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: cumulative counters with occasional resets: monotone runs restarting at 0.
+_counter_runs = st.lists(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=6).map(
+        lambda incs: [sum(incs[: i + 1]) for i in range(len(incs))]
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _model_deltas(series: list[int]) -> list[int]:
+    """Reference semantics (DIPA_Controller.py:461-463 + reset rule §4#1)."""
+    out, prev = [], 0
+    for c in series:
+        d = c - prev
+        out.append(c if d < 0 else d)
+        prev = c
+    return out
+
+
+@given(runs_by_key=st.dictionaries(st.sampled_from(["a", "b", "c"]), _counter_runs, min_size=1))
+@settings(**_SETTINGS)
+def test_counter_delta_matches_model_under_resets(spark, runs_by_key):
+    rows = []
+    for key, runs in runs_by_key.items():
+        seq = [c for run in runs for c in run]  # concatenated runs = resets
+        rows += [(key, i, c) for i, c in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k string, seq int, counter long")
+    got = {
+        (r.k, r.seq): r.delta
+        for r in counter_delta(df, ["k"], "counter", ["seq"]).collect()
+    }
+    for key, runs in runs_by_key.items():
+        seq = [c for run in runs for c in run]
+        for i, d in enumerate(_model_deltas(seq)):
+            assert got[(key, i)] == d, (key, i, seq)
+    # reset robustness: never negative
+    assert all(v >= 0 for v in got.values())
+
+
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=0, max_value=4000),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bin_s=st.sampled_from([60, 600, 1800, 7200]),
+)
+@settings(**_SETTINGS)
+def test_interval_join_equals_naive_model(spark, points, intervals, bin_s):
+    base = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(points)],
+        "pid long, pts timestamp_ntz",
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + span))
+            for j, (s, span) in enumerate(intervals)
+        ],
+        "iid long, istart timestamp_ntz, iend timestamp_ntz",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(p, "pts", iv, "istart", "iend", bin_s).collect()
+    }
+    expect = {
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (lo, span) in enumerate(intervals)
+        if lo <= s < lo + span
+    }
+    assert got == expect
+
+
+@given(
+    ip=st.from_regex(r"10\.(0|1)\.[0-9]{1,2}\.[0-9]{1,2}", fullmatch=True),
+    kind=st.sampled_from(["BOT", "CNC", "42"]),
+)
+@settings(**_SETTINGS)
+def test_alert_message_format_parse_roundtrip(spark, ip, kind):
+    """J1/J3: format '<ip>@<kind>' then positional split recovers the parts
+    — for any address and payload kind the reference emits
+    (DIPA_Controller.py:333-352, parse :371-373)."""
+    df = spark.createDataFrame([(ip, kind)], "ip string, kind string")
+    msg = df.select(F.concat_ws("@", "ip", "kind").alias("value"))
+    back = msg.select(
+        F.split("value", "@").getItem(0).alias("ip"),
+        F.split("value", "@").getItem(1).alias("kind"),
+    ).first()
+    assert (back.ip, back.kind) == (ip, kind)
