@@ -84,3 +84,54 @@ def test_watermark_drops_late_rows(spark, tmpdirs):
     # exactly one emission of the [0,10) window, with the late row dropped —
     # not 3, and no duplicate/spurious second row for the same window
     assert rows == [(T0, 2)]
+
+
+def test_file_message_sources_roundtrip(spark, tmp_path):
+    """A5/A6 transport-agnostic: the same @-messages the Pulsar topics carry,
+    streamed from text files and parsed; JSON-lines with declared schema."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dipa_collaborative_pulsar_idps_spark.sources.files import (
+        alert_message_stream,
+        json_lines_stream,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import run_to_memory
+
+    tdir = tmp_path / "alerts_txt"
+    tdir.mkdir()
+    (tdir / "m0.txt").write_text("10.0.0.5@BOT\n10.0.0.4@CNC\n")
+    (tdir / "m1.txt").write_text("10.0.0.4@62.5\n")
+    q = run_to_memory(alert_message_stream(spark, str(tdir)), "file_alerts")
+    rows = {(r.ip, r.kind, r.pct) for r in spark.table("file_alerts").collect()}
+    q.stop()
+    assert rows == {
+        ("10.0.0.5", "BOT", None),
+        ("10.0.0.4", "CNC", None),
+        ("10.0.0.4", "COMPROMISE", 62.5),
+    }
+
+    jdir = tmp_path / "updates_json"
+    jdir.mkdir()
+    schema = StructType(
+        [
+            StructField("src", StringType(), False),
+            StructField("dst_port", LongType(), False),
+            StructField("rate", LongType(), False),
+        ]
+    )
+    recs = [
+        {"src": "10.0.0.7", "dst_port": 23, "rate": 120},
+        {"src": "10.0.0.8", "dst_port": 2323, "rate": 4},
+    ]
+    (jdir / "u0.json").write_text("\n".join(json.dumps(r) for r in recs))
+    q2 = run_to_memory(json_lines_stream(spark, str(jdir), schema), "file_updates")
+    got = {(r.src, r.dst_port, r.rate) for r in spark.table("file_updates").collect()}
+    q2.stop()
+    assert got == {("10.0.0.7", 23, 120), ("10.0.0.8", 2323, 4)}
