@@ -465,3 +465,35 @@ def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "grouping_sets_nation_segment",
+    survey="D-ext",
+    oracle="""
+SELECT n_name, c_mktsegment,
+       SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total_bal,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
+""",
+)
+def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the custom subset neither rollup (no
+    segment-only set) nor cube (adds the grand total) produces. One pass,
+    one expand+shuffle; Catalyst's Expand keeps it a single aggregation."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupingSets(
+            [["n_name", "c_mktsegment"], ["n_name"], ["c_mktsegment"]],
+            "n_name",
+            "c_mktsegment",
+        )
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("total_bal"),
+            F.count("*").alias("n_customers"),
+        )
+    )

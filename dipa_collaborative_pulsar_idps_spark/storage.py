@@ -1,0 +1,63 @@
+"""Storage layout for telemetry at scale (SURVEY.md §7 Phase 6).
+
+The reference scopes every scan by switch — one stats request per
+datapath per poll (DIPA_Controller.py:425-434). At 100 TB the same
+scoping comes from the table LAYOUT: hive-partition the event logs by
+``(event_date, dpid)`` so queries touching one day / one switch read only
+those directories (Catalyst `PruneFileSourcePartitions`), and sort within
+files by the poll timestamp so parquet row-group stats prune further.
+
+Partition-count hygiene: date × dpid at 7 switches is ~2.6 k directories
+per year — comfortably under the small-files cliff. Do NOT partition by
+high-cardinality keys (ipv4_src would create millions of dirs); those
+belong in row-group sort order, not the directory tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: directory keys, lowest→highest cardinality (date first: time-range
+#: predicates are the most common pruner).
+TELEMETRY_PARTITION_COLS = ("event_date", "dpid")
+
+
+def write_telemetry(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "poll_ts",
+    mode: str = "append",
+    target_file_rows: int | None = None,
+) -> None:
+    """Write a telemetry frame hive-partitioned by (event_date, dpid),
+    sorted within each file by *ts_col* for row-group pruning.
+
+    ``sortWithinPartitions`` costs no extra shuffle; the repartition on the
+    partition keys makes one task own each output directory, avoiding the
+    many-small-files pattern of task-parallel appends."""
+    out = df.withColumn("event_date", F.to_date(F.col(ts_col)))
+    out = out.repartition("event_date", "dpid").sortWithinPartitions(
+        "event_date", "dpid", ts_col
+    )
+    writer = out.write.mode(mode).partitionBy(*TELEMETRY_PARTITION_COLS)
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    writer.parquet(path)
+
+
+def read_telemetry(
+    spark: SparkSession,
+    path: str,
+    date: str | None = None,
+    dpid: int | None = None,
+) -> DataFrame:
+    """Read back with partition predicates expressed as column filters —
+    Catalyst turns them into directory pruning (asserted in
+    tests/test_scale_strategies.py), never a full listing scan."""
+    df = spark.read.parquet(path)
+    if date is not None:
+        df = df.where(F.col("event_date") == F.lit(date).cast("date"))
+    if dpid is not None:
+        df = df.where(F.col("dpid") == dpid)
+    return df

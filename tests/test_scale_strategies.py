@@ -156,3 +156,38 @@ def test_stateful_delta_volume(spark):
         assert stats.mn >= 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_telemetry_layout_prunes(spark, tmp_path):
+    """(event_date, dpid) hive layout: a one-day/one-switch query must plan
+    PartitionFilters and scan only that directory's files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.plans.explain import plan_text
+    from dipa_collaborative_pulsar_idps_spark.storage import (
+        read_telemetry,
+        write_telemetry,
+    )
+
+    rows = [
+        (d, s, dt.datetime(2024, 1, 1 + d, 8, 0, i), 100 * i)
+        for d in range(3)
+        for s in (1, 2)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "day int, dpid int, poll_ts timestamp_ntz, packet_count long"
+    ).drop("day")
+    path = str(tmp_path / "telemetry")
+    write_telemetry(df, path)
+
+    pruned = read_telemetry(spark, path, date="2024-01-02", dpid=1)
+    assert pruned.count() == 10
+    txt = plan_text(pruned)
+    pf = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in " ".join(pf) and "dpid" in " ".join(pf), txt
+    # directory really pruned: only one (date,dpid) leaf feeds the scan
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert all("event_date=2024-01-02" in f and "dpid=1" in f for f in files), files

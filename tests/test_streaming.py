@@ -263,3 +263,72 @@ def test_stream_stream_alert_context_join(spark, replay_dir):
     assert got == expect
     assert len(expect) > 10
     assert not any(s == "10.0.0.9" for s, _, _ in got)
+
+
+def test_streaming_native_session_window(spark, replay_dir):
+    """F.session_window in a watermarked streaming agg: per-user sessions
+    close after a 30 min gap; replayed stream yields the same sessions as
+    the batch gap-and-islands computation."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for user in ("u1", "u2"):
+        for burst_start_min, n in ((0, 3), (120, 2), (300, 4)):
+            for i in range(n):
+                rows.append((eid, user, base + dt.timedelta(minutes=burst_start_min + 5 * i)))
+                eid += 1
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("user", StringType(), False),
+            StructField("ts", TimestampType(), False),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    write_replay_chunks(df, replay_dir, n_chunks=3, order_col="ts")
+    # two flush micro-batches: the first advances the watermark past every
+    # session close, the second triggers finalization-emission (watermark
+    # state finalizes one batch behind the data that moved it).
+    import time
+
+    for k in (0, 1):
+        spark.createDataFrame(
+            [(90_000 + k, "flush", base + dt.timedelta(days=1, minutes=k))], schema
+        ).coalesce(1).write.mode("append").parquet(replay_dir)
+        time.sleep(0.05)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        replay_dir
+    )
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user")
+        .agg(F.count("*").alias("n_events"))
+        .select("user", F.col("w.start").alias("start"), "n_events")
+    )
+    q = run_to_memory(sessions, "stream_sessions", output_mode="append")
+    got = {
+        (r.user, r.start, r.n_events)
+        for r in spark.table("stream_sessions").collect()
+        if r.user != "flush"
+    }
+    q.stop()
+    # 3 bursts per user, gaps 2h/3h >> 30 min → one session per burst
+    expect = {
+        (u, base + dt.timedelta(minutes=m), n)
+        for u in ("u1", "u2")
+        for m, n in ((0, 3), (120, 2), (300, 4))
+    }
+    assert got == expect
