@@ -32,6 +32,9 @@ HEADLINE = [
     "rolling_mean_per_key",
     "asof_join_last_click_before_purchase",
     "cube_region_status",
+    "tpch_q8_market_share",
+    "tpch_q18_large_volume_customers",
+    "interval_join_error_burst",
     "dedup_exact_groups",
     "text_quality_score",
     "embedding_norms",

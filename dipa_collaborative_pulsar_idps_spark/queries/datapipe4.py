@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.components import connected_components
 from ..operators.rangejoin import interval_join
 from ..tables import Tables
 from .registry import query
@@ -25,6 +26,24 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def _cosine_pairs(spark: SparkSession, t: Tables, threshold: float) -> DataFrame:
+    """(keep_id, dup_id, cosine) for all pairs ≥ threshold, keep_id < dup_id.
+    Exact all-pairs baseline — corpus repartitioned off the single-file scan
+    so the 64-dim dot products spread across cores."""
+    n_part = spark.sparkContext.defaultParallelism
+    v = t.embeddings.repartition(n_part, "vec_id").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("keep_id"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("dup_id"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.join(b, F.col("keep_id") < F.col("dup_id"))
+        .select("keep_id", "dup_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 @query(
@@ -43,23 +62,9 @@ WHERE LIST_COSINE_SIMILARITY(a.e, b.e) >= 0.4
 )
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold; the lower
-    vec_id is the canonical survivor (keep_id), the higher the duplicate.
-    Exact all-pairs baseline — self-join with a.vec_id < b.vec_id halves the
-    pair space; corpus repartitioned off the single-file scan so the 64-dim
-    dot products spread across cores."""
-    t = Tables(spark, sf_dir)
-    n_part = spark.sparkContext.defaultParallelism
-    v = t.embeddings.repartition(n_part, "vec_id").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    a = v.select(F.col("vec_id").alias("keep_id"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("dup_id"), F.col("e").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
-    return (
-        a.join(b, F.col("keep_id") < F.col("dup_id"))
-        .select("keep_id", "dup_id", cos.alias("cosine"))
-        .where(F.col("cosine") >= 0.4)
-        .withColumn("cosine", F.round("cosine", 6))
+    vec_id is the canonical survivor (keep_id), the higher the duplicate."""
+    return _cosine_pairs(spark, Tables(spark, sf_dir), 0.4).withColumn(
+        "cosine", F.round("cosine", 6)
     )
 
 
@@ -137,3 +142,41 @@ def interval_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id", F.coalesce("n_errors", F.lit(0).cast("long")).alias("n_errors")
         )
     )
+
+
+@query(
+    "near_dup_components",
+    survey="ext-dedup",
+    oracle="""
+WITH RECURSIVE
+v AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS x, b.vec_id AS y
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.e, b.e) >= 0.4
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+walk(node, reach) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT w.node, e.y FROM walk w JOIN edges e ON w.reach = e.x
+)
+SELECT node AS vec_id, MIN(reach) AS component FROM walk GROUP BY node
+""",
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster formation: transitive closure over the cosine near-dup
+    pairs — every vector labeled with its cluster (min vec_id reachable);
+    singletons are their own cluster. The canonical survivor of a cluster
+    is its component id; dedup = keep rows where vec_id == component.
+    Spark: iterative min-label propagation (operators/components.py), one
+    keyed shuffle per round; oracle: DuckDB recursive CTE closure."""
+    t = Tables(spark, sf_dir)
+    pairs = _cosine_pairs(spark, t, 0.4)
+    return connected_components(
+        pairs.select(F.col("keep_id").alias("src"), F.col("dup_id").alias("dst")),
+        nodes=t.embeddings.select("vec_id"),
+    ).select(F.col("node").alias("vec_id"), "component")

@@ -146,3 +146,26 @@ def test_interval_join_matches_naive(spark):
     g = {(r.pid, r.iid) for r in got.collect()}
     e = {(r.pid, r.iid) for r in expect.collect()}
     assert g == e and len(e) > 50
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Min-label propagation needs one round per hop: a 6-node path plus a
+    triangle plus an isolated vertex must all collapse correctly."""
+    from dipa_collaborative_pulsar_idps_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # path 10-11-12-13-14-15 (entered highest-first to force propagation),
+        # triangle 20-21-22, pair 30-31
+        [(15, 14), (14, 13), (13, 12), (12, 11), (11, 10),
+         (20, 21), (21, 22), (22, 20), (30, 31)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(n,) for n in [10, 11, 12, 13, 14, 15, 20, 21, 22, 30, 31, 99]], "id long")
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 99: 99}
