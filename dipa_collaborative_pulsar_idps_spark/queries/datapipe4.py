@@ -180,3 +180,21 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("keep_id").alias("src"), F.col("dup_id").alias("dst")),
         nodes=t.embeddings.select("vec_id"),
     ).select(F.col("node").alias("vec_id"), "component")
+
+
+@query("approx_price_percentiles", survey="D-ext-scale")
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (streaming-mergeable sketch) beside the exact
+    interpolated percentile — the 100 TB quantile path: the sketch merges
+    map-side, so the shuffle carries one digest per partition instead of
+    the column. No SQL oracle (DuckDB's approx_quantile is a different
+    sketch by design); tests assert ≤1% relative error vs exact."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
+            "approx_pcts"
+        ),
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias(
+            "exact_pcts"
+        ),
+    )

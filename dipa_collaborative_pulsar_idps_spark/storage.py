@@ -61,3 +61,22 @@ def read_telemetry(
     if dpid is not None:
         df = df.where(F.col("dpid") == dpid)
     return df
+
+
+def telemetry_lake_sink(stream_df: DataFrame, path: str, checkpoint: str, ts_col: str = "poll_ts"):
+    """Streaming ingestion into the partitioned lake: every micro-batch is
+    appended hive-partitioned via :func:`write_telemetry` (foreachBatch —
+    the checkpoint provides effective exactly-once for the append since
+    each batch lands atomically per partition directory).
+
+    Returns the started StreamingQuery (availableNow trigger: drains what
+    exists then stops — callers wanting continuous ingestion re-trigger or
+    swap the trigger)."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda batch, _id: write_telemetry(batch, path, ts_col=ts_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

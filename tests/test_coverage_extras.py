@@ -97,3 +97,16 @@ def test_packet_parse_feeds_classifier(spark):
         protocol_classifier(F.col("ip_proto"), F.col("l4_dst_port"), F.col("l4_src_port")),
     )
     assert parsed.collect()[0].protocol == "Telnet"
+
+
+def test_approx_percentiles_track_exact(spark, sf_dir):
+    """Sketch percentiles within 1% relative error of the exact ones."""
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+
+    _load_all()
+    rows = REGISTRY["approx_price_percentiles"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for a, e in zip(r.approx_pcts, r.exact_pcts):
+            assert abs(a - e) / e < 0.01, (r.l_returnflag, a, e)

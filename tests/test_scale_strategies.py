@@ -191,3 +191,36 @@ def test_partitioned_telemetry_layout_prunes(spark, tmp_path):
     # directory really pruned: only one (date,dpid) leaf feeds the scan
     files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
     assert all("event_date=2024-01-02" in f and "dpid=1" in f for f in files), files
+
+
+def test_streaming_ingestion_lands_partitioned(spark, tmp_path):
+    """Replayed flow-stats stream → foreachBatch → hive-partitioned lake;
+    reading one switch back prunes to its directories only."""
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.schemas import FLOW_STATS
+    from dipa_collaborative_pulsar_idps_spark.storage import (
+        read_telemetry,
+        telemetry_lake_sink,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.fixtures import flow_stats_attack
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        replay_stream,
+        write_replay_chunks,
+    )
+
+    fixture = flow_stats_attack(spark)
+    rdir = str(tmp_path / "replay")
+    write_replay_chunks(fixture, rdir, n_chunks=3, order_col="poll_ts")
+    lake = str(tmp_path / "lake")
+    q = telemetry_lake_sink(
+        replay_stream(spark, rdir, FLOW_STATS), lake, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    dpid = fixture.select("dpid").first().dpid
+    back = read_telemetry(spark, lake, dpid=dpid)
+    want = fixture.where(F.col("dpid") == dpid).count()
+    assert back.count() == want > 0
+    files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
+    assert all(f"dpid={dpid}" in f for f in files)
