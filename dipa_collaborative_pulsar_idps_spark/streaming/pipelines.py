@@ -236,3 +236,38 @@ def alert_rate_context(
         & (F.col("poll_ts") <= F.col("alert_ts")),
         "inner",
     ).drop("rate_src")
+
+
+# ---------------------------------------------------------------------------
+# EP4 — global-view merge (threaded_consumer.py:12-118): N per-subnet update
+# streams → per-key recent mean → cross-domain anomaly baseline.
+# ---------------------------------------------------------------------------
+
+
+def ep4_global_view(
+    updates: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Collaborative anomaly baseline as ONE streaming query with chained
+    windowed aggregates (Spark ≥3.4 multi-stateful support).
+
+    Input: (msg_ts, vm, src, port, rate) — the parsed update-topic stream,
+    `vm` carried from the topic name (threaded_consumer.py:38-44).
+    Stage 1 ≙ the per-(vm,src,port) deque mean (:77-93): windowed avg.
+    Stage 2 ≙ the cross-population np.mean/np.std (:94-98): avg/stddev_pop
+    over the per-key means of the same window.
+    Output (append mode, emitted when the watermark closes each window):
+    (w, global_mean, global_std, n_keys) — consumers flag a key whose mean
+    exceeds global_mean + k·global_std (relational twin:
+    `global_view_anomalies`)."""
+    per_key = (
+        updates.withWatermark("msg_ts", watermark)
+        .groupBy(F.window("msg_ts", window).alias("w"), "vm", "src", "port")
+        .agg(F.avg("rate").alias("mean_rate"))
+    )
+    return per_key.groupBy("w").agg(
+        F.avg("mean_rate").alias("global_mean"),
+        F.stddev_pop("mean_rate").alias("global_std"),
+        F.count("*").alias("n_keys"),
+    )

@@ -332,3 +332,48 @@ def test_streaming_native_session_window(spark, replay_dir):
         for m, n in ((0, 3), (120, 2), (300, 4))
     }
     assert got == expect
+
+
+def test_ep4_global_view_chained_windows(spark, replay_dir):
+    """EP4 as one query with chained windowed aggregates: per-key mean →
+    cross-domain mean/std per window, golden-checked on planted rates."""
+    import tempfile
+    import time
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import ep4_global_view
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import run_to_memory
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "msg_ts timestamp, vm string, src string, port int, rate double"
+    # window [0,10): vm1 key rate 100, vm2 key rate 200 → mean 150, std 50
+    # window [10,20): vm1 300, vm2 500, vm3 700 → mean 500, std ~163.3
+    rows = []
+    for s in (0, 2, 4):
+        rows += [(base + dt.timedelta(seconds=s), "vm1", "h1", 23, 100.0),
+                 (base + dt.timedelta(seconds=s), "vm2", "h2", 23, 200.0)]
+    for s in (10, 12):
+        rows += [(base + dt.timedelta(seconds=s), "vm1", "h1", 23, 300.0),
+                 (base + dt.timedelta(seconds=s), "vm2", "h2", 23, 500.0),
+                 (base + dt.timedelta(seconds=s), "vm3", "h3", 23, 700.0)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(replay_dir)
+    time.sleep(0.05)
+    # two flush batches: advance watermark past both windows, then emit
+    for k in (0, 1):
+        spark.createDataFrame(
+            [(base + dt.timedelta(minutes=5 + k), "flush", "x", 0, 0.0)], schema
+        ).coalesce(1).write.mode("append").parquet(replay_dir)
+        time.sleep(0.05)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        replay_dir
+    )
+    q = run_to_memory(ep4_global_view(stream), "ep4_out", output_mode="append")
+    got = {
+        r.w.start: (r.global_mean, round(r.global_std, 3), r.n_keys)
+        for r in spark.table("ep4_out").collect()
+        if r.w.start < base + dt.timedelta(minutes=1)
+    }
+    q.stop()
+    assert got[base] == (150.0, 50.0, 2)
+    w2 = got[base + dt.timedelta(seconds=10)]
+    assert w2[0] == 500.0 and w2[2] == 3
+    assert abs(w2[1] - 163.299) < 0.001
