@@ -198,3 +198,32 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_pcts"
         ),
     )
+
+
+@query(
+    "bpeish_token_counts",
+    survey="ext-text,J10",
+    oracle="""
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t]+')) AS n_tokens,
+       LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS n_alpha,
+       LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS n_num
+FROM documents
+""",
+)
+def bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token counting the way BPE vocabularies segment raw
+    text: alpha runs, digit runs, punctuation runs (whitespace-variant in
+    `text_token_stats`). The pattern uses only class/alternation/+ so Java
+    regex (Spark) and RE2 (DuckDB oracle) tokenize identically. All
+    JVM-side — regexp_extract_all in codegen, no UDF."""
+    t = Tables(spark, sf_dir)
+    tok = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t]+"
+    return t.documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(tok), F.lit(0))).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0))).alias(
+            "n_alpha"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias("n_num"),
+    )

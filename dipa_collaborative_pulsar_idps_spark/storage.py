@@ -80,3 +80,39 @@ def telemetry_lake_sink(stream_df: DataFrame, path: str, checkpoint: str, ts_col
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    date: str,
+    dpid: int,
+    target_files: int = 1,
+    ts_col: str = "poll_ts",
+) -> int:
+    """Small-files remediation for one (event_date, dpid) leaf: streaming
+    appends land one file per micro-batch, so a day of 2 s polls is ~43 k
+    tiny files per switch — this rewrites the leaf into *target_files*
+    ts-sorted files. Returns the row count rewritten.
+
+    Uses dynamic partition overwrite so ONLY the targeted leaf is replaced;
+    concurrent reads of other partitions are untouched. Run off-peak per
+    leaf (idempotent: rewriting the same leaf twice is a no-op shape-wise).
+    """
+    leaf = read_telemetry(spark, path, date=date, dpid=dpid)
+    n = leaf.count()
+    if n == 0:
+        return 0
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            leaf.repartition(target_files)
+            .sortWithinPartitions(ts_col)
+            .write.mode("overwrite")
+            .partitionBy(*TELEMETRY_PARTITION_COLS)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n

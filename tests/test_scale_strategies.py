@@ -224,3 +224,54 @@ def test_streaming_ingestion_lands_partitioned(spark, tmp_path):
     assert back.count() == want > 0
     files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
     assert all(f"dpid={dpid}" in f for f in files)
+
+
+def test_compact_partition_reduces_files_keeps_rows(spark, tmp_path):
+    """Many per-batch appends → one file after compaction; other leaves
+    untouched; row content identical."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.storage import (
+        compact_partition,
+        read_telemetry,
+        write_telemetry,
+    )
+
+    lake = str(tmp_path / "lake")
+    for i in range(5):  # 5 appends → ≥5 files per leaf
+        rows = [(s, dt.datetime(2024, 1, 1, 8, i, j), 10 * i + j)
+                for s in (1, 2) for j in range(4)]
+        write_telemetry(
+            spark.createDataFrame(
+                rows, "dpid int, poll_ts timestamp_ntz, packet_count long"
+            ),
+            lake,
+        )
+        time.sleep(0.02)
+
+    def files_of(dpid):
+        return {
+            r[0]
+            for r in read_telemetry(spark, lake, dpid=dpid)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+
+    before = read_telemetry(spark, lake, date="2024-01-01", dpid=1)
+    before_rows = {(r.poll_ts, r.packet_count) for r in before.collect()}
+    other_files = files_of(2)
+    assert len(files_of(1)) >= 5
+
+    n = compact_partition(spark, lake, "2024-01-01", 1)
+    assert n == len(before_rows) == 20
+    assert len(files_of(1)) == 1
+    after_rows = {
+        (r.poll_ts, r.packet_count)
+        for r in read_telemetry(spark, lake, date="2024-01-01", dpid=1).collect()
+    }
+    assert after_rows == before_rows
+    assert files_of(2) == other_files  # untouched leaf
