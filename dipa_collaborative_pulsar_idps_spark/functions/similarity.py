@@ -136,3 +136,54 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     hits = e.join(a, ["query_id", "neighbor_id"], "left_semi").count()
     total = e.count()
     return hits / total if total else math.nan
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply —
+    (keep_id, dup_id, cosine) with keep_id < dup_id.
+
+    The HOF expression path (``zip_with``/``aggregate``) interprets per
+    element: N²·d lambda evaluations (~18 s for 2 k×64 at sf0.1). Here the
+    row-normalized corpus matrix is broadcast once (n·d·8 bytes — 2 k×64 ≈
+    1 MB; bound: must fit executor memory, beyond that use the LSH/IVF
+    candidate paths) and each partition's block computes ``block @ corpusᵀ``
+    in BLAS through mapInPandas — one corpus scan, no shuffle, ~vectorized
+    throughout. Same semantics as the expression path to float precision.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    thr = float(threshold)
+
+    def block_pairs(batches):
+        corpus_ids, corpus = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            qid = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = q @ corpus.T
+            qi, cj = np.nonzero((sims >= thr) & (qid[:, None] < corpus_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "keep_id": qid[qi],
+                    "dup_id": corpus_ids[cj],
+                    "cosine": sims[qi, cj],
+                }
+            )
+
+    n_part = spark.sparkContext.defaultParallelism
+    return emb.select(id_col, vec_col).repartition(n_part, id_col).mapInPandas(
+        block_pairs, "keep_id long, dup_id long, cosine double"
+    )

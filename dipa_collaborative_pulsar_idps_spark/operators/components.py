@@ -38,12 +38,23 @@ def connected_components(
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.distinct().localCheckpoint(eager=True)
 
+    # size the loop's shuffles to the graph, not the session default: the
+    # edge set is usually tiny relative to the corpus that produced it, and
+    # per-round fixed cost on oversized shuffles dominates small graphs.
+    n_edges = sym.count()
+    parts = max(2, min(sym.sparkSession.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    sym = sym.repartition(parts, "u").localCheckpoint(eager=True)
+
     verts = sym.select(F.col("u").alias("node")).distinct()
     if nodes is not None:
         verts = nodes.select(F.col(nodes.columns[0]).alias("node")).unionByName(
             verts
         ).distinct()
-    labels = verts.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    labels = (
+        verts.repartition(parts, "node")
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         # min label among each node's neighbors
