@@ -377,3 +377,54 @@ def test_ep4_global_view_chained_windows(spark, replay_dir):
     w2 = got[base + dt.timedelta(seconds=10)]
     assert w2[0] == 500.0 and w2[2] == 3
     assert abs(w2[1] - 163.299) < 0.001
+
+
+def test_ep2_streaming_end_to_end_from_text_files(spark, replay_dir, tmp_path):
+    """Full EP2 as a broker-less streaming query: @-message text files →
+    parse → topology broadcast join → action rows → idempotent mitigation
+    sink. Replaying the same messages again fires no duplicate actions."""
+    import os
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        ep2_collaboration,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.sinks import MitigationSink
+
+    msgs = tmp_path / "msgs"
+    msgs.mkdir()
+    (msgs / "b0.txt").write_text("10.0.0.2@BOT\n10.0.0.9@CNC\n")
+    (msgs / "b1.txt").write_text("10.0.0.2@BOT\n")  # duplicate alert
+
+    def one_pass(name):
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .text(str(msgs))
+            .select(
+                F.lit(dt.datetime(2024, 1, 1)).alias("msg_ts"),
+                F.lit("mirai").alias("topic"),
+                F.col("value"),
+                F.lit("test").alias("producer"),
+            )
+        )
+        actions = ep2_collaboration(stream, hosts_dim(spark))
+        sink = MitigationSink(
+            str(tmp_path / "ledger"), key_cols=["action", "ip"]
+        )
+        q = (
+            actions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    one_pass("first")
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    fired = {tuple(r) for r in ledger.select("__key").collect()}
+    # 2 distinct actions: BOT rule for .2, CNC rule for .9 — dup BOT deduped
+    assert len(fired) == 2
+
+    one_pass("second")  # fresh checkpoint: reprocesses every message
+    ledger2 = spark.read.parquet(str(tmp_path / "ledger"))
+    assert ledger2.select("__key").distinct().count() == 2  # still idempotent
