@@ -202,3 +202,71 @@ def alert_state_machine(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+# ---------------------------------------------------------------------------
+# I8: pushback sustained dedupe (TestCase_2/Controller1.py:354-363) — a
+# per-domain pushback SET must stay identical for N consecutive polls
+# before it is sent upstream, and an unchanged set is never re-sent.
+# ---------------------------------------------------------------------------
+
+
+def pushback_dedupe_stream(
+    df: DataFrame,
+    key_col: str = "vm",
+    members_col: str = "members",
+    ts_col: str = "poll_ts",
+    sustain: int = 5,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Input: one row per (key, poll) carrying the poll's pushback set as an
+    array column. Emits (key, sent_ts, members, streak) exactly once per
+    sustained run: when the sorted set has been identical for *sustain*
+    consecutive polls. A changed set resets the streak; after a send, the
+    same set never re-fires until it changes and re-sustains.
+
+    State: (canonical set string, streak, sent flag) — bounded per key.
+    """
+    out_schema = f"{key_col} string, sent_ts timestamp, members array<string>, streak int"
+    state_schema = "sig string, streak int, sent boolean"
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        sig, streak, sent = state.get if state.exists else ("", 0, False)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        fired = []
+        for _, r in rows.iterrows():
+            members = sorted(set(r[members_col]))
+            new_sig = "\x1f".join(members)
+            if new_sig == sig:
+                streak += 1
+            else:
+                sig, streak, sent = new_sig, 1, False
+            if not sent and members and streak >= sustain:
+                sent = True
+                fired.append((r[ts_col], members, streak))
+        state.update((sig, int(streak), bool(sent)))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if fired:
+            yield pd.DataFrame(
+                {
+                    key_col: [str(key[0])] * len(fired),
+                    "sent_ts": [f[0] for f in fired],
+                    "members": [f[1] for f in fired],
+                    "streak": [int(f[2]) for f in fired],
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

@@ -428,3 +428,42 @@ def test_ep2_streaming_end_to_end_from_text_files(spark, replay_dir, tmp_path):
     one_pass("second")  # fresh checkpoint: reprocesses every message
     ledger2 = spark.read.parquet(str(tmp_path / "ledger"))
     assert ledger2.select("__key").distinct().count() == 2  # still idempotent
+
+
+def test_pushback_sustained_dedupe_stream(spark, replay_dir):
+    """I8: the pushback set must hold for 5 consecutive polls to fire, fires
+    ONCE per sustained run, and a changed set restarts the count."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        run_to_memory,
+        write_replay_chunks,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        pushback_dedupe_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ab, abc = ["10.0.0.1", "10.0.0.2"], ["10.0.0.1", "10.0.0.2", "10.0.0.3"]
+    rows = []
+    # vm1: {a,b} for 4 polls (no fire), change to {a,b,c} for 6 polls
+    # (fires at the 5th), then 3 more identical polls (no re-fire)
+    for i in range(4):
+        rows.append(("vm1", base + dt.timedelta(seconds=2 * i), ab))
+    for i in range(4, 13):
+        rows.append(("vm1", base + dt.timedelta(seconds=2 * i), abc))
+    # vm2: {a,b} sustained 7 polls → fires once at poll 5
+    for i in range(7):
+        rows.append(("vm2", base + dt.timedelta(seconds=2 * i), ab))
+    df = spark.createDataFrame(
+        rows, "vm string, poll_ts timestamp, members array<string>"
+    )
+    write_replay_chunks(df, replay_dir, n_chunks=4, order_col="poll_ts")
+    stream = spark.readStream.schema(
+        "vm string, poll_ts timestamp, members array<string>"
+    ).option("maxFilesPerTrigger", 1).parquet(replay_dir)
+    q = run_to_memory(pushback_dedupe_stream(stream), "pushback_out")
+    got = [(r.vm, r.sent_ts, tuple(r.members)) for r in spark.table("pushback_out").collect()]
+    q.stop()
+    assert sorted(got) == [
+        ("vm1", base + dt.timedelta(seconds=2 * 8), tuple(abc)),
+        ("vm2", base + dt.timedelta(seconds=2 * 4), tuple(ab)),
+    ]
