@@ -497,3 +497,72 @@ def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
         )
     )
+
+
+@query(
+    "window_family_ext",
+    survey="H5-ext",
+    oracle="""
+SELECT o_orderkey,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       NTH_VALUE(o_totalprice, 2) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_highest
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_family_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic functions rank_family doesn't cover: percent_rank,
+    cume_dist, nth_value over an unbounded frame. Deterministic ordering
+    (price, then key) keeps both engines aligned on ties."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.orders.where(F.col("o_custkey") < 50).select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_highest"),
+    )
+
+
+@query(
+    "scalar_conditionals_and_regex",
+    survey="J-ext",
+    oracle="""
+SELECT c_custkey,
+       CAST(REGEXP_EXTRACT(c_name, 'Customer#0*([0-9]+)', 1) AS BIGINT) AS name_num,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+       LEAST(c_acctbal, 5000.0) AS bal_capped,
+       GREATEST(c_acctbal, 0.0) AS bal_floored,
+       CASE WHEN c_acctbal IS NULL THEN 'missing'
+            WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class
+FROM customer
+""",
+)
+def scalar_conditionals_and_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family (nullif/coalesce/least/greatest/CASE) plus
+    regexp group extraction — the name→key parse is the same shape as the
+    reference's MAC→host char extraction (Controller1.py:469)."""
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#0*([0-9]+)", 1)
+        .cast("long")
+        .alias("name_num"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_capped"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floored"),
+        F.when(F.col("c_acctbal").isNull(), "missing")
+        .when(F.col("c_acctbal") < 0, "debt")
+        .otherwise("credit")
+        .alias("bal_class"),
+    )
