@@ -231,3 +231,36 @@ def bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias("n_num"),
     )
+
+
+@query(
+    "deterministic_split",
+    survey="ext-curation",
+    oracle="""
+SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM (
+    SELECT n_chars,
+           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+GROUP BY split
+""",
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by multiplicative (Knuth) hashing
+    of the document id — deterministic, engine-portable (plain integer
+    arithmetic, no engine hash function), stable under re-runs and across
+    partitions/shuffles: the property a training pipeline needs so a
+    document never migrates between splits between runs."""
+    t = Tables(spark, sf_dir)
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        t.documents.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
