@@ -467,3 +467,51 @@ def test_pushback_sustained_dedupe_stream(spark, replay_dir):
         ("vm1", base + dt.timedelta(seconds=2 * 8), tuple(abc)),
         ("vm2", base + dt.timedelta(seconds=2 * 4), tuple(ab)),
     ]
+
+
+def test_counter_delta_state_survives_restart(spark, replay_dir, tmp_path):
+    """State durability across query restarts: stop after batch 1, start a
+    NEW query on the same checkpoint with more data — the per-key delta
+    continues from the persisted last counter instead of re-seeding, and
+    the old batch is not reprocessed (no duplicate rows)."""
+    import time
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import replay_stream
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        counter_delta_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "poll_ts timestamp, src string, packet_count long"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            counter_delta_stream(
+                replay_stream(spark, replay_dir, schema), ["src"], "packet_count", "poll_ts"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(base, "h1", 100), (base + dt.timedelta(seconds=2), "h1", 130)], schema
+    ).coalesce(1).write.mode("append").parquet(replay_dir)
+    run_once()
+
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(base + dt.timedelta(seconds=4), "h1", 180)], schema
+    ).coalesce(1).write.mode("append").parquet(replay_dir)
+    run_once()  # restart: same checkpoint, new query instance
+
+    rows = sorted(
+        (r.poll_ts, r.delta) for r in spark.read.parquet(out_dir).collect()
+    )
+    # 100 (first seen), 30, then 50 — NOT 180 (which a state reset would emit)
+    assert [d for _, d in rows] == [100, 30, 50]
