@@ -121,3 +121,25 @@ def test_ivf_recall_on_clustered_data(spark, clustered_vectors):
     # 20 true clusters quantized into 16 lists with 4 probes — cluster
     # members land in the same/adjacent lists, so recall should be high
     assert r >= 0.85, f"IVF recall@5 too low: {r}"
+
+
+def test_blocked_cosine_pairs_equal_expression_path(spark, sf_dir):
+    """The BLAS-blocked pair path must produce exactly the expression-path
+    pair set (same ids, cosines within float tolerance)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+        cosine_pairs_blocked,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe4 import _cosine_pairs
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    blocked = {
+        (r.keep_id, r.dup_id): r.cosine
+        for r in cosine_pairs_blocked(t.embeddings, threshold=0.4).collect()
+    }
+    hof = {
+        (r.keep_id, r.dup_id): r.cosine
+        for r in _cosine_pairs(spark, t, 0.4).collect()
+    }
+    assert blocked.keys() == hof.keys() and blocked
+    assert all(abs(blocked[k] - hof[k]) < 1e-9 for k in hof)
