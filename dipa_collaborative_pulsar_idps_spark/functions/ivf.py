@@ -91,3 +91,22 @@ def ivf_search(
         ),
     )
     return topk(scored, k)
+
+
+def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist the index: inverted lists hive-partitioned by ``list_id`` —
+    the layout that makes a probe a PARTITION-PRUNED scan (only the
+    n_probe list directories are read; asserted in tests) — plus the tiny
+    centroid table. Build once, serve many: the k-means pass is amortized
+    across every subsequent query batch."""
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted index: (assigned, centroids), search-ready."""
+    assigned = spark.read.parquet(f"{path}/lists").select("vec_id", "e", "list_id")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return assigned, centroids

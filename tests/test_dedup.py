@@ -143,3 +143,40 @@ def test_blocked_cosine_pairs_equal_expression_path(spark, sf_dir):
     }
     assert blocked.keys() == hof.keys() and blocked
     assert all(abs(blocked[k] - hof[k]) < 1e-9 for k in hof)
+
+
+def test_ivf_index_persists_and_prunes(spark, sf_dir, tmp_path):
+    """Persisted IVF index: search from the loaded index equals the
+    in-memory search exactly, and a probe's list filter prunes the scan to
+    only the probed list directories."""
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        build_ivf_index,
+        ivf_search,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    queries = corpus.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=8)
+    mem = {(r.query_id, r.neighbor_id, r.rk)
+           for r in ivf_search(assigned, centroids, queries, k=5, n_probe=3).collect()}
+
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, path)
+    l_assigned, l_centroids = load_ivf_index(spark, path)
+    disk = {(r.query_id, r.neighbor_id, r.rk)
+            for r in ivf_search(l_assigned, l_centroids, queries, k=5, n_probe=3).collect()}
+    assert disk == mem and len(mem) == 50
+
+    pruned = l_assigned.where(F.col("list_id").isin(0, 3))
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all("list_id=0" in f or "list_id=3" in f for f in files)
