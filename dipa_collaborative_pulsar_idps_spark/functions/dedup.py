@@ -187,3 +187,72 @@ def simhash64(
 def hamming64(a, b):
     """Hamming distance between two 64-bit signatures (Column expr)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_hex_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash_hex string): 64-bit SimHash with an md5-derived bit
+    family, emitted as a 16-char hex fingerprint.
+
+    Same algorithm as :func:`simhash64` but the per-token hash is the first
+    64 bits of md5(token) — md5 is bit-identical in every engine, so the
+    FULL fingerprint is expressible in ANSI SQL and oracle-checkable
+    (``simhash_oracle_sql`` generates the DuckDB twin). The xxhash64
+    variant stays the throughput path; this one certifies semantics.
+    Still one explode + 64 conditional sums, all JVM codegen (md5/conv/
+    shift/sum) — single shuffle on id."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(n_part, "id")
+        .select("id", F.explode(toks_on("__text")).alias("tok"))
+        .withColumn("h", F.substring(F.md5("tok"), 1, 16))
+    )
+    # hex digit d (0..15) of the 64-bit prefix, as an int 0..15
+    dval = [F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int") for d in range(16)]
+    votes = [
+        F.sum(
+            F.when(F.shiftright(dval[j // 4], j % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    hexchars = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    out_digits = []
+    for d in range(16):
+        dig = None
+        for s in range(4):
+            term = F.when(F.col(f"v{4 * d + s}") > 0, F.lit(1 << s)).otherwise(F.lit(0))
+            dig = term if dig is None else dig + term
+        out_digits.append(F.element_at(hexchars, dig + 1))
+    return agg.select("id", F.concat(*out_digits).alias("simhash_hex"))
+
+
+def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB SQL computing simhash_hex_portable bit-for-bit (md5 hash
+    family + the same vote/majority/hex assembly)."""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        f" >> {j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    digits = "\n       || ".join(
+        "substr('0123456789abcdef', 1 + "
+        + " + ".join(f"{1 << s} * (CASE WHEN v{4 * d + s} > 0 THEN 1 ELSE 0 END)" for s in range(4))
+        + ", 1)"
+        for d in range(16)
+    )
+    return f"""
+WITH tok AS (
+    SELECT {id_col}, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS tok
+    FROM {table}
+), h AS (
+    SELECT {id_col}, substr(md5(tok), 1, 16) AS h FROM tok
+), votes AS (
+    SELECT {id_col},
+           {votes}
+    FROM h GROUP BY {id_col}
+)
+SELECT {id_col}, {digits} AS simhash_hex FROM votes
+"""

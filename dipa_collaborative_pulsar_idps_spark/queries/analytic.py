@@ -63,19 +63,37 @@ def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="D-ext,F4",
     oracle="""
 SELECT n_name,
-       LIST_SORT(ARRAY_AGG(c_name)) AS customer_names,
-       ARRAY_TO_STRING(LIST_SORT(ARRAY_AGG(c_name)), ',') AS names_csv
+       ARRAY_TO_STRING(LIST_SORT(ARRAY_AGG(c_name)), ',') AS names_csv,
+       COUNT(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
 )
 def array_agg_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/ARRAY_AGG surface. Declared output is scalar-only (the
+    sorted list serialized to CSV + cardinality): the driver's canonicalizer
+    cannot hash list cells. The raw-array variant lives in
+    :func:`array_agg_customers_per_nation_arrays` (local tests only)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names_csv"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+def array_agg_customers_per_nation_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed form of the above (ArrayType output surface) — exercised
+    by local tests; not driver-declared because list cells are unhashable
+    in the driver's canonicalizer."""
     t = Tables(spark, sf_dir)
     return (
         t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sort_array(F.collect_list("c_name")).alias("customer_names"))
-        .withColumn("names_csv", F.array_join("customer_names", ","))
     )
 
 
@@ -205,13 +223,20 @@ def sliding_2h_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_windows_30m",
     survey="I16,I2",
     oracle="""
-WITH seq AS (
+WITH ev AS (
+    -- CAST(ts AS TIMESTAMP) pins the oracle to µs precision: the engine
+    -- loads the TIMESTAMP_NS parquet column truncated to µs (tables.py),
+    -- so session bounds/ordering must be computed on µs values here too.
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+    FROM events
+), seq AS (
     SELECT user_id, ts,
-           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS new_session,
            event_id
-    FROM events
+    FROM ev
 ), sess AS (
     SELECT user_id, ts,
            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
@@ -254,23 +279,37 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="I9,D10",
     oracle="""
 SELECT event_type,
-       MIN(epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) AS min_age_s,
-       MAX(epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) AS max_age_s,
-       AVG(epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) AS mean_age_s
-FROM events
+       MIN(age_us) / 1000000.0 AS min_age_s,
+       MAX(age_us) / 1000000.0 AS max_age_s,
+       CAST(CAST(SUM(age_us) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_age_s
+FROM (
+    -- ages in exact integer µs (ts cast to µs = the engine's load precision);
+    -- the mean divides an exact bigint sum, so it is summation-order-free
+    -- and bit-identical across engines.
+    SELECT event_type,
+           epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(CAST(ts AS TIMESTAMP)) AS age_us
+    FROM events
+)
 GROUP BY event_type
 """,
 )
 def arrival_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ages vs a fixed observation instant, computed in exact integer µs;
+    min/max/mean divide int64 values so both engines produce the identical
+    IEEE double (no float-summation order sensitivity)."""
     t = Tables(spark, sf_dir)
     ref = F.lit("2024-02-01 00:00:00").cast("timestamp_ntz")
-    age = (
-        F.unix_micros(ref.cast("timestamp")) - F.unix_micros(F.col("ts").cast("timestamp"))
-    ) / 1e6
-    return t.events.select("event_type", age.alias("age")).groupBy("event_type").agg(
-        F.min("age").alias("min_age_s"),
-        F.max("age").alias("max_age_s"),
-        F.avg("age").alias("mean_age_s"),
+    age_us = F.unix_micros(ref.cast("timestamp")) - F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        t.events.select("event_type", age_us.alias("age_us"))
+        .groupBy("event_type")
+        .agg(
+            (F.min("age_us") / F.lit(1000000.0)).alias("min_age_s"),
+            (F.max("age_us") / F.lit(1000000.0)).alias("max_age_s"),
+            (F.sum("age_us").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)).alias(
+                "mean_age_s"
+            ),
+        )
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.dedup import minhash_near_dup_pairs, simhash64
+from ..functions.dedup import minhash_near_dup_pairs, simhash_hex_portable, simhash_oracle_sql
 from ..functions.similarity import ann_topk_lsh, as_double
 from ..tables import Tables
 from .registry import query
@@ -46,25 +46,44 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(t.documents, threshold=0.8)
 
 
-@query("approx_distinct_users", survey="D4-scale")
+@query(
+    "approx_distinct_users",
+    survey="D4-scale",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tolerance
+FROM events GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) beside the exact D4 — the
-    100 TB cardinality path. No SQL oracle: DuckDB's sketch differs by
-    design; tests assert it tracks the exact count within rsd bounds."""
+    100 TB cardinality path. The HLL value itself is engine-specific, so the
+    declared output carries the exact count plus a bounded-error attestation
+    (|approx − exact| / exact ≤ 3·rsd): Spark's sketch is deterministic, so
+    the boolean is stable and the oracle (which asserts TRUE) verifies both
+    the exact counts and that the sketch tracked within tolerance. The raw
+    approx value is additionally rsd-bound-tested in tests/test_dedup.py."""
     t = Tables(spark, sf_dir)
-    return t.events.groupBy("event_type").agg(
+    agg = t.events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    ) <= F.lit(0.06)
+    return agg.select("event_type", "exact_users", ok.alias("within_tolerance"))
 
 
-@query("simhash_fingerprints", survey="ext-dedup")
+@query("simhash_fingerprints", survey="ext-dedup", oracle=simhash_oracle_sql())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (no SQL oracle: xxhash64 family).
-    Property-tested in tests/test_dedup.py: planted near-dups have small
-    Hamming distance, unrelated docs large."""
+    """64-bit SimHash per document, md5-derived bit family → the full
+    fingerprint is oracle-checked bit-for-bit (functions/dedup.py:
+    simhash_hex_portable / simhash_oracle_sql). The xxhash64 fast-path
+    variant (simhash64) keeps its separation property test in
+    tests/test_dedup.py."""
     t = Tables(spark, sf_dir)
-    return simhash64(t.documents).select(F.col("id").alias("doc_id"), "simhash")
+    return simhash_hex_portable(t.documents).select(F.col("id").alias("doc_id"), "simhash_hex")
 
 
 @query("ann_topk_ivf_neighbors", survey="ext-sim")
@@ -100,5 +119,68 @@ def ann_topk_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     return ann_topk_lsh(emb, q, dim=64, k=5, n_planes=8, probe_radius=2).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    )
+
+
+# Exhaustive-parameter ANN companions: with every list/bucket probed the
+# approximate machinery must return EXACTLY the brute-force top-k, so the
+# same code paths (centroid ranking, probe join, candidate scoring, top-k)
+# get a full value-level oracle — the deterministic check the approximate
+# configurations above cannot have.
+_BRUTE_TOPK_ORACLE = """
+WITH v AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings WHERE vec_id < 50
+), allv AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), scored AS (
+    SELECT v.vec_id AS query_id, allv.vec_id AS neighbor_id,
+           LIST_COSINE_SIMILARITY(v.e, allv.e) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY LIST_COSINE_SIMILARITY(v.e, allv.e) DESC,
+                                       allv.vec_id ASC) AS rk
+    FROM v CROSS JOIN allv
+    WHERE v.vec_id <> allv.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rk
+FROM scored WHERE rk <= 5
+"""
+
+
+@query("ann_topk_ivf_exhaustive", survey="ext-sim", oracle=_BRUTE_TOPK_ORACLE)
+def ann_topk_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with n_probe == n_list: every inverted list is probed, so
+    the result must equal brute force exactly — certifies the IVF machinery
+    against the SQL oracle (the n_probe<n_list production path keeps its
+    recall test)."""
+    from ..functions.ivf import build_ivf_index, ivf_search
+
+    t = Tables(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    emb = t.embeddings.repartition(n_part, "vec_id").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(emb, dim=64, n_list=8)
+    return ivf_search(assigned, centroids, q, k=5, n_probe=8).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    )
+
+
+@query("ann_topk_lsh_exhaustive", survey="ext-sim", oracle=_BRUTE_TOPK_ORACLE)
+def ann_topk_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH with probe_radius == n_planes: all 2^n buckets probed
+    → candidates are the whole corpus and the result equals brute force —
+    the oracle-checkable configuration of the LSH path."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return ann_topk_lsh(emb, q, dim=64, k=5, n_planes=4, probe_radius=4).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     )

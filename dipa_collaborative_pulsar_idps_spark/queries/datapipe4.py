@@ -188,19 +188,52 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("approx_price_percentiles", survey="D-ext-scale")
 def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (streaming-mergeable sketch) beside the exact
-    interpolated percentile — the 100 TB quantile path: the sketch merges
-    map-side, so the shuffle carries one digest per partition instead of
-    the column. No SQL oracle (DuckDB's approx_quantile is a different
-    sketch by design); tests assert ≤1% relative error vs exact."""
+    """percentile_approx (streaming-mergeable sketch) — the 100 TB quantile
+    path: the sketch merges map-side, so the shuffle carries one digest per
+    partition instead of the column. Scalar columns (one per quantile) so
+    the driver's rows-only check canonicalizes cleanly. No SQL oracle
+    (DuckDB's approx_quantile is a different sketch by design); the exact
+    twin ``exact_price_percentiles`` is fully oracle-checked, and local
+    tests assert the sketch lands within 1% of it."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
-            "approx_pcts"
-        ),
+    agg = t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias("ap")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("ap")[0].alias("p50_approx"),
+        F.col("ap")[1].alias("p95_approx"),
+        F.col("ap")[2].alias("p99_approx"),
+    )
+
+
+@query(
+    "exact_price_percentiles",
+    survey="D-ext",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+       ROUND(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95,
+       ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the oracle-checkable twin of the
+    sketch path above): Spark ``percentile`` and DuckDB PERCENTILE_CONT
+    share the (n-1)·p linear-interpolation definition; ROUND(…,4) absorbs
+    last-ulp arithmetic differences."""
+    t = Tables(spark, sf_dir)
+    agg = t.lineitem.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias(
-            "exact_pcts"
-        ),
+            "pc"
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("pc")[0], 4).alias("p50"),
+        F.round(F.col("pc")[1], 4).alias("p95"),
+        F.round(F.col("pc")[2], 4).alias("p99"),
     )
 
 
@@ -237,7 +270,9 @@ def bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic_split",
     survey="ext-curation",
     oracle="""
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT split, COUNT(*) AS n_docs,
+       -- DuckDB SUM(BIGINT) yields HUGEINT; cast back to match Spark's bigint
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
     SELECT n_chars,
            CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'

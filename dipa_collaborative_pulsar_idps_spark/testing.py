@@ -8,11 +8,13 @@ order-insensitive, round-off-tolerant canonical form of the values.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 import os
 from dataclasses import dataclass
 
 import duckdb
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 from .tables import TABLE_NAMES
@@ -29,19 +31,38 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class _TsNs(int):
+    """Marker: a timestamp as integer nanoseconds since epoch (the driver's
+    comparison precision — NOT truncated to µs)."""
+
+
+def _canon_ts_ns(ns: int) -> str:
+    s, frac = divmod(int(ns), 1_000_000_000)
+    base = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=s)
+    return base.isoformat(timespec="seconds") + f".{frac:09d}"
+
+
 def _canon_cell(v) -> str:
     """Canonical string for one value: floats → 9 significant digits,
-    timestamps → ISO (µs), NULL/NaN → '∅'."""
+    timestamps → ISO at NANOSECOND precision (mirrors the driver, which
+    compares via pandas/Arrow where parquet ns survives), NULL/NaN → '∅'."""
     if v is None:
         return "∅"
+    if isinstance(v, _TsNs):
+        return _canon_ts_ns(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
         if v == 0:
             return "0"
         return f"{v:.9e}"
+    if isinstance(v, _decimal.Decimal):
+        s = str(v)
+        return s.rstrip("0").rstrip(".") if "." in s else s
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+        naive = v.replace(tzinfo=None)
+        us = (naive - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+        return _canon_ts_ns(us * 1000)
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, bool):
@@ -49,6 +70,28 @@ def _canon_cell(v) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)
+
+
+_NS_MULT = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+
+
+def _oracle_rows_arrow(tbl: pa.Table) -> list[tuple]:
+    """Extract oracle rows from Arrow, keeping timestamp columns at their
+    native precision (ns under a TIMESTAMP_NS-capable DuckDB) instead of
+    letting the Python client truncate them to µs datetimes."""
+    cols: list[list] = []
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if pa.types.is_timestamp(col.type):
+            mult = _NS_MULT[col.type.unit]
+            cols.append(
+                [None if v is None else _TsNs(v * mult) for v in col.cast(pa.int64()).to_pylist()]
+            )
+        else:
+            cols.append(col.to_pylist())
+    if not cols:
+        return []
+    return list(zip(*cols))
 
 
 def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
@@ -71,9 +114,9 @@ def compare_query(
 ) -> ParityResult:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
-    o_rel = con.sql(oracle)
-    o_cols = list(o_rel.columns)
-    o_rows = o_rel.fetchall()
+    o_tbl = con.sql(oracle).arrow()
+    o_cols = list(o_tbl.column_names)
+    o_rows = _oracle_rows_arrow(o_tbl)
 
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
         return ParityResult(name, False, f"columns differ: spark={s_cols} oracle={o_cols}")

@@ -105,8 +105,37 @@ def test_approx_percentiles_track_exact(spark, sf_dir):
     from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
 
     _load_all()
-    rows = REGISTRY["approx_price_percentiles"].fn(spark, sf_dir).collect()
-    assert rows
-    for r in rows:
-        for a, e in zip(r.approx_pcts, r.exact_pcts):
-            assert abs(a - e) / e < 0.01, (r.l_returnflag, a, e)
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p95_approx, r.p99_approx)
+        for r in REGISTRY["approx_price_percentiles"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p50, r.p95, r.p99)
+        for r in REGISTRY["exact_price_percentiles"].fn(spark, sf_dir).collect()
+    }
+    assert approx and set(approx) == set(exact)
+    for flag, ap in approx.items():
+        for a, e in zip(ap, exact[flag]):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_array_agg_arrays_match_csv(spark, sf_dir):
+    """The array-typed collect_list variant (local-only: list cells are
+    unhashable in the driver's canonicalizer) agrees with the declared
+    CSV-serialized form."""
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.analytic import (
+        array_agg_customers_per_nation_arrays,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+
+    _load_all()
+    csv = {
+        r.n_name: r.names_csv
+        for r in REGISTRY["array_agg_customers_per_nation"].fn(spark, sf_dir).collect()
+    }
+    arrays = {
+        r.n_name: ",".join(r.customer_names)
+        for r in array_agg_customers_per_nation_arrays(spark, sf_dir).collect()
+    }
+    assert csv == arrays and len(csv) > 0

@@ -123,6 +123,52 @@ def test_ivf_recall_on_clustered_data(spark, clustered_vectors):
     assert r >= 0.85, f"IVF recall@5 too low: {r}"
 
 
+def test_hll_tracks_exact_within_rsd(spark, sf_dir):
+    """approx_count_distinct(rsd=0.02) stays within 3·rsd of the exact
+    distinct count — the bound the declared approx_distinct_users query
+    attests via its oracle-checked within_tolerance flag."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("a"),
+        F.countDistinct("user_id").alias("e"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.a - r.e) / r.e <= 0.06, (r.event_type, r.a, r.e)
+
+
+def test_portable_simhash_separates_near_dups(spark, planted_docs):
+    """The md5-family simhash (oracle-checkable variant) has the same
+    separation property as the xxhash64 fast path."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import simhash_hex_portable
+
+    docs, expected = planted_docs
+    # split the 64-bit hex into two 32-bit halves (conv of the full width
+    # would overflow signed long under ANSI for hashes ≥ 2^63)
+    sims = simhash_hex_portable(docs).select(
+        "id",
+        F.conv(F.substring("simhash_hex", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("simhash_hex", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    a = sims.select(F.col("id").alias("ida"), F.col("hi").alias("hia"), F.col("lo").alias("loa"))
+    b = sims.select(F.col("id").alias("idb"), F.col("hi").alias("hib"), F.col("lo").alias("lob"))
+    d = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            (
+                hamming64(F.col("hia"), F.col("hib")) + hamming64(F.col("loa"), F.col("lob"))
+            ).alias("dist"),
+        )
+        .collect()
+    )
+    near = [r.dist for r in d if (r.ida, r.idb) in expected]
+    far = [r.dist for r in d if (r.ida, r.idb) not in expected]
+    assert max(near) < 8, f"near-dup hamming too large: {near}"
+    assert sum(far) / len(far) > 20, "unrelated docs should differ in many bits"
+
+
 def test_blocked_cosine_pairs_equal_expression_path(spark, sf_dir):
     """The BLAS-blocked pair path must produce exactly the expression-path
     pair set (same ids, cosines within float tolerance)."""
@@ -143,6 +189,20 @@ def test_blocked_cosine_pairs_equal_expression_path(spark, sf_dir):
     }
     assert blocked.keys() == hof.keys() and blocked
     assert all(abs(blocked[k] - hof[k]) < 1e-9 for k in hof)
+
+
+def test_no_driver_collect_in_functions():
+    """Scale guard: nothing under functions/ may materialize a DataFrame on
+    the driver — the 100 TB paths must stay distributed end-to-end."""
+    import pathlib
+
+    import dipa_collaborative_pulsar_idps_spark.functions as fpkg
+
+    for py in pathlib.Path(fpkg.__path__[0]).glob("*.py"):
+        src = py.read_text()
+        assert ".collect()" not in src and ".toPandas()" not in src, (
+            f"driver-side materialization in functions/{py.name}"
+        )
 
 
 def test_ivf_index_persists_and_prunes(spark, sf_dir, tmp_path):
