@@ -76,6 +76,10 @@ def hyperplane_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 
 
 
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    if radius >= n_planes:
+        # exhaustive probing: every bucket — ann_topk_lsh degenerates to the
+        # exact brute-force result (the oracle-checkable configuration).
+        return list(range(1 << n_planes))
     masks = [0]
     if radius >= 1:
         masks += [1 << j for j in range(n_planes)]
@@ -143,47 +147,92 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply —
+    """Exact all-pairs cosine ≥ threshold via DISTRIBUTED block self-join —
     (keep_id, dup_id, cosine) with keep_id < dup_id.
 
     The HOF expression path (``zip_with``/``aggregate``) interprets per
-    element: N²·d lambda evaluations (~18 s for 2 k×64 at sf0.1). Here the
-    row-normalized corpus matrix is broadcast once (n·d·8 bytes — 2 k×64 ≈
-    1 MB; bound: must fit executor memory, beyond that use the LSH/IVF
-    candidate paths) and each partition's block computes ``block @ corpusᵀ``
-    in BLAS through mapInPandas — one corpus scan, no shuffle, ~vectorized
-    throughout. Same semantics as the expression path to float precision.
+    element: N²·d lambda evaluations (~18 s for 2 k×64 at sf0.1). Here:
+
+    1. every vector is hash-assigned to one of B blocks;
+    2. each block is gathered into a single row (one ``collect_list``);
+    3. each block row is exploded to its B(B+1)/2 unordered block-pair keys
+       (left role for (b, j≥b), right role for (i≤b, b)) — a plain hash
+       shuffle on the pair key, NO broadcast and NO nested-loop join;
+    4. ``applyInPandas`` per pair computes ``A @ Bᵀ`` in BLAS and keeps
+       pairs ≥ threshold.
+
+    Nothing touches the driver and no task holds more than two blocks:
+    per-task memory = 2·(N/B)·d·8 bytes; each block is shuffled to ≤ B+1
+    tasks (the inherent replication of exact all-pairs blocking). At 100 TB
+    set ``n_blocks`` so a block fits executor memory (e.g. 1 M rows × 1 k
+    dims ≈ 8 GB corpus → B = 64 gives two ~125 MB blocks per task). Exact
+    same pair set as the expression path to float precision (tested).
     """
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    par = spark.sparkContext.defaultParallelism
+    B = int(n_blocks) if n_blocks else max(4, math.ceil(math.sqrt(4 * par)))
     thr = float(threshold)
 
-    def block_pairs(batches):
-        corpus_ids, corpus = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            qid = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = q @ corpus.T
-            qi, cj = np.nonzero((sims >= thr) & (qid[:, None] < corpus_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "keep_id": qid[qi],
-                    "dup_id": corpus_ids[cj],
-                    "cosine": sims[qi, cj],
-                }
-            )
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    grouped = v.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "vec")).alias("rows")
+    )
+    left = grouped.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        F.lit("a").alias("role"),
+        "rows",
+    )
+    right = grouped.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("b").alias("role"),
+        "rows",
+    )
+    tasks = left.unionByName(right)
 
-    n_part = spark.sparkContext.defaultParallelism
-    return emb.select(id_col, vec_col).repartition(n_part, id_col).mapInPandas(
-        block_pairs, "keep_id long, dup_id long, cosine double"
+    def compute(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"keep_id": [], "dup_id": [], "cosine": []})
+        by_role = {r.role: r.rows for r in pdf.itertuples()}
+        if "a" not in by_role or "b" not in by_role:
+            return empty  # partner block hashed empty
+        diagonal = key[0] == key[1]
+
+        def unpack(rows):
+            ids = np.fromiter((r["id"] for r in rows), dtype=np.int64, count=len(rows))
+            mat = np.array([r["vec"] for r in rows], dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
+
+        aid, amat = unpack(by_role["a"])
+        bid, bmat = unpack(by_role["b"])
+        sims = amat @ bmat.T
+        mask = sims >= thr
+        # one unordered pair appears in exactly one block-pair task; within
+        # the diagonal task both (x,y) and (y,x) index the same matrix, so
+        # keep the strict upper triangle by id there.
+        mask &= aid[:, None] < bid[None, :] if diagonal else aid[:, None] != bid[None, :]
+        ai, bj = np.nonzero(mask)
+        if not len(ai):
+            return empty
+        x, y = aid[ai], bid[bj]
+        return pd.DataFrame(
+            {
+                "keep_id": np.minimum(x, y),
+                "dup_id": np.maximum(x, y),
+                "cosine": sims[ai, bj],
+            }
+        )
+
+    return tasks.groupBy("bi", "bj").applyInPandas(
+        compute, "keep_id long, dup_id long, cosine double"
     )
