@@ -11,6 +11,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import FLOW_STATS, HOSTS, PACKET_IN
 
@@ -73,6 +74,57 @@ def flow_stats_attack(
                 )
             )
     return spark.createDataFrame(rows, FLOW_STATS)
+
+
+def flow_stats_load(
+    spark: SparkSession,
+    n_hosts: int,
+    n_bots: int,
+    n_polls: int = 8,
+    poll_interval_s: float = 3.0,
+    bot_rate: int = 150,
+    benign_rate: int = 9,
+) -> DataFrame:
+    """Scaled EP1 load fixture for the thesis-style accuracy matrix
+    (BASELINE.md §4: benign-flows × bots grid, Tables 30-34): one telnet
+    flow per host per poll with cumulative counters; hosts 0..n_bots-1 are
+    the planted bots. Generated DISTRIBUTED (spark.range + expressions,
+    no driver-side row list) so the 7500-flow saturation point is cheap.
+    Ground-truth bot IPs via :func:`load_fixture_bot_ips`."""
+    t0_us = int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    step_us = int(poll_interval_s * 1_000_000)
+    base = spark.range(n_hosts * n_polls).selectExpr(
+        f"id % {n_hosts} AS h", f"id DIV {n_hosts} AS poll"
+    )
+    ip = F.expr("concat('10.', h DIV 65536, '.', (h DIV 256) % 256, '.', h % 256)")
+    rate = F.when(F.col("h") < n_bots, F.lit(bot_rate)).otherwise(F.lit(benign_rate))
+    counter = (F.col("poll") + 1) * rate
+    return base.select(
+        F.timestamp_micros(F.lit(t0_us) + F.col("poll") * F.lit(step_us)).alias("poll_ts"),
+        F.lit(1).cast("long").alias("dpid"),
+        F.lit("s1").alias("switch"),
+        F.lit(10).alias("priority"),
+        (F.col("h") % 48 + 1).cast("int").alias("in_port"),
+        F.format_string("02:%010x", F.col("h")).alias("eth_src"),
+        F.lit("0a:0a:0a:0a:0a:09").alias("eth_dst"),
+        F.lit(0x0800).alias("eth_type"),
+        ip.alias("ipv4_src"),
+        F.lit("10.255.255.254").alias("ipv4_dst"),
+        F.lit(6).alias("ip_proto"),
+        (F.col("h") % 20000 + 40000).cast("int").alias("tcp_src"),
+        F.lit(23).alias("tcp_dst"),
+        F.lit(None).cast("int").alias("udp_src"),
+        F.lit(None).cast("int").alias("udp_dst"),
+        F.lit(3).alias("out_port"),
+        counter.cast("long").alias("packet_count"),
+        (counter * 64).cast("long").alias("byte_count"),
+        (F.col("poll") * F.lit(int(poll_interval_s))).cast("long").alias("duration_sec"),
+    )
+
+
+def load_fixture_bot_ips(n_bots: int) -> set[str]:
+    """Ground-truth bot IPs planted by :func:`flow_stats_load`."""
+    return {f"10.{h // 65536}.{(h // 256) % 256}.{h % 256}" for h in range(n_bots)}
 
 
 def packet_in_sample(spark: SparkSession) -> DataFrame:

@@ -134,6 +134,20 @@ def counter_delta_stream(
 # ---------------------------------------------------------------------------
 
 
+def _runs(keys: np.ndarray, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run-length segmentation: start indices and lengths of maximal runs of
+    rows sharing (key, value) — the backbone of the vectorized state
+    machines (events are computed per RUN, not per row)."""
+    n = len(keys)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    change = np.ones(n, dtype=bool)
+    change[1:] = (keys[1:] != keys[:-1]) | (values[1:] != values[:-1])
+    starts = np.flatnonzero(change)
+    lengths = np.diff(np.append(starts, n))
+    return starts, lengths
+
+
 def alert_state_machine(
     df: DataFrame,
     key_col: str = "src",
@@ -141,6 +155,7 @@ def alert_state_machine(
     ts_col: str = "poll_ts",
     cfg: DetectionConfig = DEFAULT,
     idle_timeout_ms: int | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
     """Per-source alert lifecycle: suspected → ALERT after
     ``cfg.sustained_count`` consecutive hot polls; ALERT → ESCALATE
@@ -148,11 +163,23 @@ def alert_state_machine(
     ``cfg.escalate_persist`` further hot polls; ALERT/ESCALATE → CLEAR after
     ``cfg.calm_count`` calm polls. Output: (key, event, event_ts, streak).
 
-    ``idle_timeout_ms``: state TTL for continuous streams only (see
-    :func:`counter_delta_stream`).
+    SHARDED state, same design as :func:`counter_delta_stream`: the group
+    key is a hash shard (``n_shards`` Python invocations per batch, not
+    n_keys) and each shard holds its keys' lifecycle tuples as parallel
+    arrays. Inside the shard the poll timeline is run-length segmented
+    (consecutive hot / calm runs per key); transitions are emitted with
+    O(1) arithmetic per RUN — the crossing position of sustained /
+    escalate / calm thresholds — so cost scales with state changes, not
+    polls. ``idle_timeout_ms`` is an EVENT-TIME TTL applied inside the
+    shard (entries idle past the horizon are pruned before processing) —
+    never ProcessingTimeTimeout, which re-arms forever and hangs
+    Trigger.AvailableNow harnesses.
     """
     out_schema = f"{key_col} string, event string, event_ts timestamp, streak int"
-    state_schema = "streak int, calm int, alerted boolean, escalated boolean"
+    state_schema = (
+        "keys array<string>, streaks array<int>, calms array<int>, "
+        "alerteds array<boolean>, escalateds array<boolean>, last_seen_us array<long>"
+    )
     sustained, calm_needed = cfg.sustained_count, cfg.calm_count
     escalate_at = cfg.sustained_count + cfg.escalate_persist
 
@@ -162,45 +189,71 @@ def alert_state_machine(
         if state.hasTimedOut:
             state.remove()
             return
-        streak, calm, alerted, escalated = (
-            state.get if state.exists else (0, 0, False, False)
-        )
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        events = []
-        for _, r in rows.iterrows():
-            if bool(r[hot_col]):
-                streak, calm = streak + 1, 0
-                if not alerted and streak >= sustained:
+        if state.exists:
+            ks, st_, ca, al, es, seen = state.get
+            smap = {k_: [st_[i], ca[i], al[i], es[i], seen[i]] for i, k_ in enumerate(ks)}
+        else:
+            smap = {}
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        rows = rows.sort_values([key_col, ts_col])
+        keys_a = rows[key_col].astype(str).to_numpy(dtype=object)
+        hot_a = rows[hot_col].to_numpy(dtype=bool)
+        ts_a = rows[ts_col].to_numpy()
+        us_a = rows[ts_col].astype("int64").to_numpy() // 1000  # ns → µs
+        if idle_timeout_ms and smap:
+            horizon = int(us_a.max()) - idle_timeout_ms * 1000
+            for k_ in [k_ for k_, v in smap.items() if v[4] < horizon]:
+                del smap[k_]
+        starts, lengths = _runs(keys_a, hot_a)
+        events: list[tuple[str, str, Any, int]] = []
+        for s, ln in zip(starts, lengths):
+            k_ = keys_a[s]
+            st = smap.get(k_) or [0, 0, False, False, 0]
+            streak, calm, alerted, escalated = st[0], st[1], st[2], st[3]
+            if hot_a[s]:
+                if not alerted and streak + ln >= sustained:
+                    p = max(sustained - streak, 1)
                     alerted = True
-                    events.append(("ALERT", r[ts_col], streak))
-                elif alerted and not escalated and streak >= escalate_at:
-                    escalated = True
-                    events.append(("ESCALATE", r[ts_col], streak))
+                    events.append((k_, "ALERT", ts_a[s + p - 1], streak + p))
+                if alerted and not escalated and streak + ln >= escalate_at:
+                    p = max(escalate_at - streak, 1)
+                    if p <= ln:
+                        escalated = True
+                        events.append((k_, "ESCALATE", ts_a[s + p - 1], streak + p))
+                streak, calm = streak + ln, 0
             else:
-                calm, streak = calm + 1, 0
-                if alerted and calm >= calm_needed:
+                if alerted and calm + ln >= calm_needed:
+                    p = max(calm_needed - calm, 1)
                     alerted = escalated = False
-                    events.append(("CLEAR", r[ts_col], calm))
-        state.update((int(streak), int(calm), bool(alerted), bool(escalated)))
-        if idle_timeout_ms:
-            state.setTimeoutDuration(idle_timeout_ms)
+                    events.append((k_, "CLEAR", ts_a[s + p - 1], calm + p))
+                calm, streak = calm + ln, 0
+            smap[k_] = [int(streak), int(calm), bool(alerted), bool(escalated), int(us_a[s + ln - 1])]
+        state.update(
+            (
+                list(smap.keys()),
+                [v[0] for v in smap.values()],
+                [v[1] for v in smap.values()],
+                [v[2] for v in smap.values()],
+                [v[3] for v in smap.values()],
+                [v[4] for v in smap.values()],
+            )
+        )
         if events:
             yield pd.DataFrame(
                 {
-                    key_col: [str(key[0])] * len(events),
-                    "event": [e[0] for e in events],
-                    "event_ts": [e[1] for e in events],
-                    "streak": [int(e[2]) for e in events],
+                    key_col: [e[0] for e in events],
+                    "event": [e[1] for e in events],
+                    "event_ts": [e[2] for e in events],
+                    "streak": [int(e[3]) for e in events],
                 }
             )
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms
-        else GroupStateTimeout.NoTimeout
-    )
-    return df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    shard = F.pmod(F.xxhash64(key_col), F.lit(n_shards)).alias("__shard")
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
     )
 
 
@@ -218,17 +271,27 @@ def pushback_dedupe_stream(
     ts_col: str = "poll_ts",
     sustain: int = 5,
     idle_timeout_ms: int | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
     """Input: one row per (key, poll) carrying the poll's pushback set as an
     array column. Emits (key, sent_ts, members, streak) exactly once per
     sustained run: when the sorted set has been identical for *sustain*
     consecutive polls. A changed set resets the streak; after a send, the
-    same set never re-fires until it changes and re-sustains.
+    same set never re-sent until it changes and re-sustains.
 
-    State: (canonical set string, streak, sent flag) — bounded per key.
+    SHARDED state (see :func:`counter_delta_stream`): one Python call per
+    hash shard per batch; per-key (sig, streak, sent) tuples held as
+    parallel arrays in the shard. The poll timeline is run-length
+    segmented on (key, canonical-set signature); a send is the O(1)
+    crossing position of ``sustain`` within a run — no per-row loop.
+    ``idle_timeout_ms`` = event-time TTL inside the shard (never
+    ProcessingTimeTimeout — see alert_state_machine).
     """
     out_schema = f"{key_col} string, sent_ts timestamp, members array<string>, streak int"
-    state_schema = "sig string, streak int, sent boolean"
+    state_schema = (
+        "keys array<string>, sigs array<string>, streaks array<int>, "
+        "sents array<boolean>, last_seen_us array<long>"
+    )
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -236,37 +299,63 @@ def pushback_dedupe_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        sig, streak, sent = state.get if state.exists else ("", 0, False)
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        fired = []
-        for _, r in rows.iterrows():
-            members = sorted(set(r[members_col]))
-            new_sig = "\x1f".join(members)
-            if new_sig == sig:
-                streak += 1
+        if state.exists:
+            ks, sg, st_, sn, seen = state.get
+            smap = {k_: [sg[i], st_[i], sn[i], seen[i]] for i, k_ in enumerate(ks)}
+        else:
+            smap = {}
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        rows = rows.sort_values([key_col, ts_col])
+        keys_a = rows[key_col].astype(str).to_numpy(dtype=object)
+        ts_a = rows[ts_col].to_numpy()
+        us_a = rows[ts_col].astype("int64").to_numpy() // 1000
+        mem_canon = np.empty(len(rows), dtype=object)
+        sig_a = np.empty(len(rows), dtype=object)
+        for i, m in enumerate(rows[members_col].to_numpy()):
+            canon = sorted(set(m))
+            mem_canon[i] = canon
+            sig_a[i] = "\x1f".join(canon)
+        if idle_timeout_ms and smap:
+            horizon = int(us_a.max()) - idle_timeout_ms * 1000
+            for k_ in [k_ for k_, v in smap.items() if v[3] < horizon]:
+                del smap[k_]
+        starts, lengths = _runs(keys_a, sig_a)
+        fired: list[tuple[str, Any, list, int]] = []
+        for s, ln in zip(starts, lengths):
+            k_ = keys_a[s]
+            st = smap.get(k_)
+            if st is not None and st[0] == sig_a[s]:
+                start, sent = st[1], st[2]
             else:
-                sig, streak, sent = new_sig, 1, False
-            if not sent and members and streak >= sustain:
+                start, sent = 0, False
+            if not sent and mem_canon[s] and start + ln >= sustain:
+                p = max(sustain - start, 1)
                 sent = True
-                fired.append((r[ts_col], members, streak))
-        state.update((sig, int(streak), bool(sent)))
-        if idle_timeout_ms:
-            state.setTimeoutDuration(idle_timeout_ms)
+                fired.append((k_, ts_a[s + p - 1], mem_canon[s], start + p))
+            smap[k_] = [sig_a[s], int(start + ln), bool(sent), int(us_a[s + ln - 1])]
+        state.update(
+            (
+                list(smap.keys()),
+                [v[0] for v in smap.values()],
+                [v[1] for v in smap.values()],
+                [v[2] for v in smap.values()],
+                [v[3] for v in smap.values()],
+            )
+        )
         if fired:
             yield pd.DataFrame(
                 {
-                    key_col: [str(key[0])] * len(fired),
-                    "sent_ts": [f[0] for f in fired],
-                    "members": [f[1] for f in fired],
-                    "streak": [int(f[2]) for f in fired],
+                    key_col: [f[0] for f in fired],
+                    "sent_ts": [f[1] for f in fired],
+                    "members": [f[2] for f in fired],
+                    "streak": [int(f[3]) for f in fired],
                 }
             )
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms
-        else GroupStateTimeout.NoTimeout
-    )
-    return df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    shard = F.pmod(F.xxhash64(key_col), F.lit(n_shards)).alias("__shard")
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
     )

@@ -50,6 +50,63 @@ def test_mitigation_sink_idempotent(spark, tmpdirs):
     assert ("RATE_LIMIT", "10.0.0.2") in applied and len(applied) == 3
 
 
+def test_mitigation_sink_null_safe_keys(spark, tmpdirs):
+    """Two actions differing only in a NULL key column must NOT collide on
+    one idempotency key (concat_ws silently drops nulls without the
+    sentinel), and both must be applied."""
+    ledger, _, _ = tmpdirs
+    applied = []
+    sink = MitigationSink(
+        ledger_path=f"{ledger}/ledger",
+        key_cols=["action", "ip", "port"],
+        apply_fn=lambda rows: applied.extend((r["action"], r["ip"], r["port"]) for r in rows),
+    )
+    b = spark.createDataFrame(
+        [("BLOCK", "10.0.0.2", None), ("BLOCK", "10.0.0.2", 23)],
+        "action string, ip string, port int",
+    )
+    sink(b, 0)
+    assert len(applied) == 2
+    sink(b, 1)  # replay → still 2
+    assert len(applied) == 2
+
+
+def test_mitigation_ledger_file_count_bounded(spark, tmpdirs):
+    """Many appended batches must not grow the ledger one-file-per-batch:
+    periodic per-bucket compaction keeps the parquet file count bounded,
+    and idempotency survives compaction."""
+    import glob
+
+    ledger, _, _ = tmpdirs
+    applied = []
+    sink = MitigationSink(
+        ledger_path=f"{ledger}/ledger",
+        key_cols=["action", "ip"],
+        apply_fn=lambda rows: applied.extend(r["__key"] for r in rows),
+        n_buckets=2,
+        compact_every=3,
+    )
+    n_batches = 12
+    for b in range(n_batches):
+        sink(
+            spark.createDataFrame([("BLOCK", f"10.0.0.{b}")], ["action", "ip"]),
+            b,
+        )
+    assert len(applied) == n_batches
+    # replay every batch → nothing re-applied
+    for b in range(n_batches):
+        sink(
+            spark.createDataFrame([("BLOCK", f"10.0.0.{b}")], ["action", "ip"]),
+            100 + b,
+        )
+    assert len(applied) == n_batches
+    files = glob.glob(f"{ledger}/ledger/bucket=*/*.parquet")
+    assert len(files) < n_batches, f"ledger not compacted: {len(files)} files"
+    # ledger still complete after compaction
+    keys = {r["__key"] for r in spark.read.parquet(f"{ledger}/ledger").collect()}
+    assert len(keys) == n_batches
+
+
 def test_watermark_drops_late_rows(spark, tmpdirs):
     """Windowed count with a 10 s watermark: a row arriving after the
     watermark has passed its window is dropped."""

@@ -515,3 +515,58 @@ def test_counter_delta_state_survives_restart(spark, replay_dir, tmp_path):
     )
     # 100 (first seen), 30, then 50 — NOT 180 (which a state reset would emit)
     assert [d for _, d in rows] == [100, 30, 50]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "n_flows,n_bots",
+    [(100, 1), (500, 10), (2000, 100), (7500, 500)],
+    ids=["100f-1b", "500f-10b", "2000f-100b", "7500f-500b"],
+)
+def test_accuracy_matrix_detects_all_planted_bots(spark, replay_dir, n_flows, n_bots):
+    """Thesis-style accuracy golden matrix (BASELINE.md §4, Tables 30-34):
+    EP1 replayed across the (benign flows × bots) grid, including the
+    reference's 7500-flow saturation point where its accuracy collapsed to
+    ~0.12-0.4. The engine's acceptance bar: detected set == planted set
+    (accuracy 1.0) at EVERY load point — detection is decoupled from the
+    2 s poll budget, so load cannot silently drop bots."""
+    import tempfile
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.fixtures import (
+        flow_stats_load,
+        load_fixture_bot_ips,
+    )
+
+    fixture = flow_stats_load(spark, n_hosts=n_flows, n_bots=n_bots, n_polls=8)
+    write_replay_chunks(fixture, replay_dir, n_chunks=8, order_col="poll_ts")
+    stream = replay_stream(spark, replay_dir, FLOW_STATS)
+
+    stage_dir = tempfile.mkdtemp(prefix="dipa_mx_stage_")
+    ckpt = tempfile.mkdtemp(prefix="dipa_mx_ckpt_")
+    try:
+        q1 = (
+            ep1_rates(stream)
+            .writeStream.format("parquet")
+            .option("path", stage_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+        rates = replay_stream(
+            spark, stage_dir, "src string, poll_ts timestamp, pkt_rate double, hot boolean"
+        )
+        out = f"mx_alerts_{n_flows}_{n_bots}"
+        run_to_memory(ep1_alerts(rates), out)
+        detected = {
+            r.src for r in spark.sql(f"SELECT src FROM {out} WHERE event='ALERT'").collect()
+        }
+        planted = load_fixture_bot_ips(n_bots)
+        missed, spurious = planted - detected, detected - planted
+        assert not missed and not spurious, (
+            f"accuracy != 1.0 at ({n_flows} flows, {n_bots} bots): "
+            f"{len(missed)} missed, {len(spurious)} spurious"
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -58,6 +58,49 @@ def test_detection_spine_sustains_baseline_rate(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
+def test_alert_state_machine_sustains_100k_keys(spark):
+    """The sharded lifecycle state machine must clear 100k keys/batch within
+    the 2 s poll budget (the un-sharded form paid one Python call per key
+    per batch — ~100k calls — and could not)."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import alert_state_machine
+
+    d = tempfile.mkdtemp(prefix="dipa_asm_")
+    try:
+        n_keys = 100_000
+        # 6 polls: persistently-hot keys cross sustained_count=5 at poll 5
+        for b in range(6):
+            batch = spark.range(n_keys).select(
+                F.col("id").cast("string").alias("src"),
+                F.timestamp_micros(
+                    F.lit(1704067200000000) + F.lit(b * 2_000_000) + F.col("id")
+                ).alias("poll_ts"),
+                # 10% of keys are persistently hot → they ALERT at batch
+                # index sustained_count-1 and later ESCALATE
+                (F.col("id") % 10 == 0).alias("hot"),
+            )
+            batch.coalesce(4).write.mode("append").parquet(d)
+        stream = replay_stream(spark, d, "src string, poll_ts timestamp, hot boolean")
+        events = alert_state_machine(stream, "src", "hot", "poll_ts")
+        q = (
+            events.writeStream.format("memory")
+            .queryName("asm_thr")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert sum(p["numInputRows"] for p in progress) == 6 * n_keys
+        alerts = spark.sql("SELECT * FROM asm_thr WHERE event = 'ALERT'").count()
+        assert alerts == n_keys // 10, f"expected {n_keys // 10} ALERTs, got {alerts}"
+        steady = progress[1:]
+        slow = [p["batchDuration"] for p in steady if p["batchDuration"] > 2000]
+        assert not slow, f"micro-batches over the 2 s poll budget: {slow} ms"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_partition_pruning_on_date_layout(spark):
     """The 100 TB layout is partitioned by (event_date); a date filter must
     prune partitions at scan time, not read-and-filter."""
