@@ -73,6 +73,7 @@ def _load_all() -> None:
         datapipe3,
         datapipe4,
         detection,
+        media,
         relational,
         relational_ext,
         scalars,

@@ -83,39 +83,131 @@ def test_topk_helpers(spark):
 
 
 def _media_df(spark):
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    # real payloads: solid-color + gradient PPM images, a 1 kHz sine WAV,
+    # and an opaque video blob (decode stubbed for video only)
+    solid = np.full((4, 6, 3), (200, 100, 50), dtype=np.uint8)
+    grad = (np.arange(8 * 8 * 3, dtype=np.uint32) % 256).astype(np.uint8).reshape(8, 8, 3)
+    t = np.arange(1600) / 16000.0
+    sine = (np.sin(2 * np.pi * 1000 * t) * 12000).astype(np.int16)
     rows = [
-        ("m1", "image", bytearray(b"\x01" * 100), 640, 480, None),
-        ("m2", "image", bytearray(b"\x02" * 50), 320, 240, None),
-        ("m3", "audio", bytearray(b"\x03" * 200), None, None, 5000),
+        ("m1", "image", bytearray(encode_ppm(solid)), 6, 4, None),
+        ("m2", "image", bytearray(encode_ppm(grad)), 8, 8, None),
+        ("m3", "audio", bytearray(encode_wav_pcm16(sine, 16000)), None, None, 100),
         ("m4", "video", bytearray(b"\x04" * 300), 1920, 1080, 2500),
     ]
-    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import MEDIA_SCHEMA
-
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_codecs_roundtrip_and_golden():
+    import struct
+
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        decode_image,
+        decode_wav,
+        encode_ppm,
+        encode_wav_pcm16,
+        resize_nearest,
+    )
+
+    img = (np.arange(5 * 7 * 3, dtype=np.uint32) % 251).astype(np.uint8).reshape(5, 7, 3)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+    # hand-built 2×2 24-bit BMP (bottom-up, BGR, 4-byte padded rows):
+    # top row red,green / bottom row blue,white
+    px = {  # (row from top, col) → RGB
+        (0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+        (1, 0): (0, 0, 255), (1, 1): (255, 255, 255),
+    }
+    stride = (2 * 3 + 3) & ~3
+    body = bytearray()
+    for r in (1, 0):  # bottom-up
+        row = bytearray()
+        for c in (0, 1):
+            rr, gg, bb = px[(r, c)]
+            row += bytes((bb, gg, rr))
+        row += b"\0" * (stride - len(row))
+        body += row
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+    decoded = decode_image(bmp)
+    assert decoded.shape == (2, 2, 3)
+    assert all(tuple(decoded[r, c]) == v for (r, c), v in px.items())
+
+    # unsupported magic without PIL → clearly-marked gap
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
+
+    # WAV round-trip
+    samples = (np.sin(np.arange(800) / 5.0) * 20000).astype(np.int16)
+    sr, back = decode_wav(encode_wav_pcm16(samples, 8000))
+    assert sr == 8000 and np.array_equal(back, samples)
+
+    # nearest resize golden: 2×2 → 4×4 replicates each pixel into a quadrant
+    small = np.array([[[0, 0, 0], [10, 10, 10]], [[20, 20, 20], [30, 30, 30]]], dtype=np.uint8)
+    up = resize_nearest(small, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert up[0, 0, 0] == 0 and up[0, 3, 0] == 10 and up[3, 0, 0] == 20 and up[3, 3, 0] == 30
 
 
 def test_multimodal_feature_extract(spark):
     out = extract_features(_media_df(spark)).collect()
     assert len(out) == 4
     by_id = {r.media_id: r for r in out}
-    assert len(by_id["m1"].feature) == 16
-    assert by_id["m1"].n_bytes == 100
-    # deterministic stub: same payload → same features
+    # image features are REAL channel stats: solid color → exact means, zero std
+    f1 = by_id["m1"].feature
+    assert len(f1) == 16
+    assert f1[0] == 6.0 and f1[1] == 4.0  # (w, h)
+    assert f1[2:5] == [200.0, 100.0, 50.0] and f1[5:8] == [0.0, 0.0, 0.0]
+    # audio features: sample rate, count, sine RMS ≈ amplitude/√2
+    f3 = by_id["m3"].feature
+    assert f3[0] == 16000.0 and f3[1] == 1600.0
+    assert abs(f3[2] - (12000 / 32768) / 2**0.5) < 0.01
+    # deterministic: same payload → same features
     again = extract_features(_media_df(spark)).collect()
     assert {r.media_id: r.feature for r in again} == {r.media_id: r.feature for r in out}
 
 
 def test_multimodal_resize_and_frames(spark):
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import decode_image
+
     m = _media_df(spark)
-    resized = resize_images(m, 224, 224).collect()
-    assert {r.media_id for r in resized} == {"m1", "m2"}
-    assert all(r.width == 224 and r.height == 224 for r in resized)
+    resized = {r.media_id: r for r in resize_images(m, 224, 224).collect()}
+    assert set(resized) == {"m1", "m2", "m3", "m4"}  # non-images pass through
+    for mid in ("m1", "m2"):
+        assert resized[mid].width == 224 and resized[mid].height == 224
+        img = decode_image(bytes(resized[mid].payload))
+        assert img.shape == (224, 224, 3)
+    # solid image stays solid after real resample
+    assert np.array_equal(
+        np.unique(decode_image(bytes(resized["m1"].payload)).reshape(-1, 3), axis=0),
+        np.array([[200, 100, 50]], dtype=np.uint8),
+    )
+    assert resized["m3"].payload == bytes(
+        {r.media_id: r for r in m.collect()}["m3"].payload
+    )
     frames = frame_sample_stub(m, every_ms=1000).collect()
     assert [(r.media_id, r.frame_ts_ms) for r in frames] == [
         ("m4", 0), ("m4", 1000), ("m4", 2000)
     ]
     stats = {r.media_type: r for r in media_stats(m).collect()}
-    assert stats["image"].n_items == 2 and stats["image"].total_bytes == 150
+    assert stats["image"].n_items == 2
 
 
 def test_interval_join_matches_naive(spark):
