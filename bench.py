@@ -1,7 +1,16 @@
-"""BENCH harness: runs the engine's headline queries at $SPARK_GRAFT_SF_DIR
+"""BENCH harness: runs the engine's declared queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Hygiene (round 2):
+- per-query numbers for EVERY declared query, so round-over-round deltas
+  are attributable per operator;
+- median-of-3 on a warm session (JVM/catalog warmed first) so regressions
+  aren't hidden by noise; queries whose first run exceeds a cost cap are
+  not repeated (their runtime dwarfs the noise floor anyway);
+- "value" stays the HEADLINE total (sum of headline medians) for
+  comparability with round 1's headline metric.
 
 Each query is fully materialized via the noop sink (measures execution, not
 driver-side collect/serialization).
@@ -11,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,25 +55,36 @@ HEADLINE = [
     "spend_last_30d_range_frame",
 ]
 
+#: A first run longer than this isn't repeated — its runtime is far above
+#: the ~0.1 s noise floor, and repeating would triple the bench wall time.
+REPEAT_CAP_S = 3.0
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("dipa-bench")
     qs = all_queries()
-    names = [n for n in HEADLINE if n in qs]
+    headline = [n for n in HEADLINE if n in qs]
+    others = sorted(n for n in qs if n not in HEADLINE)
 
-    # warm the JVM/catalog once so per-query numbers measure the queries
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    timings: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for name in names:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_all, 4)
+        return time.perf_counter() - t0
 
+    # warm the JVM/catalog once so per-query numbers measure the queries
+    run_once(headline[0])
+
+    timings: dict[str, float] = {}
+    for name in headline + others:
+        times = [run_once(name)]
+        if times[0] <= REPEAT_CAP_S:
+            times += [run_once(name) for _ in range(REPS - 1)]
+        timings[name] = round(statistics.median(times), 4)
+
+    total = round(sum(timings[n] for n in headline), 4)
     print(
         json.dumps(
             {
