@@ -231,6 +231,45 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     return media.mapInPandas(fn, out_schema)
 
 
+def media_feature_pipeline(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Fused decode → resize → feature-extract in ONE Arrow pass.
+
+    Composing ``resize_images`` + ``extract_features`` is semantically
+    identical but pays two JVM↔Python round-trips and two Python workers
+    per task; at 100 TB (and even at bench scale, where worker cold-start
+    dominates tiny corpora) the fused form is the plan you want — the
+    Python-side analog of whole-stage codegen. Images are decoded once,
+    resampled in memory, and featurized without re-encoding; other
+    modalities go straight to their kernel."""
+    out_schema = "media_id string, media_type string, feature array<double>, n_bytes int"
+
+    def fused_image(payload: bytes) -> tuple[np.ndarray, int]:
+        resized = encode_ppm(resize_nearest(decode_image(payload), width, height))
+        return image_features(resized), len(resized)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plain = {"audio": audio_features, "video": _video_features_stub}
+        for pdf in batches:
+            feats, sizes = [], []
+            for p, t in zip(pdf["payload"], pdf["media_type"]):
+                if t == "image":
+                    f, n = fused_image(p)
+                else:
+                    f, n = plain[t](p), len(p)
+                feats.append(f.tolist())
+                sizes.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                    "n_bytes": sizes,
+                }
+            )
+
+    return media.mapInPandas(fn, out_schema)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL image resize: decode → nearest-neighbor resample → PPM
     re-encode, inside the same bounded-memory mapInPandas shape. Non-image
@@ -321,5 +360,10 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                 rows, columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"]
             )
 
-    par = partitions or spark.sparkContext.defaultParallelism
+    # Payload kernels are microseconds per item; at fixture scale the cost
+    # is Python workers, so cap tasks at ~256 items each instead of fanning
+    # a tiny corpus across every core (callers can still force `partitions`).
+    par = partitions or max(
+        4, min(spark.sparkContext.defaultParallelism, -(-n_items // 256))
+    )
     return spark.range(n_items).repartition(par).mapInPandas(gen, MEDIA_SCHEMA)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.multimodal import extract_features, resize_images, synthetic_media
+from ..functions.multimodal import media_feature_pipeline, synthetic_media
 from ..tables import Tables
 from .registry import query
 
@@ -30,10 +30,12 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline: resize images to 16×16 (real decode +
     nearest resample + re-encode), extract per-modality features (real
     channel stats / audio RMS; video stubbed), aggregate per media_type.
-    avg_feat0 doubles as an embedded correctness probe: for images it is
-    the post-resize width (16.0), for audio the sample rate (16000.0)."""
-    media = resize_images(_corpus(spark, sf_dir), 16, 16)
-    feats = extract_features(media)
+    Uses the FUSED decode→resize→feature operator (one Arrow pass; the
+    composed resize_images∘extract_features form is proven equivalent in
+    tests/test_operators.py). avg_feat0 doubles as an embedded correctness
+    probe: for images it is the post-resize width (16.0), for audio the
+    sample rate (16000.0)."""
+    feats = media_feature_pipeline(_corpus(spark, sf_dir), 16, 16)
     return feats.groupBy("media_type").agg(
         F.count("*").alias("n_items"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feat0"),

@@ -182,6 +182,24 @@ def test_multimodal_feature_extract(spark):
     assert {r.media_id: r.feature for r in again} == {r.media_id: r.feature for r in out}
 
 
+def test_multimodal_fused_pipeline_equivalence(spark):
+    """media_feature_pipeline (one Arrow pass) ≡ resize_images ∘
+    extract_features (two passes) — identical features and sizes."""
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        media_feature_pipeline,
+    )
+
+    m = _media_df(spark)
+    fused = {r.media_id: r for r in media_feature_pipeline(m, 16, 16).collect()}
+    composed = {
+        r.media_id: r for r in extract_features(resize_images(m, 16, 16)).collect()
+    }
+    assert set(fused) == set(composed)
+    for mid in fused:
+        assert fused[mid].feature == composed[mid].feature, mid
+        assert fused[mid].n_bytes == composed[mid].n_bytes, mid
+
+
 def test_multimodal_resize_and_frames(spark):
     import numpy as np
 
