@@ -1,10 +1,13 @@
 """IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
 scale path beside hyperplane LSH (functions/similarity.py).
 
-Build: k-means over the corpus (pyspark.ml, seeded → deterministic) gives
-n_list centroids; every vector is assigned to its nearest centroid (the
-"inverted list"). Search: score a query only against the vectors in its
-``n_probe`` nearest lists — scanned fraction ≈ n_probe / n_list.
+Build (the FAISS-style recipe): train k-means centroids on a BOUNDED
+sample (≤ ``sample_per_list``·n_list rows — driver memory is O(k·d)
+regardless of corpus size, the standard coarse-quantizer training move),
+then assign the FULL corpus distributed: centroid matrix closed over the
+Arrow UDF, one argmin matmul per batch. Search: score a query only against
+the vectors in its ``n_probe`` nearest lists — scanned fraction ≈
+n_probe / n_list.
 
 At 100 TB: the centroid table is tiny (broadcast); assignment is one pass;
 the probe join shuffles only on list ids. Lists should be written
@@ -13,38 +16,83 @@ partitioned by list_id so a probe prunes partitions at scan time.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _dot, _norm, topk
+from .similarity import cosine_cols, grouped_topk_scores, topk
 
 
-def _to_ml_vector(df: DataFrame, arr_col: str, out_col: str = "features") -> DataFrame:
-    from pyspark.ml.functions import array_to_vector
-
-    return df.withColumn(out_col, array_to_vector(F.col(arr_col)))
+def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd until convergence — pure numpy on the
+    (bounded) training sample. Empty clusters are re-seeded to the point
+    farthest from its centroid, so exactly k non-degenerate lists emerge."""
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    cents = np.empty((k, x.shape[1]))
+    cents[0] = x[rng.integers(n)]
+    d2 = ((x - cents[0]) ** 2).sum(1)
+    for j in range(1, k):  # k-means++: sample ∝ squared distance
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents[j] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((x - cents[j]) ** 2).sum(1))
+    for _ in range(iters):
+        dist = (x**2).sum(1)[:, None] - 2 * x @ cents.T + (cents**2).sum(1)[None, :]
+        labels = dist.argmin(1)
+        new = np.empty_like(cents)
+        for j in range(k):
+            members = x[labels == j]
+            if len(members):
+                new[j] = members.mean(0)
+            else:
+                new[j] = x[dist.min(1).argmax()]
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
 
 
 def build_ivf_index(
-    corpus: DataFrame, dim: int, n_list: int = 16, seed: int = 42
+    corpus: DataFrame,
+    dim: int,
+    n_list: int = 16,
+    seed: int = 42,
+    sample_per_list: int = 256,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assigned_corpus, centroids).
 
     assigned_corpus: (vec_id, e, list_id) — corpus with inverted-list id.
     centroids: (list_id, centroid array<double>) — tiny, broadcastable.
-    """
-    from pyspark.ml.clustering import KMeans
 
-    ml = _to_ml_vector(corpus, "e")
-    model = KMeans(k=n_list, seed=seed, featuresCol="features").fit(ml)
-    assigned = (
-        model.transform(ml)
-        .withColumnRenamed("prediction", "list_id")
-        .select("vec_id", "e", "list_id")
+    Training collects at most ``sample_per_list * n_list`` vectors chosen
+    by a deterministic id-hash — bounded driver traffic by construction
+    (NOT a corpus collect; at 1 B rows this is still ≤ 4096 rows for the
+    default n_list=16). Assignment streams the corpus through one Arrow
+    pass with the centroid matrix in the UDF closure."""
+    cap = sample_per_list * n_list
+    n = corpus.count()
+    frac = min(1.0, cap / max(n, 1))
+    sample_df = corpus.where(
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.lit(1_000_000))
+        < F.lit(int(frac * 1_000_000)) if frac < 1.0 else F.lit(True)
     )
+    rows = sample_df.select("e").collect()  # bounded-collect: ≤ n_list·sample_per_list rows by the hash filter above, corpus-size-independent
+    x = np.array([r.e for r in rows], dtype=np.float64)
+    cents = _lloyd(x, n_list, seed)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        mat = np.array(v.tolist(), dtype=np.float64)
+        dist = -2 * mat @ cents.T + (cents**2).sum(1)[None, :]  # ‖v‖² constant per row
+        return pd.Series(dist.argmin(1).astype("int32"))
+
+    assigned = corpus.select("vec_id", "e", assign(F.col("e")).alias("list_id"))
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
     )
     return assigned, centroids
@@ -68,8 +116,7 @@ def ivf_search(
             "query_id",
             "qe",
             "list_id",
-            (_dot(F.col("qe"), F.col("centroid"))
-             / (_norm(F.col("qe")) * _norm(F.col("centroid")))).alias("c_sim"),
+            cosine_cols(F.col("qe"), F.col("centroid")).alias("c_sim"),
         )
     )
     from pyspark.sql.window import Window
@@ -78,17 +125,14 @@ def ivf_search(
     probes = (
         q_cent.withColumn("pr", F.row_number().over(w))
         .where(F.col("pr") <= n_probe)
-        .select("query_id", "qe", "list_id")
+        .select("list_id", "query_id", "qe")
     )
-    cand = F.broadcast(probes).join(assigned, "list_id").where(
-        F.col("query_id") != F.col("vec_id")
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (_dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))).alias(
-            "cosine"
-        ),
+    # Cogroup on list_id: each inverted list's vectors cross one Arrow
+    # boundary once (not once per probing query), BLAS-scored per list with
+    # per-list top-k — the global window then merges n_probe·k id rows per
+    # query instead of every candidate (see grouped_topk_scores).
+    scored = grouped_topk_scores(
+        assigned.select("list_id", "vec_id", "e"), probes, k, key="list_id"
     )
     return topk(scored, k)
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -27,16 +29,29 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-
-
 def as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    av = np.array(a.tolist(), dtype=np.float64)
+    bv = np.array(b.tolist(), dtype=np.float64)
+    num = np.einsum("ij,ij->i", av, bv)
+    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    return pd.Series(num / den)
+
+
+def cosine_cols(a, b):
+    """Exact cosine of two fixed-dim array<double> columns, one BLAS
+    einsum per Arrow batch. The HOF form (``aggregate∘zip_with``, kept as
+    the reference in queries/datapipe4._cosine_pairs) interprets one lambda
+    per ELEMENT — ~100× slower on the candidate-scoring hot path; this is
+    the vectorized twin (float64, equal in tests to 6-decimal rounding
+    against the SQL oracles). Wrapped lazily: pandas_udf needs an active
+    session to parse its return type, so the UDF is built per call."""
+    return F.pandas_udf(_cosine_kernel, "double")(a, b)
 
 
 def cosine_scores(corpus: DataFrame, queries: DataFrame) -> DataFrame:
@@ -52,9 +67,7 @@ def cosine_scores(corpus: DataFrame, queries: DataFrame) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))).alias(
-                "cosine"
-            ),
+            cosine_cols(F.col("qe"), F.col("e")).alias("cosine"),
         )
     )
 
@@ -64,15 +77,82 @@ def topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def grouped_topk_scores(
+    corpus_keyed: DataFrame, probes_keyed: DataFrame, k: int, key: str
+) -> DataFrame:
+    """Candidate scoring for bucketed ANN (IVF lists / LSH buckets): cogroup
+    corpus and probes on *key*, BLAS-score each group in one ``Q @ Eᵀ``, and
+    keep only each group's top-k per query inside the kernel.
+
+    Why this shape: a plain probe×corpus join materializes both vectors on
+    every candidate row (≫100 MB through Arrow at even 2 k×64); cogrouping
+    ships each corpus vector ONCE per key and each query vector once per
+    probed key. Per-group top-k is lossless — every corpus vector belongs to
+    exactly one key, so the global top-k is a subset of the union of
+    per-group top-ks — and shrinks the shuffle into the final global
+    :func:`topk` window to ``n_queries · n_probe · k`` id rows.
+
+    corpus_keyed: (key, vec_id, e); probes_keyed: (key, query_id, qe).
+    """
+
+    def fn(probes_pdf: pd.DataFrame, corpus_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(probes_pdf) or not len(corpus_pdf):
+            return empty
+        qid = probes_pdf["query_id"].to_numpy(dtype=np.int64)
+        nid = corpus_pdf["vec_id"].to_numpy(dtype=np.int64)
+        qm = np.array(probes_pdf["qe"].tolist(), dtype=np.float64)
+        em = np.array(corpus_pdf["e"].tolist(), dtype=np.float64)
+        sims = (qm / np.linalg.norm(qm, axis=1, keepdims=True)) @ (
+            em / np.linalg.norm(em, axis=1, keepdims=True)
+        ).T
+        out_q, out_n, out_c = [], [], []
+        # per-query top-k within the group, ties broken by ascending id —
+        # exactly the order the global window applies (full lexsort: exact
+        # under ties, and negligible next to the matmul).
+        for row, q in enumerate(qid):
+            keep = nid != q
+            s, ids = sims[row, keep], nid[keep]
+            part = np.lexsort((ids, -s))[:k]
+            out_q.append(np.full(len(part), q))
+            out_n.append(ids[part])
+            out_c.append(s[part])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        probes_keyed.groupBy(key)
+        .cogroup(corpus_keyed.groupBy(key))
+        .applyInPandas(fn, "query_id long, neighbor_id long, cosine double")
+    )
+
+
 def hyperplane_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8) -> DataFrame:
     """Add a ``bucket`` int column: sign bits of dot(vec, plane_j)."""
-    planes = _planes(dim, n_planes)
-    sig = None
-    for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(w) for w in p])
-        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return df.withColumn("bucket", sig.cast("int"))
+    planes = np.array(_planes(dim, n_planes), dtype=np.float64)  # (P, d)
+
+    @F.pandas_udf("int")
+    def sig(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        mat = np.array(v.tolist(), dtype=np.float64)  # (n, d)
+        bits = (mat @ planes.T) > 0  # (n, P) — all planes in one matmul
+        return pd.Series((bits @ (1 << np.arange(n_planes))).astype("int32"))
+
+    return df.withColumn("bucket", sig(F.col(vec_col)))
 
 
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
@@ -109,26 +189,17 @@ def ann_topk_lsh(
         queries.withColumnRenamed("qe", "qe").withColumn("e", F.col("qe")), "e", dim, n_planes
     ).drop("e")
     masks = _probe_masks(n_planes, probe_radius)
+    # Probe masks are distinct and every corpus vector lives in exactly one
+    # bucket, so (query, probe_bucket) pairs are already unique — no
+    # distinct() needed. Scoring cogroups on the bucket: each bucket's
+    # vectors cross Arrow once, BLAS per bucket, per-bucket top-k (see
+    # grouped_topk_scores), then the global top-k window merges id rows.
     probed = q_sig.withColumn(
-        "probe_bucket",
+        "bucket",
         F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
-    )
-    cand = (
-        F.broadcast(probed)
-        .join(
-            c_sig,
-            (F.col("probe_bucket") == c_sig["bucket"])
-            & (F.col("query_id") != F.col("vec_id")),
-        )
-        .select("query_id", "qe", "vec_id", "e")
-        .distinct()
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (_dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))).alias(
-            "cosine"
-        ),
+    ).select("bucket", "query_id", "qe")
+    scored = grouped_topk_scores(
+        c_sig.select("bucket", "vec_id", "e"), probed, k, key="bucket"
     )
     return topk(scored, k)
 

@@ -62,10 +62,16 @@ WHERE LIST_COSINE_SIMILARITY(a.e, b.e) >= 0.4
 )
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold; the lower
-    vec_id is the canonical survivor (keep_id), the higher the duplicate."""
-    return _cosine_pairs(spark, Tables(spark, sf_dir), 0.4).withColumn(
-        "cosine", F.round("cosine", 6)
-    )
+    vec_id is the canonical survivor (keep_id), the higher the duplicate.
+    Runs on the distributed block self-join (BLAS per block pair, no
+    driver materialization — functions/similarity.cosine_pairs_blocked);
+    the O(N²) HOF theta join ``_cosine_pairs`` remains as the test-only
+    reference implementation."""
+    from ..functions.similarity import cosine_pairs_blocked
+
+    return cosine_pairs_blocked(
+        Tables(spark, sf_dir).embeddings, threshold=0.4
+    ).withColumn("cosine", F.round("cosine", 6))
 
 
 @query(
