@@ -51,11 +51,16 @@ def pulsar_source_reader(
     topics_pattern: str,
     *,
     fmt: str = "pulsar",
+    starting_offsets: str = "latest",
 ) -> DataFrame:
     """Subscribe to topic(s); returns (msg_ts, topic, value string).
 
     ``topics_pattern`` covers the reference's per-subnet `update{i}`/`time{i}`
-    fan-in (A6) — the topic column carries the subnet key."""
+    fan-in (A6) — the topic column carries the subnet key. ``latest`` matches
+    the reference's live Shared subscription; replays/backfills pass
+    ``earliest``. Integration-proven in the sandbox against the loopback
+    broker (fmt='pulsarlite', sources/pulsarlite.py) — same options, same
+    column surface as the Pulsar connector."""
     if not _has_format(spark, fmt):
         raise ConnectorUnavailable(
             f"streaming format {fmt!r} not on the classpath; add the connector "
@@ -66,7 +71,7 @@ def pulsar_source_reader(
         spark.readStream.format(fmt)
         .option("service.url", service_url)
         .option("topicsPattern", topics_pattern)
-        .option("startingOffsets", "latest")
+        .option("startingOffsets", starting_offsets)
     )
     raw = reader.load()
     return raw.select(

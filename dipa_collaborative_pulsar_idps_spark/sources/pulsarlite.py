@@ -1,0 +1,323 @@
+"""`pulsarlite`: a loopback message broker as a PySpark Python Data Source.
+
+Why this exists (SURVEY.md §2 A5-A7): the reference's collaboration layer
+rides a Pulsar broker on localhost (`pulsar://localhost:6650`, Shared
+subscription, multi-topic `update{i}`/`time{i}` consumers, async ZLib
+producers — DIPA_Controller.py:67-90, threaded_consumer.py:38-44). The
+sandbox has neither a broker nor the StreamNative connector jar, so the
+A5-A7 builders in :mod:`.pulsar` could only be error-path-probed.
+
+This module closes that gap WITHOUT faking the test: it registers a real
+Spark streaming source/sink (the DataSource V2 Python API, public since
+Spark 4.0) named ``pulsarlite`` that speaks the same surface the Pulsar
+connector exposes — ``service.url``, ``topicsPattern``,
+``startingOffsets``, ``topic``, ``pulsar.producer.compressionType`` — and
+the same output columns (``__key``, ``__topic``, ``__publishTime``,
+``value``). `pulsar_source_reader(fmt="pulsarlite")` and
+`pulsar_sink_writer(fmt="pulsarlite")` therefore exercise their REAL code
+paths end-to-end through Spark's streaming engine: offset tracking,
+micro-batch planning, per-partition reads on executors, staged writes with
+driver-side commit, replay idempotence.
+
+Broker model (one directory = one broker):
+- ``service.url`` is ``pulsarlite://<abs-dir>`` (or a bare path);
+- each topic is one append-only JSON-lines log ``<dir>/<quoted-topic>.jsonl``
+  (message = ``{"us": publish-epoch-µs, "k": key|null, "c": codec,
+  "v": base64 payload}``);
+- offsets are per-topic byte positions, clamped to the last complete line
+  so a concurrent append never yields a torn record;
+- the producer stages per-partition part files and appends them to the
+  topic log in a single driver-side commit; a per-topic ``.commits``
+  marker makes replayed commits of the same epoch no-ops (the
+  effective-exactly-once contract of I12);
+- ``compressionType: zlib`` is honored for real (payloads stored
+  zlib-deflated, inflated on read) — parity with the reference's
+  ZLib producers.
+
+Scale note: this is deliberately a LOOPBACK transport (local filesystem,
+single broker dir) — the air-gapped stand-in for the reference's
+localhost standalone broker, and the CI proof of the A5-A7 plumbing. On a
+cluster, the same builders target the real connector (``fmt="pulsar"`` /
+``fmt="kafka"``); nothing downstream changes because every pipeline takes
+a DataFrame.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import datetime as dt
+import json
+import os
+import re
+import time
+import uuid
+import zlib
+from collections.abc import Iterator
+from urllib.parse import quote, unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FORMAT_NAME = "pulsarlite"
+
+#: Column surface shared with the Pulsar connector (the subset the engine
+#: selects in pulsar.py: __publishTime/__topic/value; __key for keyed topics).
+SCHEMA = StructType(
+    [
+        StructField("__key", StringType()),
+        StructField("__topic", StringType()),
+        StructField("__publishTime", TimestampType()),
+        StructField("value", BinaryType()),
+    ]
+)
+
+_LOG_EXT = ".jsonl"
+
+
+def broker_dir(service_url: str) -> str:
+    """``pulsarlite://<dir>`` or a bare directory path → broker directory."""
+    if "://" in service_url:
+        scheme, _, rest = service_url.partition("://")
+        if scheme not in (FORMAT_NAME, "pulsar", "file"):
+            raise ValueError(f"unsupported service.url scheme {scheme!r}")
+        return "/" + rest.lstrip("/") if not rest.startswith("/") else rest
+    return service_url
+
+
+def _topic_log(root: str, topic: str) -> str:
+    # Pulsar topic names carry '/' (persistent://tenant/ns/name); quote for FS.
+    return os.path.join(root, quote(topic, safe="") + _LOG_EXT)
+
+
+def _list_topics(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        unquote(f[: -len(_LOG_EXT)])
+        for f in os.listdir(root)
+        if f.endswith(_LOG_EXT)
+    )
+
+
+def _complete_size(path: str) -> int:
+    """Byte size of the log up to (and including) the last '\\n' — a reader
+    planned against this offset can never see a torn record."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 0
+    if size == 0:
+        return 0
+    with open(path, "rb") as f:
+        back = min(4096, size)
+        f.seek(size - back)
+        tail = f.read(back)
+    nl = tail.rfind(b"\n")
+    return size - (back - nl - 1) if nl >= 0 else 0
+
+
+def encode_message(value: bytes, key: str | None, codec: str, publish_us: int) -> str:
+    payload = zlib.compress(value) if codec == "zlib" else value
+    return json.dumps(
+        {
+            "us": publish_us,
+            "k": key,
+            "c": codec,
+            "v": base64.b64encode(payload).decode("ascii"),
+        },
+        separators=(",", ":"),
+    )
+
+
+def decode_message(line: str) -> tuple[str | None, int, bytes]:
+    m = json.loads(line)
+    raw = base64.b64decode(m["v"])
+    value = zlib.decompress(raw) if m.get("c") == "zlib" else raw
+    return m.get("k"), int(m["us"]), value
+
+
+def seed_topic(
+    root: str, topic: str, messages: list[bytes | str], *, codec: str = "none"
+) -> None:
+    """Test/backfill helper: append messages to a topic log directly (the
+    out-of-band producer, e.g. the reference's attacker VMs)."""
+    os.makedirs(root, exist_ok=True)
+    now_us = int(time.time() * 1_000_000)
+    lines = []
+    for i, msg in enumerate(messages):
+        b = msg.encode("utf-8") if isinstance(msg, str) else msg
+        lines.append(encode_message(b, None, codec, now_us + i))
+    with open(_topic_log(root, topic), "a", encoding="ascii") as f:
+        f.write("".join(line + "\n" for line in lines))
+
+
+@dataclasses.dataclass
+class TopicSlice(InputPartition):
+    path: str
+    topic: str
+    start: int
+    end: int
+
+
+class PulsarLiteStreamReader(DataSourceStreamReader):
+    """Offset-tracked multi-topic reader: one input partition per topic per
+    micro-batch; reads happen on executors (driver only stats file sizes)."""
+
+    def __init__(self, options: dict):
+        url = options.get("service.url")
+        if not url:
+            raise ValueError("pulsarlite requires option service.url")
+        self.root = broker_dir(url)
+        pattern = options.get("topicspattern") or options.get("topic")
+        if not pattern:
+            raise ValueError("pulsarlite requires option topicsPattern (or topic)")
+        # Java-regex option; anchored full-match like the connector.
+        self.pattern = re.compile(pattern)
+        self.starting = (options.get("startingoffsets") or "latest").lower()
+
+    def _topics(self) -> list[str]:
+        return [t for t in _list_topics(self.root) if self.pattern.fullmatch(t)]
+
+    def _snapshot(self) -> dict[str, int]:
+        return {t: _complete_size(_topic_log(self.root, t)) for t in self._topics()}
+
+    def initialOffset(self) -> dict:
+        return self._snapshot() if self.starting == "latest" else {}
+
+    def latestOffset(self) -> dict:
+        return self._snapshot()
+
+    def partitions(self, start: dict, end: dict) -> list[TopicSlice]:
+        out = []
+        for topic, hi in end.items():
+            lo = int(start.get(topic, 0))
+            if hi > lo:
+                out.append(TopicSlice(_topic_log(self.root, topic), topic, lo, int(hi)))
+        return out
+
+    def read(self, partition: TopicSlice) -> Iterator[tuple]:
+        with open(partition.path, "rb") as f:
+            f.seek(partition.start)
+            chunk = f.read(partition.end - partition.start)
+        for line in chunk.decode("ascii").splitlines():
+            if not line:
+                continue
+            key, us, value = decode_message(line)
+            ts = dt.datetime.fromtimestamp(us / 1_000_000, tz=dt.timezone.utc)
+            yield (key, partition.topic, ts.replace(tzinfo=None), value)
+
+    def commit(self, end: dict) -> None:  # broker keeps the full log (replayable)
+        pass
+
+
+@dataclasses.dataclass
+class StagedPart(WriterCommitMessage):
+    part_path: str
+    n_rows: int
+
+
+class PulsarLiteStreamWriter(DataSourceStreamWriter):
+    """Producer with staged parts + atomic driver-side commit.
+
+    Executors append encoded rows to a per-partition part file (no broker
+    contention); ``commit`` concatenates the parts into the topic log in one
+    write and records the epoch id in ``<topic>.commits`` — a replayed epoch
+    (restart between commit and checkpoint advance) is detected there and
+    skipped, so delivery is effectively exactly-once end-to-end.
+    """
+
+    def __init__(self, options: dict):
+        url = options.get("service.url")
+        topic = options.get("topic")
+        if not url or not topic:
+            raise ValueError("pulsarlite sink requires options service.url and topic")
+        self.root = broker_dir(url)
+        self.topic = topic
+        self.codec = (
+            options.get("pulsar.producer.compressiontype") or "none"
+        ).lower()
+        if self.codec not in ("none", "zlib"):
+            raise ValueError(f"unsupported compressionType {self.codec!r}")
+        self.staging = os.path.join(self.root, "_staging")
+
+    def write(self, iterator) -> StagedPart:
+        os.makedirs(self.staging, exist_ok=True)
+        part = os.path.join(self.staging, f"{uuid.uuid4().hex}.part")
+        n = 0
+        now_us = int(time.time() * 1_000_000)
+        with open(part, "w", encoding="ascii") as f:
+            for row in iterator:
+                value = row["value"]
+                key = row["__key"] if "__key" in row else None
+                f.write(encode_message(bytes(value), key, self.codec, now_us + n) + "\n")
+                n += 1
+        return StagedPart(part, n)
+
+    def _commits_marker(self) -> str:
+        return _topic_log(self.root, self.topic) + ".commits"
+
+    def _committed(self) -> set[int]:
+        try:
+            with open(self._commits_marker(), encoding="ascii") as f:
+                return {int(x) for x in f.read().split()}
+        except OSError:
+            return set()
+
+    def commit(self, messages, batchId: int) -> None:
+        parts = [m for m in messages if m is not None and m.n_rows > 0]
+        if batchId not in self._committed():
+            blob = []
+            for m in parts:
+                with open(m.part_path, encoding="ascii") as f:
+                    blob.append(f.read())
+            if blob:
+                with open(_topic_log(self.root, self.topic), "a", encoding="ascii") as f:
+                    f.write("".join(blob))
+            with open(self._commits_marker(), "a", encoding="ascii") as f:
+                f.write(f"{batchId}\n")
+        for m in parts:
+            try:
+                os.remove(m.part_path)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.part_path)
+                except OSError:
+                    pass
+
+
+class PulsarLiteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def streamReader(self, schema: StructType) -> PulsarLiteStreamReader:
+        return PulsarLiteStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> PulsarLiteStreamWriter:
+        return PulsarLiteStreamWriter(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the ``pulsarlite`` format on a session."""
+    spark.dataSource.register(PulsarLiteDataSource)

@@ -1,0 +1,180 @@
+"""A5-A7 integration proof: the pulsar source/sink builders running END TO
+END through Spark's streaming engine against the loopback `pulsarlite`
+broker (sources/pulsarlite.py) — offset tracking, multi-topic
+topicsPattern fan-in, staged producer commit, zlib payloads, replay
+idempotence. The builders under test are the REAL ones
+(`pulsar_source_reader` / `pulsar_sink_writer`); only the wire format
+differs from a production broker.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dipa_collaborative_pulsar_idps_spark.sources import pulsarlite
+from dipa_collaborative_pulsar_idps_spark.sources.pulsar import (
+    pulsar_sink_writer,
+    pulsar_source_reader,
+)
+
+
+@pytest.fixture()
+def broker(spark, tmp_path):
+    pulsarlite.register(spark)
+    root = tmp_path / "broker"
+    root.mkdir()
+    return str(root)
+
+
+def _drain(df, tmp_path, name):
+    """Run an availableNow pass of a streaming df into a memory table and
+    return the collected rows."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name).collect()
+
+
+def test_consume_seeded_topic_earliest(spark, broker, tmp_path):
+    """A5: single-topic consume through pulsar_source_reader — values,
+    topic column, publish timestamps all surface."""
+    pulsarlite.seed_topic(broker, "mirai", ["10.0.0.2@BOT", "10.0.0.9@CNC"])
+    stream = pulsar_source_reader(
+        spark, f"pulsarlite://{broker}", "mirai",
+        fmt="pulsarlite", starting_offsets="earliest",
+    )
+    rows = _drain(stream, tmp_path, "t_consume")
+    assert sorted(r["value"] for r in rows) == ["10.0.0.2@BOT", "10.0.0.9@CNC"]
+    assert {r["topic"] for r in rows} == {"mirai"}
+    assert all(r["msg_ts"] is not None for r in rows)
+
+
+def test_topics_pattern_multi_topic_fan_in(spark, broker, tmp_path):
+    """A6: topicsPattern `update.*` reads update1+update2 but not time1;
+    the topic column carries the subnet key (threaded_consumer.py:38-44)."""
+    pulsarlite.seed_topic(broker, "update1", ["h1@23@40.0"])
+    pulsarlite.seed_topic(broker, "update2", ["h2@23@40.0", "h3@80@9.0"])
+    pulsarlite.seed_topic(broker, "time1", ["1700000000.0"])
+    stream = pulsar_source_reader(
+        spark, f"pulsarlite://{broker}", "update.*",
+        fmt="pulsarlite", starting_offsets="earliest",
+    )
+    rows = _drain(stream, tmp_path, "t_fanin")
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r["topic"], []).append(r["value"])
+    assert set(by_topic) == {"update1", "update2"}
+    assert len(by_topic["update2"]) == 2
+
+
+def test_produce_consume_roundtrip_zlib(spark, broker, tmp_path):
+    """A7: produce through pulsar_sink_writer (staged parts, driver commit,
+    zlib compression honored on the wire) then consume back through
+    pulsar_source_reader."""
+    src = tmp_path / "outbox"
+    src.mkdir()
+    (src / "a.txt").write_text("10.0.0.2@BOT\n10.0.0.5@BOT\n")
+    alerts = spark.readStream.text(str(src))
+    q = (
+        pulsar_sink_writer(
+            alerts, f"pulsarlite://{broker}", "alerts",
+            str(tmp_path / "ckpt_prod"), fmt="pulsarlite", compression="zlib",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # zlib really on the wire: raw log lines carry codec "c":"zlib"
+    log = os.path.join(broker, "alerts.jsonl")
+    raw = open(log, encoding="ascii").read()
+    assert '"c":"zlib"' in raw and "10.0.0.2@BOT" not in raw
+
+    stream = pulsar_source_reader(
+        spark, f"pulsarlite://{broker}", "alerts",
+        fmt="pulsarlite", starting_offsets="earliest",
+    )
+    rows = _drain(stream, tmp_path, "t_roundtrip")
+    assert sorted(r["value"] for r in rows) == ["10.0.0.2@BOT", "10.0.0.5@BOT"]
+
+
+def test_producer_commit_replay_is_idempotent(spark, broker, tmp_path):
+    """I12 at the transport layer: re-committing the same epoch (the
+    restart-between-commit-and-checkpoint window) must not duplicate
+    messages — the .commits marker dedupes."""
+    w = pulsarlite.PulsarLiteStreamWriter(
+        {"service.url": f"pulsarlite://{broker}", "topic": "alerts"}
+    )
+
+    class Row(dict):
+        def __getitem__(self, k):  # pyspark Row-ish access used by write()
+            return dict.__getitem__(self, k)
+
+        def __contains__(self, k):
+            return dict.__contains__(self, k)
+
+    msg = w.write(iter([Row(value=b"10.0.0.2@BOT", __key=None)]))
+    w.commit([msg], batchId=7)
+    msg2 = w.write(iter([Row(value=b"10.0.0.2@BOT", __key=None)]))
+    w.commit([msg2], batchId=7)  # replayed epoch: must be a no-op
+    lines = open(os.path.join(broker, "alerts.jsonl"), encoding="ascii").read().splitlines()
+    assert len(lines) == 1
+
+
+def test_starting_offsets_latest_skips_history(spark, broker, tmp_path):
+    """A5 semantics: `latest` (the reference's live Shared subscription)
+    plans the initial offset at the current end of each topic."""
+    pulsarlite.seed_topic(broker, "mirai", ["old1@BOT", "old2@BOT"])
+    r = pulsarlite.PulsarLiteStreamReader(
+        {"service.url": f"pulsarlite://{broker}", "topicspattern": "mirai"}
+    )
+    init = r.initialOffset()
+    assert init == r.latestOffset() and init["mirai"] > 0
+    pulsarlite.seed_topic(broker, "mirai", ["new@BOT"])
+    parts = r.partitions(init, r.latestOffset())
+    got = [v for p in parts for (_, _, _, v) in r.read(p)]
+    assert got == [b"new@BOT"]
+
+
+def test_ep2_end_to_end_through_pulsar_path(spark, broker, tmp_path):
+    """EP2 through the broker transport (not the file twin): alert topic →
+    pulsar_source_reader → ep2_collaboration → idempotent MitigationSink.
+    Reprocessing the topic from scratch fires no duplicate actions."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.fixtures import hosts_dim
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import ep2_collaboration
+    from dipa_collaborative_pulsar_idps_spark.streaming.sinks import MitigationSink
+
+    pulsarlite.seed_topic(
+        broker, "mirai", ["10.0.0.2@BOT", "10.0.0.9@CNC", "10.0.0.2@BOT"]
+    )
+
+    def one_pass(name):
+        stream = pulsar_source_reader(
+            spark, f"pulsarlite://{broker}", "mirai",
+            fmt="pulsarlite", starting_offsets="earliest",
+        ).select("msg_ts", "topic", "value", F.lit("pulsarlite").alias("producer"))
+        actions = ep2_collaboration(stream, hosts_dim(spark))
+        sink = MitigationSink(str(tmp_path / "ledger"), key_cols=["action", "ip"])
+        q = (
+            actions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    one_pass("first")
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    assert ledger.select("__key").distinct().count() == 2
+
+    one_pass("second")  # fresh checkpoint: full topic replay
+    ledger2 = spark.read.parquet(str(tmp_path / "ledger"))
+    assert ledger2.select("__key").distinct().count() == 2
