@@ -81,6 +81,32 @@ def pulsar_source_reader(
     )
 
 
+def pulsar_backfill_reader(
+    spark: SparkSession,
+    service_url: str,
+    topics_pattern: str,
+    *,
+    fmt: str = "pulsar",
+) -> DataFrame:
+    """Batch read of topics' full history — offline replay/analysis of the
+    alert/update topics (same columns as the stream reader). With the real
+    connector this is `spark.read.format('pulsar')` with
+    startingOffsets=earliest; the loopback broker serves it from the topic
+    logs (one partition per topic)."""
+    raw = (
+        spark.read.format(fmt)
+        .option("service.url", service_url)
+        .option("topicsPattern", topics_pattern)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        F.col("__publishTime").alias("msg_ts"),
+        F.col("__topic").alias("topic"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def pulsar_sink_writer(
     df: DataFrame,
     service_url: str,

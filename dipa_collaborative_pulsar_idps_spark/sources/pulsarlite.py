@@ -58,6 +58,7 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     InputPartition,
@@ -150,12 +151,18 @@ def decode_message(line: str) -> tuple[str | None, int, bytes]:
 
 
 def seed_topic(
-    root: str, topic: str, messages: list[bytes | str], *, codec: str = "none"
+    root: str,
+    topic: str,
+    messages: list[bytes | str],
+    *,
+    codec: str = "none",
+    start_us: int | None = None,
 ) -> None:
     """Test/backfill helper: append messages to a topic log directly (the
-    out-of-band producer, e.g. the reference's attacker VMs)."""
+    out-of-band producer, e.g. the reference's attacker VMs). ``start_us``
+    pins publish times for event-time-deterministic tests; default is now."""
     os.makedirs(root, exist_ok=True)
-    now_us = int(time.time() * 1_000_000)
+    now_us = int(time.time() * 1_000_000) if start_us is None else start_us
     lines = []
     for i, msg in enumerate(messages):
         b = msg.encode("utf-8") if isinstance(msg, str) else msg
@@ -221,6 +228,22 @@ class PulsarLiteStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:  # broker keeps the full log (replayable)
         pass
+
+
+class PulsarLiteBatchReader(DataSourceReader):
+    """Batch (backfill) read of whole topics — the `spark.read` twin of the
+    stream reader, for replaying a topic's full history into a batch job
+    (the reference re-reads its Pulsar topics the same way for offline
+    analysis). One partition per topic; decode on executors."""
+
+    def __init__(self, options: dict):
+        self._stream = PulsarLiteStreamReader(options)
+
+    def partitions(self) -> list[TopicSlice]:
+        return self._stream.partitions({}, self._stream.latestOffset())
+
+    def read(self, partition: TopicSlice) -> Iterator[tuple]:
+        return self._stream.read(partition)
 
 
 @dataclasses.dataclass
@@ -310,6 +333,9 @@ class PulsarLiteDataSource(DataSource):
 
     def schema(self) -> StructType:
         return SCHEMA
+
+    def reader(self, schema: StructType) -> PulsarLiteBatchReader:
+        return PulsarLiteBatchReader(self.options)
 
     def streamReader(self, schema: StructType) -> PulsarLiteStreamReader:
         return PulsarLiteStreamReader(self.options)

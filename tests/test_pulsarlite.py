@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dipa_collaborative_pulsar_idps_spark.sources import pulsarlite
 from dipa_collaborative_pulsar_idps_spark.sources.pulsar import (
+    pulsar_backfill_reader,
     pulsar_sink_writer,
     pulsar_source_reader,
 )
@@ -178,3 +179,81 @@ def test_ep2_end_to_end_through_pulsar_path(spark, broker, tmp_path):
     one_pass("second")  # fresh checkpoint: full topic replay
     ledger2 = spark.read.parquet(str(tmp_path / "ledger"))
     assert ledger2.select("__key").distinct().count() == 2
+
+
+def test_backfill_batch_read(spark, broker):
+    """Offline replay: spark.read over the broker returns every message of
+    every matching topic with its topic key — the batch twin of A5/A6."""
+    pulsarlite.seed_topic(broker, "update1", ["h1@23@40.0", "h2@23@10.0"])
+    pulsarlite.seed_topic(broker, "update2", ["h3@80@9.0"])
+    df = pulsar_backfill_reader(
+        spark, f"pulsarlite://{broker}", "update.*", fmt="pulsarlite"
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r["topic"] for r in rows} == {"update1", "update2"}
+
+
+def test_ep4_global_view_through_pulsar_multi_topic(spark, broker, tmp_path):
+    """EP4 riding the broker transport: per-subnet update{i} topics fan in
+    via topicsPattern, vm derived from the topic name
+    (threaded_consumer.py:38-44), chained windowed aggregates downstream.
+    Two availableNow passes share one checkpoint, so this also proves
+    offset recovery across restarts on the broker source: pass 1 ingests
+    the data window, pass 2 ingests a later flush message whose event time
+    closes the window and triggers the append-mode emission."""
+    import datetime as dt
+
+    from dipa_collaborative_pulsar_idps_spark.functions.parsing import parse_update
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import ep4_global_view
+
+    base_us = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    # two subnets inside window [00:00, 01:00): rates 100/200/300/400
+    pulsarlite.seed_topic(broker, "update1", ["h1@23@100.0", "h2@23@200.0"], start_us=base_us)
+    pulsarlite.seed_topic(broker, "update2", ["h3@80@300.0", "h4@80@400.0"], start_us=base_us)
+
+    def one_pass(name):
+        stream = pulsar_source_reader(
+            spark, f"pulsarlite://{broker}", "update[0-9]+",
+            fmt="pulsarlite", starting_offsets="earliest",
+        )
+        upd = parse_update(F.col("value"))
+        updates = stream.select(
+            F.col("msg_ts"),
+            F.regexp_extract("topic", r"update(\d+)", 1).alias("vm"),
+            upd.getField("src").alias("src"),
+            upd.getField("dst_port").alias("port"),
+            upd.getField("rate").alias("rate"),
+        )
+        gv = ep4_global_view(updates, window="1 hour", watermark="0 seconds")
+        out = tmp_path / "ep4_out"
+
+        def emit(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(out))
+
+        q = (
+            gv.writeStream.foreachBatch(emit)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ep4"))  # SHARED
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not out.exists():
+            return []
+        return spark.read.parquet(str(out)).collect()
+
+    assert one_pass("t_ep4_a") == []  # watermark not past window end yet
+
+    # two flush batches (one per restart): batch N's events only advance the
+    # watermark used by batch N+1, so the first flush raises the watermark
+    # past 01:00 and the second triggers the closed-window emission.
+    flush_us = base_us + 2 * 3600 * 1_000_000
+    pulsarlite.seed_topic(broker, "update1", ["x@0@0.0"], start_us=flush_us)
+    one_pass("t_ep4_b")
+    pulsarlite.seed_topic(broker, "update1", ["x@0@0.0"], start_us=flush_us + 60_000_000)
+    rows = [r for r in one_pass("t_ep4_c") if r["n_keys"] > 1]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_keys"] == 4 and r["global_mean"] == 250.0
+    assert abs(r["global_std"] - 111.803) < 0.001
