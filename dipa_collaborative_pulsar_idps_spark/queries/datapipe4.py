@@ -192,6 +192,56 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("vec_id"), "component")
 
 
+@query(
+    "near_dup_keep_canonical",
+    survey="ext-dedup",
+    oracle="""
+WITH RECURSIVE
+v AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS x, b.vec_id AS y
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.e, b.e) >= 0.4
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+walk(node, reach) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT w.node, e.y FROM walk w JOIN edges e ON w.reach = e.x
+),
+comp AS (SELECT node AS vec_id, MIN(reach) AS component FROM walk GROUP BY node)
+SELECT component AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups_removed
+FROM comp GROUP BY component
+""",
+)
+def near_dup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT step: collapse each near-dup cluster to
+    its canonical survivor (min vec_id = the component label) and report
+    how much the corpus shrank per cluster. Downstream, the deduped corpus
+    is `embeddings JOIN (survivors) ON vec_id == keep_id` — one broadcast-
+    or key-partitioned semi-join; the heavy lifting (pair generation,
+    transitive closure) is the same bounded-shuffle machinery as
+    `near_dup_components`, so the materialization adds one |V|-row
+    aggregate, nothing corpus-squared."""
+    from ..functions.similarity import cosine_pairs_blocked
+
+    t = Tables(spark, sf_dir)
+    pairs = cosine_pairs_blocked(t.embeddings, threshold=0.4)
+    comp = connected_components(
+        pairs.select(F.col("keep_id").alias("src"), F.col("dup_id").alias("dst")),
+        nodes=t.embeddings.select("vec_id"),
+    )
+    return comp.groupBy(F.col("component").alias("keep_id")).agg(
+        F.count("*").alias("cluster_size"),
+        (F.count("*") - F.lit(1)).alias("n_dups_removed"),
+    )
+
+
 @query("approx_price_percentiles", survey="D-ext-scale")
 def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (streaming-mergeable sketch) — the 100 TB quantile
