@@ -76,6 +76,16 @@ def main() -> None:
 
     # warm the JVM/catalog once so per-query numbers measure the queries
     run_once(headline[0])
+    # ... and the Python UDF workers: the first Arrow-UDF stage otherwise
+    # pays ~5 s of fork+import(numpy/pandas) across the worker pool, which
+    # would land on whichever ANN query happens to run first.
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda v: v * 1.0, "double")
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(256).repartition(n_workers).select(
+        _warm(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in headline + others:

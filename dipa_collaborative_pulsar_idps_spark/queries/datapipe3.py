@@ -86,6 +86,22 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hex_portable(t.documents).select(F.col("id").alias("doc_id"), "simhash_hex")
 
 
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ANN corpus prep: data-proportional partitioning (NOT a fixed
+    32-way shred — see plans/sizing.py) + persist, because the IVF build
+    makes several passes over it (count, bounded training sample, list
+    assignment) before the search does its own. One scan, many consumers —
+    the 'build once, serve many' shape the persisted-index path
+    (functions/ivf.save_ivf_index) takes to disk."""
+    from ..plans.sizing import right_size
+
+    t = Tables(spark, sf_dir)
+    emb = right_size(t.embeddings, "vec_id").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    return emb.persist()
+
+
 @query("ann_topk_ivf_neighbors", survey="ext-sim")
 def ann_topk_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted lists, seeded/deterministic) top-5 neighbors
@@ -94,11 +110,7 @@ def ann_topk_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline asserted in tests/test_dedup.py."""
     from ..functions.ivf import build_ivf_index, ivf_search
 
-    t = Tables(spark, sf_dir)
-    n_part = spark.sparkContext.defaultParallelism
-    emb = t.embeddings.repartition(n_part, "vec_id").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
-    )
+    emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
@@ -113,8 +125,7 @@ def ann_topk_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors for the first 50 query vectors via
     8 random hyperplanes + multi-probe radius 2. No SQL oracle (approximate
     by design); recall vs the exact baseline is asserted in tests."""
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
@@ -157,11 +168,7 @@ def ann_topk_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall test)."""
     from ..functions.ivf import build_ivf_index, ivf_search
 
-    t = Tables(spark, sf_dir)
-    n_part = spark.sparkContext.defaultParallelism
-    emb = t.embeddings.repartition(n_part, "vec_id").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
-    )
+    emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
@@ -176,8 +183,7 @@ def ann_topk_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane LSH with probe_radius == n_planes: all 2^n buckets probed
     → candidates are the whole corpus and the result equals brute force —
     the oracle-checkable configuration of the LSH path."""
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
