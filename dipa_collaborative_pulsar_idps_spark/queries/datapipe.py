@@ -112,6 +112,83 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_funnel",
+    survey="ext-text,ext-dedup,ext-curation",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, text, n_chars,
+           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+    WHERE lang = 'en'
+), quality AS (
+    SELECT * FROM tok
+    WHERE LEN(tokens) >= 20
+      AND CAST(n_chars AS DOUBLE) / LEN(tokens) <= 15.0
+      AND LEN(LIST_FILTER(tokens, x -> x IN ('the','a','of','and','to')))
+          * 1.0 / LEN(tokens) >= 0.01
+), deduped AS (
+    SELECT * FROM (
+        SELECT doc_id, n_chars, tokens,
+               MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep_id
+        FROM quality
+    ) WHERE doc_id = keep_id
+)
+SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(tokens)) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM deduped
+GROUP BY split
+""",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as ONE declarative query:
+    language gate (the lang column an upstream langid pass materialized)
+    → quality gate (length, avg-token-len, stopword-density) → exact dedup
+    (keep the min doc_id per content hash) → deterministic Knuth-hash
+    split stats.
+
+    100 TB shape: the language + quality gates are map-side codegen over
+    the scan (lang is a plain pushable predicate — with a lang-partitioned
+    lake layout it prunes whole directories), dedup is the funnel's ONE
+    wide shuffle — on md5(text), AFTER the gates have already discarded
+    non-target rows, so the shuffle carries only survivors — and the split
+    rollup is a 3-group partial aggregate. Filter-before-shuffle ordering
+    is the whole game at scale; Catalyst keeps it because the gates are
+    plain predicates."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = (
+        t.documents.where(F.col("lang") == "en")
+        .select("doc_id", "text", "n_chars", toks.alias("tokens"))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    stop_hits = F.size(F.filter(F.col("tokens"), lambda x: F.array_contains(stop_arr, x)))
+    quality = d.where(
+        (F.size("tokens") >= 20)
+        & (F.col("n_chars").cast("double") / F.size("tokens") <= 15.0)
+        & (stop_hits * F.lit(1.0) / F.size("tokens") >= 0.01)
+    )
+    from pyspark.sql.window import Window
+
+    keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    deduped = quality.withColumn("keep_id", keep).where(F.col("doc_id") == F.col("keep_id"))
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), F.size("tokens").alias("n_tokens"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "embedding_norms",
     survey="ext-sim",
     oracle="""
