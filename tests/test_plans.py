@@ -99,3 +99,35 @@ def test_interval_join_is_not_nested_loop(spark, sf_dir):
     df = REGISTRY["interval_join_error_burst"].fn(spark, sf_dir)
     txt = plan_text(df)
     assert "BroadcastNestedLoopJoin" not in txt and "CartesianProduct" not in txt, txt
+
+
+def test_curation_funnel_filters_before_single_wide_shuffle(spark, sf_dir):
+    """The funnel's gates must reach the scan (lang pushed, columns pruned)
+    and the only WIDE shuffle is the content-hash dedup — at 100 TB the
+    shuffle must carry survivors, not the raw corpus."""
+    df = REGISTRY["curation_funnel"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "EqualTo(lang,en)" in txt, "lang gate not pushed to parquet scan"
+    pruned = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert pruned and "embedding" not in pruned[0] and "title" not in pruned[0]
+    assert txt.count("Exchange hashpartitioning") <= 2  # md5 window + 3-row agg
+    assert_no_python_udf(df)
+
+
+def test_right_size_tracks_data_volume(spark, sf_dir):
+    """Partition sizing must be data-proportional: a KB-scale table gets few
+    partitions (not a defaultParallelism shred), and the count is clamped by
+    defaultParallelism at the top end."""
+    from dipa_collaborative_pulsar_idps_spark.plans.sizing import (
+        sized_partition_count,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    small = sized_partition_count(emb)
+    assert 1 <= small <= 4, f"tiny corpus should get few partitions, got {small}"
+    # inflate models downstream explosion; fan lifts the clamp for
+    # compute-bound stages — both must grow the count monotonically
+    big = sized_partition_count(emb, inflate=10_000.0)
+    cap = spark.sparkContext.defaultParallelism
+    assert big == cap
+    assert sized_partition_count(emb, inflate=10_000.0, fan=4) == 4 * cap
