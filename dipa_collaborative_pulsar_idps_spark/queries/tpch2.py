@@ -566,3 +566,144 @@ def scalar_conditionals_and_regex(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise("credit")
         .alias("bal_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Third wave: Q12/Q13/Q21 shapes adapted to the slim schema (no shipmode /
+# commitdate / receiptdate → lateness is derived from l_shipdate vs
+# o_orderdate; Q2/Q11/Q16/Q20 are unadaptable without partsupp and stay out).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q12_late_lines_by_priority",
+    survey="E-ext,D1,J12",
+    oracle="""
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' ELSE 'low' END
+           AS priority_class,
+       CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+            WHEN DATE_DIFF('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+            ELSE 'slow' END AS delay_bucket,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+""",
+)
+def tpch_q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape on the slim schema: fact-fact join bucketed by TWO derived
+    CASE classes (priority band × shipping-delay band). One orderkey
+    shuffle; the CASEs are codegen over the joined row."""
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    pclass = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("slow")
+    )
+    return (
+        j.select(pclass.alias("priority_class"), bucket.alias("delay_bucket"))
+        .groupBy("priority_class", "delay_bucket")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+@query(
+    "tpch_q13_customer_order_distribution",
+    survey="E-ext,D1,D4",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: customer order-count histogram — LEFT join with an extra join
+    predicate (the ON-clause filter must NOT become a WHERE: customers with
+    zero qualifying orders stay, at count 0), two-level aggregation. The
+    second aggregate's input is |customers| rows, so the histogram shuffle
+    is tiny regardless of fact size."""
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    survey="E-ext,B14,F1",
+    oracle="""
+WITH base AS (
+    SELECT l_orderkey, l_suppkey, o_orderstatus,
+           l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM base l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.late AND l1.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM base l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM base l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the sole-blame supplier scan — EXISTS (another supplier
+    touched the order) + NOT EXISTS (no OTHER supplier was late) as
+    left-semi + left-anti self-joins on the orderkey-keyed fact. 'Late' is
+    derived (shipdate > orderdate + 90d) since the slim schema has no
+    receipt/commit dates. All three legs share the l_orderkey partitioning;
+    supplier/nation dims broadcast."""
+    t = Tables(spark, sf_dir)
+    base = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_orderstatus", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "o_orderstatus",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = base.where(F.col("late") & (F.col("o_orderstatus") == "F"))
+    l2 = base.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = base.where(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = (
+        l1.join(
+            l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
