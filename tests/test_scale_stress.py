@@ -1,0 +1,99 @@
+"""Scale-stress proofs: the dedup/ANN paths at 10-40× the driver fixture,
+with PLANTED ground truth — the 'would this survive a scale-up' question
+answered with data instead of assertion. Corpora are seeded-hash synthetic
+(deterministic, no RNG state), generated distributed via spark.range — no
+driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+N_DOCS = 20_000
+N_PLANTED = 100
+
+
+def _token(expr_i, vocab=5000):
+    return F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id") * 1000 + expr_i), F.lit(vocab)))
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(spark):
+    """20k random-soup docs + 100 near-dup copies (2 of 40 tokens changed,
+    Jaccard ≈ 0.9 on 3-gram shingles ≫ threshold)."""
+    toks = 40
+    base = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(toks)), lambda i: _token(i)), " "
+        ).alias("text"),
+    )
+    dups = spark.range(N_PLANTED).select(
+        (F.col("id") + N_DOCS).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(toks)),
+                lambda i: F.when(i <= 2, F.concat(F.lit("x"), i)).otherwise(_token(i)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return base.unionAll(dups)
+
+
+def test_minhash_lsh_finds_planted_dups_at_20k_docs(spark, planted_corpus):
+    """Full shingle→minhash→band-bucket→exact-verify chain at 20k docs:
+    every planted near-dup found, zero false positives among 20k random
+    soups (a random-pair 3-gram collision is ~impossible), and the LSH
+    candidate set stayed sub-quadratic (the run finishing in seconds IS the
+    evidence — the brute-force oracle at this size is ~200M pair scans)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    pairs = minhash_near_dup_pairs(planted_corpus, threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(i, i + N_DOCS) for i in range(N_PLANTED)}
+    assert found == planted
+
+
+def test_ivf_recall_holds_at_20k_vectors(spark):
+    """IVF ANN at 20k×64 synthetic vectors: planted per-query near-neighbor
+    (a small perturbation of the query) must surface in the top-5 for ≥90%
+    of 50 queries with a 4/16-list probe — recall at 10× the fixture size,
+    built and searched fully distributed."""
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    n, dim = 20_000, 64
+    # deterministic pseudo-gaussian-ish coords in [-1, 1)
+    coord = lambda j: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("id") * F.lit(dim) + F.lit(j)), F.lit(2000)) / 1000.0 - 1.0
+    )
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*[coord(j) for j in range(dim)]).alias("e")
+    )
+    # queries: vectors 0..49 perturbed by +0.01 on one coordinate → their
+    # nearest neighbor by cosine is (almost surely) the original vector.
+    # query_id is offset so the engine's self-match exclusion (same id)
+    # doesn't suppress the planted neighbor.
+    queries = (
+        vecs.where(F.col("vec_id") < 50)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("query_id"),
+            F.concat(
+                F.slice("e", 1, dim - 1),
+                F.array(F.element_at("e", dim) + F.lit(0.01)),
+            ).alias("qe"),
+        )
+    )
+    assigned, cents = build_ivf_index(vecs, dim=dim, n_list=16)
+    hits = (
+        ivf_search(assigned.persist(), cents, queries, k=5, n_probe=4)
+        .where(F.col("neighbor_id") == F.col("query_id") - F.lit(1_000_000))
+        .count()
+    )
+    assert hits >= 45, f"recall@5 too low at 20k: {hits}/50"
