@@ -75,6 +75,49 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cosine_near_dup_pairs_lsh_exhaustive",
+    survey="ext-dedup,ext-sim",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+)
+SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       ROUND(LIST_COSINE_SIMILARITY(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.e, b.e) >= 0.4
+""",
+)
+def cosine_near_dup_pairs_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate generator with every bucket probed
+    (probe_radius = n_planes): candidates degenerate to all pairs, so the
+    result must EQUAL the exact pair set — full value-level oracle for the
+    bucket/probe/verify machinery (the production config below keeps a
+    recall test instead)."""
+    from ..functions.similarity import cosine_pairs_lsh
+
+    t = Tables(spark, sf_dir)
+    return cosine_pairs_lsh(
+        t.embeddings, threshold=0.4, dim=64, n_planes=4, probe_radius=4
+    ).withColumn("cosine", F.round("cosine", 6))
+
+
+@query("cosine_near_dup_pairs_lsh", survey="ext-dedup,ext-sim")
+def cosine_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION near-dup pair path: hyperplane-LSH candidates (P=8
+    planes, multi-probe radius 2 → ~14% of the quadratic candidate mass)
+    + exact verify. Deterministic (seeded planes) but approximate —
+    declared rows-only; recall ≥ 0.9 on planted near-dups asserted in
+    tests/test_scale_stress.py at 20k vectors."""
+    from ..functions.similarity import cosine_pairs_lsh
+
+    t = Tables(spark, sf_dir)
+    return cosine_pairs_lsh(
+        t.embeddings, threshold=0.4, dim=64, n_planes=8, probe_radius=2
+    ).withColumn("cosine", F.round("cosine", 6))
+
+
+@query(
     "embedding_centroid_by_label",
     survey="ext-sim,D1",
     oracle="""

@@ -97,3 +97,41 @@ def test_ivf_recall_holds_at_20k_vectors(spark):
         .count()
     )
     assert hits >= 45, f"recall@5 too low at 20k: {hits}/50"
+
+
+def test_lsh_pair_path_recall_on_planted_neardups(spark):
+    """The production cosine_pairs_lsh (P=8, radius 2) must recover ≥90% of
+    planted high-cosine pairs at 20k vectors, and exact-verification means
+    zero false positives above the threshold by construction."""
+    from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    n, dim = 20_000, 64
+    coord = lambda j: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("id") * F.lit(dim) + F.lit(j)), F.lit(2000)) / 1000.0 - 1.0
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*[coord(j) for j in range(dim)]).alias("embedding")
+    )
+    # planted near-dups: copies of vectors 0..99 with one coordinate nudged
+    dups = (
+        spark.range(100)
+        .select(
+            (F.col("id") + n).alias("vec_id"),
+            F.array(*[coord(j) for j in range(dim)]).alias("e0"),
+        )
+        .select(
+            "vec_id",
+            F.concat(
+                F.slice("e0", 1, dim - 1), F.array(F.element_at("e0", dim) + F.lit(0.05))
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionAll(dups)
+    pairs = (
+        cosine_pairs_lsh(corpus, threshold=0.9, dim=dim, n_planes=8, probe_radius=2)
+        .where((F.col("dup_id") >= n) & (F.col("keep_id") == F.col("dup_id") - n))
+        .count()
+    )
+    assert pairs >= 90, f"LSH pair recall too low: {pairs}/100"
