@@ -112,6 +112,62 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_score",
+    survey="ext-text",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+), gr AS (
+    SELECT doc_id, tokens,
+           LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tokens) - 1, 1)),
+               i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]) AS grams
+    FROM tok WHERE LEN(tokens) >= 3
+)
+SELECT doc_id,
+       LEN(grams) AS n_grams,
+       ROUND(1.0 - CAST(LEN(LIST_DISTINCT(grams)) AS DOUBLE) / LEN(grams), 6)
+           AS dup_gram_ratio,
+       ROUND(CAST(LEN(tokens) - LEN(LIST_DISTINCT(tokens)) AS DOUBLE) / LEN(tokens), 6)
+           AS dup_token_ratio
+FROM gr
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals — the standard boilerplate/spam gates a
+    curation pipeline runs beside length/stopword checks: fraction of
+    duplicated 3-grams and duplicated tokens per document. Pure
+    higher-order-function codegen over the scan (no shuffle, no Python);
+    at 100 TB this is a map-only pass that composes into `curation_funnel`
+    as one more pushable predicate."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = t.documents.select("doc_id", toks.alias("tokens")).where(F.size("tokens") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tokens") - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("tokens", i),
+            F.element_at("tokens", i + F.lit(1)),
+            F.element_at("tokens", i + F.lit(2)),
+        ),
+    )
+    g = d.select("doc_id", "tokens", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"), 6
+        ).alias("dup_gram_ratio"),
+        F.round(
+            (F.size("tokens") - F.size(F.array_distinct("tokens"))).cast("double")
+            / F.size("tokens"),
+            6,
+        ).alias("dup_token_ratio"),
+    )
+
+
+@query(
     "curation_funnel",
     survey="ext-text,ext-dedup,ext-curation",
     oracle="""
