@@ -338,6 +338,7 @@ def cosine_pairs_lsh(
     (recall test in tests/test_scale_stress.py); ``probe_radius >=
     n_planes`` probes every bucket and reproduces the exact pair set
     (the oracle-checkable configuration)."""
+    thr = float(threshold)
     v = emb.select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e"))
     sig = hyperplane_signature(v, "e", dim, n_planes)
     masks = _probe_masks(n_planes, probe_radius)
@@ -349,10 +350,39 @@ def cosine_pairs_lsh(
         F.col("e").alias("ea"),
     )
     other = sig.select("bucket", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
-    cand = probed.join(other, "bucket").where(F.col("id_a") < F.col("id_b"))
-    cos = cosine_cols(F.col("ea"), F.col("eb"))
-    return cand.select(
-        F.col("id_a").alias("keep_id"),
-        F.col("id_b").alias("dup_id"),
-        cos.alias("cosine"),
-    ).where(F.col("cosine") >= F.lit(float(threshold)))
+
+    # Verification cogroups on the bucket and runs ONE normalized A @ Bᵀ per
+    # bucket (the grouped_topk_scores shape): each vector crosses Arrow once
+    # per probed bucket instead of once per candidate PAIR, and the cosine is
+    # BLAS instead of a per-element interpreted HOF — the difference between
+    # O(candidates·d) lambda evals and a handful of matmuls.
+    def fn(probe_pdf: pd.DataFrame, other_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "keep_id": pd.Series([], dtype="int64"),
+                "dup_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(probe_pdf) or not len(other_pdf):
+            return empty
+        aid = probe_pdf["id_a"].to_numpy(dtype=np.int64)
+        bid = other_pdf["id_b"].to_numpy(dtype=np.int64)
+        am = np.array(probe_pdf["ea"].tolist(), dtype=np.float64)
+        bm = np.array(other_pdf["eb"].tolist(), dtype=np.float64)
+        sims = (am / np.linalg.norm(am, axis=1, keepdims=True)) @ (
+            bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        ).T
+        mask = (sims >= thr) & (aid[:, None] < bid[None, :])
+        ai, bj = np.nonzero(mask)
+        if not len(ai):
+            return empty
+        return pd.DataFrame(
+            {"keep_id": aid[ai], "dup_id": bid[bj], "cosine": sims[ai, bj]}
+        )
+
+    return (
+        probed.groupBy("bucket")
+        .cogroup(other.groupBy("bucket"))
+        .applyInPandas(fn, "keep_id long, dup_id long, cosine double")
+    )
