@@ -271,3 +271,47 @@ def ep4_global_view(
         F.stddev_pop("mean_rate").alias("global_std"),
         F.count("*").alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation: the unbounded-log twin of queries/datapipe.py
+# curation_funnel — documents arriving as a stream, gated and deduplicated
+# online. Beyond the reference (it has no document pipeline); part of the
+# engine's LLM-training-data surface.
+# ---------------------------------------------------------------------------
+
+
+def streaming_curation(
+    docs: DataFrame,
+    *,
+    lang: str = "en",
+    min_tokens: int = 20,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming curation: language + length gates (stateless codegen) →
+    exact content dedup via ``dropDuplicates`` on md5(text) bounded by an
+    event-time watermark.
+
+    Input: (ingest_ts timestamp, doc_id long, lang string, text string).
+    Output: the surviving rows + content_hash, each content emitted ONCE
+    per watermark horizon.
+
+    100 TB notes: the gates discard before the dedup shuffle (same
+    filter-before-shuffle ordering as the batch funnel); dedup state is
+    keyed by content hash and EVICTED once the watermark passes — without
+    the watermark, streaming dropDuplicates state grows forever. Exactly
+    the RocksDB-state-store shape (session.py) for corpus-scale key
+    counts. A duplicate arriving after the horizon re-emits: at-least-once
+    dedup over an unbounded stream is inherently horizon-bounded; the
+    downstream lake merge (storage.py compaction) is the global backstop.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    gated = (
+        docs.where(F.col("lang") == lang)
+        .withColumn("n_tokens", F.size(toks))
+        .where(F.col("n_tokens") >= min_tokens)
+        .withColumn("content_hash", F.md5("text"))
+    )
+    return gated.withWatermark("ingest_ts", watermark).dropDuplicates(
+        ["content_hash"]
+    )

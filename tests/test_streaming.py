@@ -570,3 +570,45 @@ def test_accuracy_matrix_detects_all_planted_bots(spark, replay_dir, n_flows, n_
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_curation_dedups_across_batches(spark, replay_dir):
+    """Streaming curation funnel: planted cross-batch duplicate content is
+    emitted once, gated rows never appear, and the dedup state is
+    watermark-bounded (the query runs with an event-time watermark)."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        streaming_curation,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import run_to_memory
+
+    base = dt.datetime(2024, 1, 1)
+    long_text = " ".join(f"w{i}" for i in range(30))
+    schema = "ingest_ts timestamp, doc_id long, lang string, text string"
+    b0 = [
+        (base, 1, "en", long_text),                      # survivor
+        (base, 2, "en", "too short"),                    # gated: length
+        (base, 3, "de", long_text + " de"),              # gated: lang
+        (base, 4, "en", long_text),                      # dup of 1, same batch
+    ]
+    b1 = [
+        (base + dt.timedelta(seconds=10), 5, "en", long_text),        # dup, next batch
+        (base + dt.timedelta(seconds=10), 6, "en", long_text + " x"), # new content
+    ]
+    import time as _t
+
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            replay_dir
+        )
+        _t.sleep(0.05)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        replay_dir
+    )
+    q = run_to_memory(
+        streaming_curation(stream), "curated_docs", output_mode="append"
+    )
+    got = {r.doc_id for r in spark.table("curated_docs").collect()}
+    q.stop()
+    # one doc per distinct surviving content: {1 or 4} and 6
+    assert 6 in got and len(got) == 2 and got & {1, 4}
+    assert got.isdisjoint({2, 3, 5})
