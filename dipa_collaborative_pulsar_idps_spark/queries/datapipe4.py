@@ -236,6 +236,46 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_event_type_totals",
+    survey="D1-scale,ext-skew",
+    oracle="""
+SELECT event_type,
+       -- decimal-quantized terms: the salted two-phase sum changes the
+       -- summation order, so double addition would drift by ulps
+       CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe aggregation declared as a first-class query: two-phase
+    salted sum/count over `event_type` (5 heavy keys — exactly the shape
+    where one hot key OOMs a shuffle partition at 100 TB). Result is
+    provably identical to the direct groupBy (algebraic aggregates; DuckDB
+    oracle runs the direct form); the salt bounds every phase-1 shuffle
+    partition at ~1/n_salts of the hot key's mass. Property equivalence is
+    also tested in tests/test_scale_strategies.py."""
+    from ..operators.skew import salted_sum
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type", F.col("value").cast("decimal(28,6)").alias("value")
+    )
+    sums = salted_sum(ev, ["event_type"], "value", n_salts=16, out_col="total_value")
+    salt = F.pmod(F.xxhash64("value"), F.lit(16)).alias("__salt")
+    counts = (
+        ev.select("event_type", salt)
+        .groupBy("event_type", "__salt")
+        .agg(F.count("*").alias("__p"))
+        .groupBy("event_type")
+        .agg(F.sum("__p").alias("n_events"))
+    )
+    return sums.withColumn("total_value", F.col("total_value").cast("double")).join(
+        counts, "event_type"
+    )
+
+
+@query(
     "near_dup_keep_canonical",
     survey="ext-dedup",
     oracle="""
