@@ -41,9 +41,12 @@ def protocol_classifier(
 def parse_alert(value: Column) -> Column:
     """"<ip>@BOT" / "<ip>@CNC" / "<cnc_ip>@<percent>" → struct(ip, kind, pct)
     (producer DIPA_Controller.py:333-342,352; consumer :367-373)."""
+    # F.get (not getItem/element_at): returns NULL for a missing index under
+    # ANSI mode — a delimiter-less or truncated message must parse to NULL
+    # fields and fall out of the kind-branch filters, never kill the stream.
     parts = F.split(value, "@")
-    head = F.trim(parts.getItem(0))
-    tail = F.trim(parts.getItem(1))
+    head = F.trim(F.get(parts, 0))
+    tail = F.trim(F.get(parts, 1))
     is_pct = tail.rlike(r"^[0-9]+(\.[0-9]+)?$")
     return F.struct(
         head.alias("ip"),
@@ -61,9 +64,9 @@ def parse_update(value: Column) -> Column:
     """"<src>@<dst_port>@<rate>" → struct (demo4.py:360-361)."""
     parts = F.split(value, "@")
     return F.struct(
-        F.trim(parts.getItem(0)).alias("src"),
-        parts.getItem(1).cast("int").alias("dst_port"),
-        parts.getItem(2).cast("double").alias("rate"),
+        F.trim(F.get(parts, 0)).alias("src"),
+        F.get(parts, 1).try_cast("int").alias("dst_port"),
+        F.get(parts, 2).try_cast("double").alias("rate"),
     )
 
 
@@ -72,6 +75,6 @@ def parse_timer(value: Column) -> Column:
     consumed threaded_consumer.py:54-59)."""
     parts = F.split(value, "@")
     return F.struct(
-        parts.getItem(0).cast("double").alias("control_plane_s"),
-        F.to_timestamp(parts.getItem(1), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sent_ts"),
+        F.get(parts, 0).try_cast("double").alias("control_plane_s"),
+        F.to_timestamp(F.get(parts, 1), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sent_ts"),
     )

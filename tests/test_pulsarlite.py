@@ -257,3 +257,60 @@ def test_ep4_global_view_through_pulsar_multi_topic(spark, broker, tmp_path):
     r = rows[0]
     assert r["n_keys"] == 4 and r["global_mean"] == 250.0
     assert abs(r["global_std"] - 111.803) < 0.001
+
+
+def test_torn_append_never_yields_partial_record(spark, broker):
+    """A reader planned while a producer is mid-append must clamp to the
+    last complete line: the torn tail is invisible until its newline lands,
+    then surfaces whole."""
+    pulsarlite.seed_topic(broker, "mirai", ["10.0.0.2@BOT"])
+    log = os.path.join(broker, "mirai.jsonl")
+    # simulate a producer caught mid-write: append half a record, no newline
+    full_line = pulsarlite.encode_message(b"10.0.0.9@CNC", None, "none", 1)
+    with open(log, "a", encoding="ascii") as f:
+        f.write(full_line[: len(full_line) // 2])
+    r = pulsarlite.PulsarLiteStreamReader(
+        {"service.url": f"pulsarlite://{broker}", "topicspattern": "mirai"}
+    )
+    end = r.latestOffset()
+    vals = [v for p in r.partitions({}, end) for (_, _, _, v) in r.read(p)]
+    assert vals == [b"10.0.0.2@BOT"]  # torn record excluded
+    with open(log, "a", encoding="ascii") as f:  # writer finishes the line
+        f.write(full_line[len(full_line) // 2 :] + "\n")
+    vals2 = [v for p in r.partitions({}, r.latestOffset()) for (_, _, _, v) in r.read(p)]
+    assert vals2 == [b"10.0.0.2@BOT", b"10.0.0.9@CNC"]
+
+
+def test_ep2_skips_malformed_messages(spark, broker, tmp_path):
+    """Garbage on the alert topic (no '@', empty payload, unknown kind) must
+    not crash the pipeline or fire actions — only well-formed alerts act."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.fixtures import hosts_dim
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import ep2_collaboration
+    from dipa_collaborative_pulsar_idps_spark.streaming.sinks import MitigationSink
+
+    pulsarlite.seed_topic(
+        broker,
+        "mirai",
+        ["garbage-no-delimiter", "", "10.0.0.7@FROB", "@@@", "10.0.0.2@BOT"],
+    )
+    stream = pulsar_source_reader(
+        spark, f"pulsarlite://{broker}", "mirai",
+        fmt="pulsarlite", starting_offsets="earliest",
+    ).select("msg_ts", "topic", "value", F.lit("t").alias("producer"))
+    # malformed/unknown messages surface as auditable IGNORE rows (never a
+    # stream crash — parse_alert is ANSI-null-safe); the mitigation sink
+    # receives only actionable rows
+    actions = ep2_collaboration(stream, hosts_dim(spark)).where(
+        F.col("action") != "IGNORE"
+    )
+    sink = MitigationSink(str(tmp_path / "ledger"), key_cols=["action", "ip"])
+    q = (
+        actions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    keys = {r["__key"] for r in ledger.select("__key").collect()}
+    assert len(keys) == 1 and any("10.0.0.2" in k for k in keys)
