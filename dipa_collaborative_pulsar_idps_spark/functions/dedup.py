@@ -58,25 +58,29 @@ def toks_on(col_name: str):
 def minhash_signatures(
     shingled: DataFrame, num_perm: int = 32, seed: int = 42
 ) -> DataFrame:
-    """(id, sig array<bigint>) via one explode + num_perm min-aggregates.
+    """(id, sig array<bigint>) as a PURE map-side pass: base hashes once per
+    shingle (``transform``), then one ``array_min(transform(...))`` per
+    permutation — h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p,
+    p = 2^31-1, all JVM codegen.
 
-    h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p, p = 2^31-1 —
-    JVM-side, codegen.
-
-    The input is repartitioned on id before the explode: a compact doc table
-    arrives in few partitions, and the shingle explosion (~100× row blowup ×
-    num_perm expressions) is the compute-heavy stage — it must fan out
-    across cores/executors, not run where the file split landed."""
+    Formerly an explode + num_perm min-aggregates; the higher-order form
+    computes the identical signatures (verified bit-equal) with ZERO
+    shuffle and without materializing the ~100× shingle row blowup — at
+    100 TB the signature stage becomes embarrassingly parallel map work
+    that chains straight into the band explode."""
     perms = _permutations(num_perm, seed)
-    ex = shingled.select("id", F.explode("shingles").alias("shingle")).withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(_PRIME))
+    withh = shingled.withColumn(
+        "h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
     )
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_PRIME))).alias(f"m{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
-    agg = ex.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_PRIME)))
+            )
+            for (a, b) in perms
+        ]
+    )
+    return withh.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
