@@ -157,13 +157,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash single-row-band blocker + exact verification (the scale
     form of the lang-blocked O(n²) scan, which took ~170 s at sf0.1):
     candidates are doc pairs sharing ≥1 of 32 per-permutation min-hashes —
-    P[candidate] = 1-(1-J)^32, i.e. ≥ 0.9992 at the J=0.2 threshold and
-    ~32·J ≈ 0 for the unrelated-pair mass (random word soups share almost
-    no exact 3-gram), so the candidate set is essentially the true pair
-    set. Every candidate is then EXACT-verified with array_intersect and
-    the same-lang block applied, so false positives are impossible and the
-    result matches the brute-force oracle (checked at sf0.001/0.01 by the
-    harness and against the exact scan at sf0.1 in tests)."""
+    P[candidate] = 1-(1-J)^32 ≥ 0.9992 at the J=0.2 threshold, which is
+    what EXACT oracle parity demands (a missed true pair = hash mismatch).
+    The flip side: on a shared-vocabulary corpus the low-J tail also
+    collides often (this synthetic fixture yields ~290k candidates at
+    sf0.1 for 6 true pairs — real web text with diverse vocab is far
+    sparser), so the dominant cost is the exact array_intersect
+    verification of candidates; still ~40× below the quadratic pair mass,
+    and banding (bands × rows_per_band) is the recall/candidate-volume
+    dial when exactness is not contractual. False positives are impossible
+    (every candidate exact-verified, same-lang block applied); result
+    matches the brute-force oracle at every checked SF."""
     from ..functions.dedup import lsh_candidate_pairs, minhash_signatures, shingle_sets
 
     t = Tables(spark, sf_dir)
