@@ -1,0 +1,67 @@
+"""The spark.sql() surface: the engine's tables register as views and the
+headline semantics are expressible as plain Spark SQL, agreeing exactly
+with the DataFrame forms (same expressions → same Catalyst plans → same
+results, bit-for-bit). A reference user who prefers SQL strings over the
+DataFrame API gets the same engine.
+"""
+
+from __future__ import annotations
+
+from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+from dipa_collaborative_pulsar_idps_spark.tables import register_views
+
+_load_all()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sql_twin_tpch_q1(spark, sf_dir):
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_base_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    df = REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "count_order"
+    )
+    assert _rows(sql.select(df.columns)) == _rows(df)
+
+
+def test_sql_twin_revenue_by_nation_region(spark, sf_dir):
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT r_name AS region, n_name AS nation,
+               SUM(o_totalprice) AS revenue, COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        """
+    )
+    df = REGISTRY["revenue_by_nation_region"].fn(spark, sf_dir)
+    assert _rows(sql.select(df.columns)) == _rows(df)
+
+
+def test_sql_twin_exact_dedup(spark, sf_dir):
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY MD5(text)
+        """
+    )
+    df = REGISTRY["dedup_exact_groups"].fn(spark, sf_dir)
+    assert _rows(sql.select(df.columns)) == _rows(df)
