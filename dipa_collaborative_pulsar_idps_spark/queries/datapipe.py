@@ -245,6 +245,86 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample_by_lang",
+    survey="ext-curation",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 1000 < 200
+GROUP BY lang
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% per-language sample via the same engine-portable
+    Knuth multiplicative hash as `deterministic_split` — the curation
+    sampling primitive: reproducible across runs/engines/partitionings
+    (unlike rand()-based `df.sample`), stratification is free because the
+    hash is independent of lang. Map-side filter + tiny grouped count —
+    the filter is a pushable arithmetic predicate at any scale."""
+    t = Tables(spark, sf_dir)
+    keep = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000)) < 200
+    return (
+        t.documents.where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+@query(
+    "token_shard_assignment",
+    survey="ext-curation",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, n_tokens,
+           -- // (floor div): DuckDB CAST(x AS BIGINT) ROUNDS, Spark's cast
+           -- truncates — integer division matches Spark exactly
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 4096 AS BIGINT)
+               AS shard_id
+    FROM tok
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM packed GROUP BY shard_id
+""",
+)
+def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: documents in deterministic doc_id order are
+    packed greedily into ~4096-token shards (shard = floor of the
+    EXCLUSIVE running token total / target), then summarized per shard.
+
+    Scale note: the running total is a global-order window — the one
+    operator that inherently serializes. Spark computes it with a range
+    partitioner (sort-based shuffle), not a single task, but at 100 TB
+    the right production layout is per-partition packing (shard ids
+    prefixed by partition id) unless global contiguity is contractual;
+    this query certifies the exact global semantics the oracle defines."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = t.documents.select("doc_id", F.size(toks).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = d.withColumn(
+        "shard_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(4096))
+        .cast("long"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens")
+    )
+
+
+@query(
     "embedding_norms",
     survey="ext-sim",
     oracle="""
