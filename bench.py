@@ -86,6 +86,18 @@ def main() -> None:
     spark.range(256).repartition(n_workers).select(
         _warm(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
+    # ... and the cogrouped-map machinery (separate plan/codegen path from
+    # scalar UDFs; otherwise its ~2-3 s first-use cost lands on whichever
+    # cogroup query runs first and dominates that query's number)
+    _a = spark.range(64).select(F.pmod("id", F.lit(8)).alias("k"), F.col("id").alias("v"))
+    (
+        _a.groupBy("k")
+        .cogroup(_a.groupBy("k"))
+        .applyInPandas(lambda l, r: l, "k bigint, v bigint")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in headline + others:
