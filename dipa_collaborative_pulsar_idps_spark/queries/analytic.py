@@ -239,7 +239,11 @@ WITH ev AS (
     FROM ev
 ), sess AS (
     SELECT user_id, ts,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+           -- CAST: DuckDB widens windowed SUM(INTEGER) to HUGEINT, which
+           -- pandas converts to float64 and breaks the value hash vs Spark's
+           -- bigint even when every row is identical.
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS session_id
     FROM seq
 )
 SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_last,

@@ -26,6 +26,30 @@ def test_oracle_parity(name, spark, sf_dir, con):
     assert res.ok, f"{name}: {res.detail}"
 
 
+@pytest.mark.parametrize("name", _NAMES)
+def test_oracle_no_hugeint(name, con):
+    """No oracle may return a HUGEINT-typed column (Arrow decimal128(38,0)).
+
+    The driver fetches oracle results via pandas, where DuckDB HUGEINT —
+    the result type of SUM over any integer input, plain or windowed —
+    degrades to float64 and hash-mismatches Spark's bigint even when every
+    value is identical (round-2 `session_windows_30m` failure). The local
+    canonicalizer sees Python ints either way, so this dtype guard is the
+    only local signal for that class of driver failure.
+    """
+    import pyarrow as pa
+
+    tbl = con.sql(REGISTRY[name].oracle).arrow()
+    offenders = [
+        f.name
+        for f in tbl.schema
+        if pa.types.is_decimal(f.type) and f.type.precision == 38 and f.type.scale == 0
+    ]
+    assert not offenders, (
+        f"{name}: HUGEINT column(s) {offenders} — wrap the SUM in CAST(... AS BIGINT)"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
