@@ -302,12 +302,13 @@ def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed greedily into ~4096-token shards (shard = floor of the
     EXCLUSIVE running token total / target), then summarized per shard.
 
-    Scale note: the running total is a global-order window — the one
-    operator that inherently serializes. Spark computes it with a range
-    partitioner (sort-based shuffle), not a single task, but at 100 TB
-    the right production layout is per-partition packing (shard ids
-    prefixed by partition id) unless global contiguity is contractual;
-    this query certifies the exact global semantics the oracle defines."""
+    Scale note: an unpartitioned window is a SINGLE-PARTITION operator in
+    Spark — the whole table flows through one task for the running total
+    (Spark logs a WARN for exactly this). Fine at test SFs; a wall at
+    100 TB. This query stays as the exact-global-semantics certifier;
+    `token_shard_assignment_scalable` below computes the IDENTICAL result
+    with two narrow passes (per-range partial sums + broadcast prefix
+    offsets) and is the production path."""
     t = Tables(spark, sf_dir)
     from pyspark.sql.window import Window
 
@@ -318,6 +319,82 @@ def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(4096))
         .cast("long"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens")
+    )
+
+
+@query(
+    "token_shard_assignment_scalable",
+    survey="ext-curation",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 4096 AS BIGINT)
+               AS shard_id
+    FROM tok
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM packed GROUP BY shard_id
+""",
+)
+def token_shard_assignment_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of `token_shard_assignment`: the SAME global greedy
+    packing (oracle is the global-window form — value equality certifies
+    the decomposition is exact), computed WITHOUT a single-partition
+    window over the corpus.
+
+    Classic distributed prefix sum:
+      1. bucket docs into doc_id-contiguous ranges (`doc_id DIV range`) —
+         contiguity makes per-range running totals composable;
+      2. per-range token totals (tiny: one row per range);
+      3. exclusive prefix-sum the totals — a window over #ranges rows
+         only (the one residual serial step, corpus-size/range in size,
+         and itself recursively decomposable if ranges ever outgrow a
+         task);
+      4. broadcast-join the offsets back and offset each range's LOCAL
+         running total (window partitioned by range — parallel).
+
+    The big table is touched by exactly one partitioned window + one
+    broadcast join: no corpus-wide single-partition exchange anywhere.
+    `DIV` keeps shard arithmetic in exact integer space (double division
+    loses exactness once running totals pass 2^53 — real at 100 TB).
+    """
+    t = Tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    range_width = 512  # docs per contiguous range; production dial
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.expr(f"doc_id DIV {range_width}").alias("range_id"),
+    )
+    totals = d.groupBy("range_id").agg(F.sum("n_tokens").alias("range_tokens"))
+    w_pfx = (
+        Window.orderBy("range_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "range_id",
+        F.coalesce(F.sum("range_tokens").over(w_pfx), F.lit(0)).alias("range_offset"),
+    )
+    w_local = (
+        Window.partitionBy("range_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        d.join(F.broadcast(offsets), "range_id")
+        .withColumn("excl_total", F.col("range_offset") + F.sum("n_tokens").over(w_local) - F.col("n_tokens"))
+        .withColumn("shard_id", F.expr("excl_total DIV 4096"))
     )
     return packed.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens")

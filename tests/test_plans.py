@@ -131,3 +131,21 @@ def test_right_size_tracks_data_volume(spark, sf_dir):
     cap = spark.sparkContext.defaultParallelism
     assert big == cap
     assert sized_partition_count(emb, inflate=10_000.0, fan=4) == 4 * cap
+
+
+def test_token_shard_scalable_has_no_corpus_wide_serial_window(spark, sf_dir):
+    """The scale-safe packing twin must never funnel the corpus through one
+    task: the detail-level running total is a range_id-partitioned window,
+    offsets come back via broadcast join, and the ONLY SinglePartition
+    exchange feeds the tiny per-range prefix sum (rows = corpus/range_width,
+    not corpus)."""
+    df = REGISTRY["token_shard_assignment_scalable"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt, txt
+    # the detail window is keyed, so its shuffle is a hashpartitioning on range_id
+    assert "hashpartitioning(range_id" in txt, txt
+    single = txt.count("SinglePartition")
+    assert single <= 1, f"corpus-wide serial exchange in plan:\n{txt}"
+    # the baseline (global-semantics certifier) by contrast IS single-partition:
+    base = plan_text(REGISTRY["token_shard_assignment"].fn(spark, sf_dir))
+    assert "SinglePartition" in base
