@@ -41,6 +41,17 @@ class MitigationSink:
     - every ``compact_every`` appends per bucket, that bucket is rewritten
       to one file (dynamic partition overwrite — other buckets untouched),
       so file count stays O(n_buckets), not O(batches).
+
+    Two application paths:
+    - ``apply_fn`` (driver-side, for small action sets — the common IDPS
+      case: mitigations are human-scale): capped at ``max_driver_rows`` new
+      rows per batch, failing LOUDLY past it rather than silently OOMing
+      the driver on a hot batch;
+    - ``apply_partition_fn`` (executor-side via ``foreachPartition``): each
+      task applies its own slice; nothing lands on the driver, so action
+      volume is unbounded. Same effective-exactly-once contract: the
+      ledger write follows application, so a mid-batch failure replays the
+      whole batch and the anti-join suppresses already-ledgered keys.
     """
 
     def __init__(
@@ -50,10 +61,16 @@ class MitigationSink:
         apply_fn: ActionFn | None = None,
         n_buckets: int = 16,
         compact_every: int = 8,
+        apply_partition_fn: ActionFn | None = None,
+        max_driver_rows: int = 10_000,
     ):
+        if apply_fn is not None and apply_partition_fn is not None:
+            raise ValueError("pass apply_fn OR apply_partition_fn, not both")
         self.ledger_path = ledger_path
         self.key_cols = key_cols
         self.apply_fn = apply_fn
+        self.apply_partition_fn = apply_partition_fn
+        self.max_driver_rows = max_driver_rows
         self.n_buckets = n_buckets
         self.compact_every = compact_every
         self.applied_batches: list[int] = []
@@ -101,19 +118,43 @@ class MitigationSink:
             actions = actions.join(
                 ledger.select("__key"), "__key", "left_anti"
             )
-        new_rows = actions.collect()
-        if not new_rows:
-            return
-        if self.apply_fn is not None:
-            self.apply_fn(new_rows)  # side effect: rule install / QoS call
-        spark.createDataFrame(
-            [(r["__key"], r["bucket"]) for r in new_rows], "__key string, bucket int"
-        ).write.mode("append").partitionBy("bucket").parquet(self.ledger_path)
-        self.applied_batches.append(batch_id)
-        for b in {r["bucket"] for r in new_rows}:
-            self._appends_per_bucket[b] = self._appends_per_bucket.get(b, 0) + 1
-            if self._appends_per_bucket[b] >= self.compact_every:
-                self._compact(spark, b)
+        # The only full-batch driver materialization below is the apply_fn
+        # path, and it is CAPPED: per-bucket counts (≤ n_buckets rows) decide
+        # emptiness and compaction, and the ledger write is a distributed
+        # DataFrame write — never routed through the driver.
+        actions = actions.persist()
+        try:
+            bucket_counts = {
+                int(r["bucket"]): int(r["n"])
+                for r in actions.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            }
+            n_new = sum(bucket_counts.values())
+            if n_new == 0:
+                return
+            if self.apply_fn is not None:
+                if n_new > self.max_driver_rows:
+                    raise RuntimeError(
+                        f"MitigationSink: batch {batch_id} has {n_new} new actions, "
+                        f"above max_driver_rows={self.max_driver_rows} for the "
+                        "driver-side apply_fn path — pass apply_partition_fn to "
+                        "apply large action sets on the executors instead"
+                    )
+                self.apply_fn(actions.collect())  # side effect: rule install / QoS
+            elif self.apply_partition_fn is not None:
+                fn = self.apply_partition_fn
+                # executor-side application: each task applies its own slice,
+                # nothing lands on the driver
+                actions.foreachPartition(lambda rows: fn(list(rows)))
+            actions.select("__key", "bucket").write.mode("append").partitionBy(
+                "bucket"
+            ).parquet(self.ledger_path)
+            self.applied_batches.append(batch_id)
+            for b in bucket_counts:
+                self._appends_per_bucket[b] = self._appends_per_bucket.get(b, 0) + 1
+                if self._appends_per_bucket[b] >= self.compact_every:
+                    self._compact(spark, b)
+        finally:
+            actions.unpersist()
 
 
 def console_report(df: DataFrame, title: str, n: int = 20) -> None:

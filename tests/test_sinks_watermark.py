@@ -107,6 +107,70 @@ def test_mitigation_ledger_file_count_bounded(spark, tmpdirs):
     assert len(keys) == n_batches
 
 
+def test_mitigation_sink_driver_cap_fails_loudly(spark, tmpdirs):
+    """A hot batch above max_driver_rows must raise on the driver-side
+    apply_fn path (instead of silently collecting it), and must NOT ledger
+    the batch — a retry with a bigger cap still applies every action."""
+    ledger, _, _ = tmpdirs
+    applied = []
+    sink = MitigationSink(
+        ledger_path=f"{ledger}/ledger",
+        key_cols=["action", "ip"],
+        apply_fn=lambda rows: applied.extend(r["__key"] for r in rows),
+        max_driver_rows=5,
+    )
+    hot = spark.createDataFrame(
+        [("BLOCK", f"10.0.0.{i}") for i in range(20)], ["action", "ip"]
+    )
+    with pytest.raises(RuntimeError, match="max_driver_rows"):
+        sink(hot, 0)
+    assert not applied and not sink.applied_batches
+    sink.max_driver_rows = 100  # operator raised the cap → replay applies all
+    sink(hot, 1)
+    assert len(applied) == 20
+
+
+def test_mitigation_sink_foreach_partition_path(spark, tmpdirs, tmp_path):
+    """apply_partition_fn applies on the executors (no driver collect, no
+    row cap) with the same idempotency contract across replays."""
+    ledger, _, _ = tmpdirs
+    out = tmp_path / "applied"
+    out.mkdir()
+    out_dir = str(out)
+
+    def apply_slice(rows):
+        # executor-side: record each applied key durably (unique file per task)
+        import os
+        import uuid
+
+        if rows:
+            with open(os.path.join(out_dir, uuid.uuid4().hex), "w") as f:
+                f.writelines(r["__key"] + "\n" for r in rows)
+
+    sink = MitigationSink(
+        ledger_path=f"{ledger}/ledger",
+        key_cols=["action", "ip"],
+        apply_partition_fn=apply_slice,
+        max_driver_rows=1,  # must be irrelevant on this path
+    )
+    b = spark.createDataFrame(
+        [("BLOCK", f"10.0.0.{i}") for i in range(50)], ["action", "ip"]
+    )
+    sink(b, 0)
+
+    def applied_keys():
+        keys = []
+        for p in out.iterdir():
+            keys += p.read_text().splitlines()
+        return keys
+
+    assert len(applied_keys()) == 50 and len(set(applied_keys())) == 50
+    sink(b, 1)  # at-least-once replay → anti-join suppresses everything
+    assert len(applied_keys()) == 50
+    with pytest.raises(ValueError, match="not both"):
+        MitigationSink(f"{ledger}/l2", ["k"], apply_fn=print, apply_partition_fn=print)
+
+
 def test_watermark_drops_late_rows(spark, tmpdirs):
     """Windowed count with a 10 s watermark: a row arriving after the
     watermark has passed its window is dropped."""
