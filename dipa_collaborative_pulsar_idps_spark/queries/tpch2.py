@@ -311,19 +311,29 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with max quarterly revenue — aggregate feeding
-    a scalar-subquery max over itself. Spark: rank over the aggregate (one
-    extra exchange of an already-tiny frame, no recompute of the scan)."""
+    a scalar-subquery max over itself. Spark: 1-row max aggregate broadcast
+    back onto the per-supplier aggregate (exact decimal equality), instead
+    of a rank over an unpartitioned window — no single-partition sort of
+    the frame at any supplier cardinality."""
     t = Tables(spark, sf_dir)
     rev = (
         t.lineitem.where(
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1996-04-01"))
+            # explicit, though implied by the join below: the join branch
+            # infers IsNotNull(l_suppkey) and the max branch doesn't, which
+            # de-canonicalizes the two scan subtrees and defeats
+            # ReuseExchange — stating it here keeps both branches identical
+            # so lineitem is scanned/pre-aggregated ONCE and reused
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev_dec()).alias("total_revenue"))
     )
-    w = Window.orderBy(F.desc("total_revenue"))
-    top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
+    mx = rev.agg(F.max("total_revenue").alias("__max_revenue"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("__max_revenue")
+    ).drop("__max_revenue")
     return top.join(
         F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey")
     ).select("s_suppkey", "s_name", "total_revenue")

@@ -149,3 +149,19 @@ def test_token_shard_scalable_has_no_corpus_wide_serial_window(spark, sf_dir):
     # the baseline (global-semantics certifier) by contrast IS single-partition:
     base = plan_text(REGISTRY["token_shard_assignment"].fn(spark, sf_dir))
     assert "SinglePartition" in base
+
+
+def test_q15_top_supplier_has_no_serial_sort_and_one_scan(spark, sf_dir):
+    """The max-revenue filter must come from a broadcast 1-row aggregate —
+    no rank over an unpartitioned window (which single-partition-SORTS the
+    whole per-supplier frame). The only SinglePartition exchange allowed is
+    the scalar max's partial-agg merge (one row per task). The max branch
+    must REUSE the grouped aggregate's exchange, not rescan lineitem."""
+    df = REGISTRY["tpch_q15_top_supplier"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "Window" not in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
+    assert txt.count("SinglePartition") <= 1, txt
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, f"lineitem scanned twice:\n{executed}"
