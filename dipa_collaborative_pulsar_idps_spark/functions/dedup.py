@@ -37,11 +37,14 @@ def shingle_sets(
     splits, and tokenize+shingle is the compute-heavy part — it must spread
     across cores before any array work happens."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # The too-short guard matters under ANSI mode: Spark's sequence(1, 0)
+    # is DESCENDING ([1, 0]), so without it a 1-2-token doc would drive
+    # element_at past the array end and throw, killing the whole job.
+    gram = "concat_ws(' ', " + ", ".join(f"element_at(tokens, i + {j})" for j in range(n)) + ")"
     shingle_expr = (
-        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', "
-        + ", ".join(f"element_at(tokens, i + {j})" for j in range(n))
-        + "))"
+        f"CASE WHEN size(tokens) >= {n} "
+        f"THEN transform(sequence(1, size(tokens) - {n - 1}), i -> {gram}) "
+        "ELSE array() END"
     )
     return (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
@@ -67,8 +70,16 @@ def minhash_signatures(
     computes the identical signatures (verified bit-equal) with ZERO
     shuffle and without materializing the ~100× shingle row blowup — at
     100 TB the signature stage becomes embarrassingly parallel map work
-    that chains straight into the band explode."""
+    that chains straight into the band explode.
+
+    Empty shingle arrays are DROPPED here (the explode+groupBy form's
+    semantics): array_min over an empty array is NULL, and a NULL sig
+    element hashes to a CONSTANT band bucket in lsh_candidate_pairs —
+    every empty-shingle doc would land in one bucket and self-join into
+    O(k²) candidate pairs. Filtering inside the function makes that
+    invariant caller-independent."""
     perms = _permutations(num_perm, seed)
+    shingled = shingled.where(F.size("shingles") > 0)
     withh = shingled.withColumn(
         "h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
     )
@@ -140,7 +151,7 @@ def minhash_near_dup_pairs(
     — persisted so the tokenize/shingle stage runs once, not three times.
     MEMORY_AND_DISK: spills rather than recomputes at large scale."""
     sh = shingle_sets(docs, id_col, text_col).persist()
-    sigs = minhash_signatures(sh.where(F.size("shingles") > 0), num_perm)
+    sigs = minhash_signatures(sh, num_perm)  # empty-shingle drop is internal now
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -189,8 +189,8 @@ WITH tok AS (
         FROM quality
     ) WHERE doc_id = keep_id
 )
-SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+SELECT CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+            WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
             ELSE 'test' END AS split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(LEN(tokens)) AS BIGINT) AS total_tokens,
@@ -231,7 +231,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     deduped = quality.withColumn("keep_id", keep).where(F.col("doc_id") == F.col("keep_id"))
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    bucket = F.pmod(F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), F.lit(100))
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     return (
         deduped.select(split.alias("split"), F.size("tokens").alias("n_tokens"), "n_chars")
@@ -252,7 +252,7 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_sampled,
        CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
-WHERE (doc_id * 2654435761) % 1000 < 200
+WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < 200
 GROUP BY lang
 """,
 )
@@ -264,7 +264,7 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is independent of lang. Map-side filter + tiny grouped count —
     the filter is a pushable arithmetic predicate at any scale."""
     t = Tables(spark, sf_dir)
-    keep = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000)) < 200
+    keep = F.pmod(F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), F.lit(1000)) < 200
     return (
         t.documents.where(keep)
         .groupBy("lang")

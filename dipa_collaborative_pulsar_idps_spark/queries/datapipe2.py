@@ -173,7 +173,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = t.documents
     sh = shingle_sets(docs, "doc_id", "text").persist()
-    sigs = minhash_signatures(sh.where(F.size("shingles") > 0), num_perm=32)
+    sigs = minhash_signatures(sh, num_perm=32)  # empty-shingle drop is internal now
     cands = lsh_candidate_pairs(sigs, bands=32, rows_per_band=1)
     meta = docs.select("doc_id", "lang")
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")).join(

@@ -86,20 +86,46 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hex_portable(t.documents).select(F.col("id").alias("doc_id"), "simhash_hex")
 
 
+#: Persisted ANN corpora, keyed by (applicationId, sf_dir). Memoized so
+#: repeated query invocations (bench loops, test sessions) return the SAME
+#: persisted DataFrame instead of stacking a new cache entry per call and
+#: leaning on LRU eviction; `clear_corpus_cache()` owns the unpersist.
+_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared ANN corpus prep: data-proportional partitioning (NOT a fixed
     32-way shred — see plans/sizing.py) + persist, because the IVF build
     makes several passes over it (count, bounded training sample, list
     assignment) before the search does its own. One scan, many consumers —
     the 'build once, serve many' shape the persisted-index path
-    (functions/ivf.save_ivf_index) takes to disk."""
+    (functions/ivf.save_ivf_index) takes to disk. Memoized per
+    (session, sf_dir); callers that want the memory back call
+    `clear_corpus_cache()`."""
+    import os
+
     from ..plans.sizing import right_size
 
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _CORPUS_CACHE.get(key)
+    if cached is not None:
+        return cached
     t = Tables(spark, sf_dir)
     emb = right_size(t.embeddings, "vec_id").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
-    return emb.persist()
+    _CORPUS_CACHE[key] = emb.persist()
+    return _CORPUS_CACHE[key]
+
+
+def clear_corpus_cache() -> None:
+    """Unpersist every memoized ANN corpus (explicit lifecycle end)."""
+    for df in _CORPUS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _CORPUS_CACHE.clear()
 
 
 @query("ann_topk_ivf_neighbors", survey="ext-sim")

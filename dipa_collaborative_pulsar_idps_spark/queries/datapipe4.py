@@ -414,8 +414,8 @@ SELECT split, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
     SELECT n_chars,
-           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+           CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+                WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
 )
@@ -429,7 +429,7 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions/shuffles: the property a training pipeline needs so a
     document never migrates between splits between runs."""
     t = Tables(spark, sf_dir)
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    bucket = F.pmod(F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), F.lit(100))
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

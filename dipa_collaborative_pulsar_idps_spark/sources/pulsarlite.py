@@ -115,19 +115,28 @@ def _list_topics(root: str) -> list[str]:
 
 def _complete_size(path: str) -> int:
     """Byte size of the log up to (and including) the last '\\n' — a reader
-    planned against this offset can never see a torn record."""
+    planned against this offset can never see a torn record.
+
+    The backward scan loops in 4 KiB windows until a newline or
+    start-of-file: a single fixed-size peek would return 0 whenever the
+    torn (in-progress) tail line alone exceeds the window, regressing
+    latestOffset to 0 and re-delivering the whole topic once the line
+    completes — breaking effective exactly-once."""
     try:
         size = os.path.getsize(path)
     except OSError:
         return 0
-    if size == 0:
-        return 0
+    pos = size
     with open(path, "rb") as f:
-        back = min(4096, size)
-        f.seek(size - back)
-        tail = f.read(back)
-    nl = tail.rfind(b"\n")
-    return size - (back - nl - 1) if nl >= 0 else 0
+        while pos > 0:
+            back = min(4096, pos)
+            f.seek(pos - back)
+            window = f.read(back)
+            nl = window.rfind(b"\n")
+            if nl >= 0:
+                return pos - (back - nl - 1)
+            pos -= back
+    return 0
 
 
 def encode_message(value: bytes, key: str | None, codec: str, publish_us: int) -> str:
@@ -194,12 +203,22 @@ class PulsarLiteStreamReader(DataSourceStreamReader):
         # Java-regex option; anchored full-match like the connector.
         self.pattern = re.compile(pattern)
         self.starting = (options.get("startingoffsets") or "latest").lower()
+        # Monotonicity guard: offsets an append-only log has reported can
+        # never regress (a regressed end offset would re-deliver committed
+        # bytes on the next batch, breaking effective exactly-once).
+        self._watermarks: dict[str, int] = {}
 
     def _topics(self) -> list[str]:
         return [t for t in _list_topics(self.root) if self.pattern.fullmatch(t)]
 
     def _snapshot(self) -> dict[str, int]:
-        return {t: _complete_size(_topic_log(self.root, t)) for t in self._topics()}
+        snap = {}
+        for t in self._topics():
+            size = _complete_size(_topic_log(self.root, t))
+            size = max(size, self._watermarks.get(t, 0))
+            self._watermarks[t] = size
+            snap[t] = size
+        return snap
 
     def initialOffset(self) -> dict:
         return self._snapshot() if self.starting == "latest" else {}

@@ -298,12 +298,19 @@ def streaming_curation(
 
     100 TB notes: the gates discard before the dedup shuffle (same
     filter-before-shuffle ordering as the batch funnel); dedup state is
-    keyed by content hash and EVICTED once the watermark passes — without
-    the watermark, streaming dropDuplicates state grows forever. Exactly
-    the RocksDB-state-store shape (session.py) for corpus-scale key
-    counts. A duplicate arriving after the horizon re-emits: at-least-once
-    dedup over an unbounded stream is inherently horizon-bounded; the
-    downstream lake merge (storage.py compaction) is the global backstop.
+    keyed by content hash and must be EVICTED as the watermark advances.
+    Plain ``dropDuplicates(['content_hash'])`` would NOT do that: Spark
+    only cleans streaming-dedup state when the event-time column is part
+    of the dedup key set, so key-only dedup under a watermark still grows
+    state forever. ``dropDuplicatesWithinWatermark`` exists for exactly
+    this shape (key-only dedup, watermark-bounded state): a duplicate
+    arriving within the watermark delay of its first sighting is
+    suppressed; once the watermark passes the first sighting's event time
+    + delay the key is evicted, and a later duplicate RE-EMITS —
+    at-least-once dedup over an unbounded stream is inherently
+    horizon-bounded; the downstream lake merge (storage.py compaction) is
+    the global backstop. RocksDB state store (session.py) carries
+    corpus-scale key counts.
     """
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     gated = (
@@ -312,6 +319,6 @@ def streaming_curation(
         .where(F.col("n_tokens") >= min_tokens)
         .withColumn("content_hash", F.md5("text"))
     )
-    return gated.withWatermark("ingest_ts", watermark).dropDuplicates(
+    return gated.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )

@@ -245,3 +245,43 @@ def test_ivf_index_persists_and_prunes(spark, sf_dir, tmp_path):
     pruned = l_assigned.where(F.col("list_id").isin(0, 3))
     files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
     assert files and all("list_id=0" in f or "list_id=3" in f for f in files)
+
+
+def test_ann_corpus_cache_lifecycle(spark):
+    """_corpus memoizes per (session, sf_dir) — repeated query invocations
+    must reuse ONE persisted DataFrame, and clear_corpus_cache unpersists."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import (
+        _CORPUS_CACHE,
+        _corpus,
+        clear_corpus_cache,
+    )
+
+    clear_corpus_cache()
+    a = _corpus(spark, "/root/testdata/sf0.001")
+    b = _corpus(spark, "/root/testdata/sf0.001")
+    assert a is b, "corpus re-persisted instead of memoized"
+    assert a.storageLevel.useMemory
+    assert len(_CORPUS_CACHE) == 1
+    clear_corpus_cache()
+    assert not _CORPUS_CACHE and not a.storageLevel.useMemory
+
+
+def test_minhash_signatures_drop_empty_shingles(spark):
+    """Docs whose shingle set is empty (too short to form an n-gram) are
+    dropped INSIDE minhash_signatures — an unguarded caller must never see
+    NULL sig elements, which would constant-bucket all such docs together
+    into O(k^2) LSH candidate pairs."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "x y z w v u t s")], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(shingle_sets(docs, "doc_id", "text"))
+    rows = sigs.collect()
+    assert {r.id for r in rows} == {3}
+    assert all(v is not None for r in rows for v in r.sig)
+    assert lsh_candidate_pairs(sigs).count() == 0

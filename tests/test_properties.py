@@ -117,3 +117,18 @@ def test_alert_message_format_parse_roundtrip(spark, ip, kind):
         F.split("value", "@").getItem(1).alias("kind"),
     ).first()
     assert (back.ip, back.kind) == (ip, kind)
+
+
+def test_knuth_hash_no_overflow_for_huge_doc_ids(spark):
+    """The masked Knuth hash ((doc_id & 0x7FFFFFFF) * 2654435761) must not
+    overflow int64 under ANSI mode for doc_ids past 2^31 (the unmasked form
+    throws ArithmeticException around doc_id ~ 3.5e9 — real at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(2**40 + 7,), (2**62,)], "doc_id long")
+    rows = df.select(
+        F.pmod(
+            F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), F.lit(100)
+        ).alias("bucket")
+    ).collect()
+    assert all(0 <= r.bucket < 100 for r in rows)

@@ -281,6 +281,48 @@ def test_torn_append_never_yields_partial_record(spark, broker):
     assert vals2 == [b"10.0.0.2@BOT", b"10.0.0.9@CNC"]
 
 
+def test_torn_tail_longer_than_scan_window_does_not_regress_offset(spark, broker):
+    """A torn tail line BIGGER than the 4 KiB backward-scan window must not
+    make the reader forget the completed prefix: a single fixed-size peek
+    would find no newline, report offset 0, and re-deliver the whole topic
+    once the line completes."""
+    pulsarlite.seed_topic(broker, "bigmsg", ["10.0.0.2@BOT"])
+    log = os.path.join(broker, "bigmsg.jsonl")
+    committed = pulsarlite._complete_size(log)
+    assert committed > 0
+    big = pulsarlite.encode_message(b"x" * 20_000, None, "none", 2)  # > 4 KiB encoded
+    assert len(big) > 4096
+    with open(log, "a", encoding="ascii") as f:  # producer mid-append, no newline
+        f.write(big[:-1])
+    r = pulsarlite.PulsarLiteStreamReader(
+        {"service.url": f"pulsarlite://{broker}", "topicspattern": "bigmsg"}
+    )
+    end = r.latestOffset()
+    assert end["bigmsg"] == committed, "offset regressed below the completed prefix"
+    vals = [v for p in r.partitions({}, end) for (_, _, _, v) in r.read(p)]
+    assert vals == [b"10.0.0.2@BOT"]
+    with open(log, "a", encoding="ascii") as f:
+        f.write(big[-1] + "\n")
+    end2 = r.latestOffset()
+    # consuming FROM the previous end (the committed prefix) yields only the
+    # new message — nothing is re-delivered
+    vals2 = [v for p in r.partitions(end, end2) for (_, _, _, v) in r.read(p)]
+    assert vals2 == [b"x" * 20_000]
+
+
+def test_latest_offset_is_monotonic_per_reader(spark, broker):
+    """Even if the on-disk completed size regressed (e.g. a truncated
+    window scan or FS hiccup), a reader never reports an offset below one
+    it already returned."""
+    pulsarlite.seed_topic(broker, "mono", ["a@BOT", "b@BOT"])
+    r = pulsarlite.PulsarLiteStreamReader(
+        {"service.url": f"pulsarlite://{broker}", "topicspattern": "mono"}
+    )
+    first = r.latestOffset()["mono"]
+    r._watermarks["mono"] = first + 100  # simulate a higher previously-reported offset
+    assert r.latestOffset()["mono"] == first + 100
+
+
 def test_ep2_skips_malformed_messages(spark, broker, tmp_path):
     """Garbage on the alert topic (no '@', empty payload, unknown kind) must
     not crash the pipeline or fire actions — only well-formed alerts act."""

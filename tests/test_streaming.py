@@ -594,9 +594,19 @@ def test_streaming_curation_dedups_across_batches(spark, replay_dir):
         (base + dt.timedelta(seconds=10), 5, "en", long_text),        # dup, next batch
         (base + dt.timedelta(seconds=10), 6, "en", long_text + " x"), # new content
     ]
+    # state-eviction proof (the 1 h default watermark delay):
+    # +2 h dup arrives while the key is still in state (the watermark only
+    # advances at batch END, so at check time it trails the first
+    # sighting's expiry) → suppressed; the +3 h batch then advances the
+    # watermark past first-sighting + 1 h, evicting the key, so the +4 h
+    # dup RE-EMITS. Plain dropDuplicates would suppress it and hold the
+    # key forever.
+    b2 = [(base + dt.timedelta(hours=2), 7, "en", long_text)]
+    b3 = [(base + dt.timedelta(hours=3), 8, "en", long_text + " y")]  # advances watermark
+    b4 = [(base + dt.timedelta(hours=4), 9, "en", long_text)]
     import time as _t
 
-    for i, rows in enumerate((b0, b1)):
+    for i, rows in enumerate((b0, b1, b2, b3, b4)):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
             replay_dir
         )
@@ -609,6 +619,9 @@ def test_streaming_curation_dedups_across_batches(spark, replay_dir):
     )
     got = {r.doc_id for r in spark.table("curated_docs").collect()}
     q.stop()
-    # one doc per distinct surviving content: {1 or 4} and 6
-    assert 6 in got and len(got) == 2 and got & {1, 4}
-    assert got.isdisjoint({2, 3, 5})
+    # one doc per distinct surviving content within the horizon: {1 or 4},
+    # 6, 8, and the post-eviction re-emission 9
+    assert 6 in got and 8 in got and got & {1, 4}
+    assert 9 in got, "key not evicted after watermark horizon — state grows forever"
+    assert got.isdisjoint({2, 3, 5, 7})
+    assert len(got) == 4
