@@ -49,3 +49,40 @@ class DetectionConfig:
 
 
 DEFAULT = DetectionConfig()
+
+
+@dataclass(frozen=True)
+class ScaleConfig:
+    """Scale dials for the training-data/similarity operators — the 100×
+    story in one place. Functions take these as parameter DEFAULTS (call
+    sites can still override per-corpus); changing a dial here retunes the
+    whole engine consistently.
+
+    - MinHash-LSH: recall at Jaccard t is 1-(1-t^rows)^bands — more bands
+      = higher recall AND more candidate mass. bands×rows must not exceed
+      minhash_num_perm.
+    - Hyperplane LSH: candidates scale ~ (probes per query) × (bucket
+      occupancy); probe_radius trades recall for candidate mass.
+    - IVF: scanned fraction ≈ ivf_n_probe / ivf_n_list; training collect
+      is bounded by ivf_sample_per_list × ivf_n_list rows REGARDLESS of
+      corpus size.
+    - Shard packing: shard_tokens is the training-shard size contract;
+      pack_range_width only shapes parallelism (any value yields identical
+      shards — certified by the oracle equality of the scalable twin).
+    """
+
+    minhash_num_perm: int = 16
+    minhash_bands: int = 8
+    minhash_rows_per_band: int = 2
+    ann_n_planes: int = 8
+    ann_probe_radius: int = 2
+    pair_lsh_n_planes: int = 8
+    pair_lsh_probe_radius: int = 2
+    ivf_n_list: int = 16
+    ivf_n_probe: int = 4
+    ivf_sample_per_list: int = 256
+    shard_tokens: int = 4096
+    pack_range_width: int = 512
+
+
+SCALE = ScaleConfig()

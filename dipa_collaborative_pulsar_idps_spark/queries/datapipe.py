@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import SCALE
 from ..tables import Tables
 from .registry import query
 
@@ -275,10 +276,9 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "token_shard_assignment",
-    survey="ext-curation",
-    oracle="""
+#: Oracle for BOTH shard-packing queries (global-window form; interpolates
+#: the shard-size dial so engine and oracle can't drift apart).
+_SHARD_ORACLE = f"""
 WITH tok AS (
     SELECT doc_id,
            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens
@@ -287,7 +287,7 @@ WITH tok AS (
     SELECT doc_id, n_tokens,
            -- // (floor div): DuckDB CAST(x AS BIGINT) ROUNDS, Spark's cast
            -- truncates — integer division matches Spark exactly
-           CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 4096 AS BIGINT)
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // {SCALE.shard_tokens} AS BIGINT)
                AS shard_id
     FROM tok
 )
@@ -295,7 +295,13 @@ SELECT shard_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
 FROM packed GROUP BY shard_id
-""",
+"""
+
+
+@query(
+    "token_shard_assignment",
+    survey="ext-curation",
+    oracle=_SHARD_ORACLE,
 )
 def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard packing: documents in deterministic doc_id order are
@@ -317,7 +323,7 @@ def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     packed = d.withColumn(
         "shard_id",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(4096))
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(SCALE.shard_tokens))
         .cast("long"),
     )
     return packed.groupBy("shard_id").agg(
@@ -328,22 +334,7 @@ def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "token_shard_assignment_scalable",
     survey="ext-curation",
-    oracle="""
-WITH tok AS (
-    SELECT doc_id,
-           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens
-    FROM documents
-), packed AS (
-    SELECT doc_id, n_tokens,
-           CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 4096 AS BIGINT)
-               AS shard_id
-    FROM tok
-)
-SELECT shard_id,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
-FROM packed GROUP BY shard_id
-""",
+    oracle=_SHARD_ORACLE,
 )
 def token_shard_assignment_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe twin of `token_shard_assignment`: the SAME global greedy
@@ -370,7 +361,7 @@ def token_shard_assignment_scalable(spark: SparkSession, sf_dir: str) -> DataFra
     t = Tables(spark, sf_dir)
     from pyspark.sql.window import Window
 
-    range_width = 512  # docs per contiguous range; production dial
+    range_width = SCALE.pack_range_width  # docs per contiguous range
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     d = t.documents.select(
         "doc_id",
@@ -394,7 +385,7 @@ def token_shard_assignment_scalable(spark: SparkSession, sf_dir: str) -> DataFra
     packed = (
         d.join(F.broadcast(offsets), "range_id")
         .withColumn("excl_total", F.col("range_offset") + F.sum("n_tokens").over(w_local) - F.col("n_tokens"))
-        .withColumn("shard_id", F.expr("excl_total DIV 4096"))
+        .withColumn("shard_id", F.expr(f"excl_total DIV {SCALE.shard_tokens}"))
     )
     return packed.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import minhash_near_dup_pairs, simhash_hex_portable, simhash_oracle_sql
 from ..functions.similarity import ann_topk_lsh, as_double
+from ..config import SCALE
 from ..tables import Tables
 from .registry import query
 
@@ -140,8 +141,8 @@ def ann_topk_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    assigned, centroids = build_ivf_index(emb, dim=64, n_list=16)
-    return ivf_search(assigned, centroids, q, k=5, n_probe=4).select(
+    assigned, centroids = build_ivf_index(emb, dim=64, n_list=SCALE.ivf_n_list)
+    return ivf_search(assigned, centroids, q, k=5, n_probe=SCALE.ivf_n_probe).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     )
 
@@ -155,7 +156,9 @@ def ann_topk_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    return ann_topk_lsh(emb, q, dim=64, k=5, n_planes=8, probe_radius=2).select(
+    return ann_topk_lsh(
+        emb, q, dim=64, k=5, n_planes=SCALE.ann_n_planes, probe_radius=SCALE.ann_probe_radius
+    ).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     )
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
 from ..operators.rangejoin import interval_join
+from ..config import SCALE
 from ..tables import Tables
 from .registry import query
 
@@ -113,7 +114,11 @@ def cosine_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return cosine_pairs_lsh(
-        t.embeddings, threshold=0.4, dim=64, n_planes=8, probe_radius=2
+        t.embeddings,
+        threshold=0.4,
+        dim=64,
+        n_planes=SCALE.pair_lsh_n_planes,
+        probe_radius=SCALE.pair_lsh_probe_radius,
     ).withColumn("cosine", F.round("cosine", 6))
 
 

@@ -72,6 +72,7 @@ def _load_all() -> None:
         datapipe2,
         datapipe3,
         datapipe4,
+        datapipe5,
         detection,
         media,
         relational,

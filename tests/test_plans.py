@@ -165,3 +165,37 @@ def test_q15_top_supplier_has_no_serial_sort_and_one_scan(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, f"lineitem scanned twice:\n{executed}"
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """Decontamination must probe the (small) benchmark gram set via
+    broadcast — a corpus-wide shuffle join on grams would be the wrong
+    plan at 100 TB."""
+    df = REGISTRY["benchmark_contamination"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt, txt
+    assert_no_python_udf(df)
+
+
+def test_global_row_ids_have_no_corpus_wide_serial_window(spark, sf_dir):
+    """Dense row-id assignment must use the partitioned prefix-sum shape:
+    the only SinglePartition work is the tiny per-range offset window."""
+    df = REGISTRY["global_row_ids_scalable"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "hashpartitioning(range_id" in txt, txt
+    assert txt.count("SinglePartition") <= 1, txt
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    df = REGISTRY["vocab_top_terms"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt, "global top-50 should not global-sort"
+    assert_no_python_udf(df)
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    """int8 quantization is a pure HOF map pass — no shuffle, no Python."""
+    df = REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "Exchange" not in txt, f"quantization should not shuffle:\n{txt}"
+    assert_no_python_udf(df)
