@@ -63,6 +63,8 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination join, with n=5 scaled down to this fixture's ~100-word
     docs (production uses 10-13-grams).
     """
+    from ..plans.sizing import right_size
+
     t = Tables(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     gram = "concat_ws(' ', " + ", ".join(
@@ -73,9 +75,18 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"THEN array_distinct(transform(sequence(1, size(tokens) - 4), i -> {gram})) "
         "ELSE array() END"
     )
-    sh = t.documents.select(
-        "doc_id", toks.alias("tokens")
-    ).select("doc_id", F.expr(grams).alias("grams"))
+    # Spread BEFORE the gram transform: a compact doc file arrives in one
+    # split, and tokenize + ~n_tokens string concats per doc is the
+    # compute-heavy part (single-tasked, it dominated the whole query);
+    # inflate reflects the ~5× gram blowup the optimizer can't see. The
+    # gram arrays are computed once and persisted — the lineage feeds three
+    # consumers (bench set, training explode, training doc list).
+    sh = (
+        right_size(t.documents.select("doc_id", "text"), "doc_id", inflate=5.0)
+        .select("doc_id", toks.alias("tokens"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .persist()
+    )
     bench = (
         sh.where(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("grams").alias("g"))
