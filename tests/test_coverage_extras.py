@@ -139,3 +139,17 @@ def test_array_agg_arrays_match_csv(spark, sf_dir):
         for r in array_agg_customers_per_nation_arrays(spark, sf_dir).collect()
     }
     assert csv == arrays and len(csv) > 0
+
+
+def test_bench_headline_names_exist():
+    """Every bench headline query must be a declared registry query — a
+    rename would otherwise silently shrink the headline metric."""
+    import bench
+
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+
+    _load_all()
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"headline names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
