@@ -175,21 +175,49 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_sets(docs, "doc_id", "text").persist()
     sigs = minhash_signatures(sh, num_perm=32)  # empty-shingle drop is internal now
     cands = lsh_candidate_pairs(sigs, bands=32, rows_per_band=1)
-    meta = docs.select("doc_id", "lang")
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")).join(
-        meta.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")), "id_a"
+    # Cheap gates BEFORE the array payload: join only (lang, shingle count)
+    # per side — a few bytes vs whole shingle arrays — and drop pairs that
+    # (a) cross the lang block (~(1-1/n_langs) of candidates on a mixed
+    # corpus) or (b) fail the EXACT size necessary condition
+    # J = |∩|/|∪| ≤ min(|a|,|b|)/max(|a|,|b|) < t. Only survivors pay the
+    # array_intersect verification — the query's dominant cost.
+    meta = docs.select("doc_id", "lang").join(
+        sh.select(F.col("id").alias("doc_id"), F.size("shingles").alias("n_sh")),
+        "doc_id",
     )
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")).join(
-        meta.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")), "id_b"
+    gated = (
+        cands.join(
+            meta.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("lang").alias("lang_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .where(F.col("lang_a") == F.col("lang_b"))
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .where(
+            F.least("n_a", "n_b").cast("double") / F.greatest("n_a", "n_b")
+            >= F.lit(0.2)
+        )
+        .select("id_a", "id_b")
     )
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return (
-        cands.join(a, "id_a")
+        gated.join(a, "id_a")
         .join(b, "id_b")
-        .where(F.col("lang_a") == F.col("lang_b"))
-        .where((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
