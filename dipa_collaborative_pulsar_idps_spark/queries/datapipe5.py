@@ -19,6 +19,71 @@ from .registry import query
 _BENCH_MOD = 97
 
 
+def contamination_flags(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bench_mod: int = _BENCH_MOD,
+) -> DataFrame:
+    """Reusable decontamination core: (doc_id, n_hit_grams, contaminated)
+    for every TRAINING doc (``id % bench_mod != 0``); the benchmark set is
+    the complement. Stress-tested with planted overlaps at 20k docs in
+    tests/test_scale_stress.py.
+
+    100 TB shape: the benchmark's distinct-gram set is SMALL relative to
+    the corpus (eval suites are MBs, corpora are TBs) — Spark broadcasts
+    it, so contamination checking is a map-side hash probe over the
+    exploded training grams: no corpus-wide shuffle, just the per-doc
+    re-aggregation of hit counts. Exactly the C4/Dolma-style n-gram
+    decontamination join, with n scaled to the corpus's doc length
+    (production uses 10-13-grams).
+    """
+    from ..plans.sizing import right_size
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(tokens, i + {j})" for j in range(n)
+    ) + ")"
+    grams = (
+        f"CASE WHEN size(tokens) >= {n} "
+        f"THEN array_distinct(transform(sequence(1, size(tokens) - {n - 1}), i -> {gram})) "
+        "ELSE array() END"
+    )
+    # Spread BEFORE the gram transform: a compact doc file arrives in one
+    # split, and tokenize + ~n_tokens string concats per doc is the
+    # compute-heavy part (single-tasked, it dominated the whole query);
+    # inflate reflects the ~n× gram blowup the optimizer can't see. The
+    # gram arrays are computed once and persisted — the lineage feeds three
+    # consumers (bench set, training explode, training doc list).
+    sh = (
+        right_size(docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id", inflate=5.0)
+        .select("doc_id", toks.alias("tokens"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .persist()
+    )
+    bench = (
+        sh.where(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    ex = sh.where(F.col("doc_id") % bench_mod != 0).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    hits = (
+        ex.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    train = sh.where(F.col("doc_id") % bench_mod != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit_grams"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 @query(
     "benchmark_contamination",
     survey="ext-curation,ext-dedup",
@@ -51,61 +116,10 @@ WHERE sh.doc_id % {_BENCH_MOD} <> 0
 """,
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination — the standard pretraining hygiene pass:
-    flag training docs sharing any 5-gram with a held-out benchmark set
-    (here: every 97th doc, a deterministic stand-in for an eval suite).
-
-    100 TB shape: the benchmark's distinct-gram set is SMALL relative to
-    the corpus (eval suites are MBs, corpora are TBs) — Spark broadcasts
-    it, so contamination checking is a map-side hash probe over the
-    exploded training grams: no corpus-wide shuffle, just the per-doc
-    re-aggregation of hit counts. Exactly the C4/Dolma-style n-gram
-    decontamination join, with n=5 scaled down to this fixture's ~100-word
-    docs (production uses 10-13-grams).
-    """
-    from ..plans.sizing import right_size
-
+    """Benchmark decontamination over the documents table — see
+    `contamination_flags` (every 97th doc stands in for the eval suite)."""
     t = Tables(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    gram = "concat_ws(' ', " + ", ".join(
-        f"element_at(tokens, i + {j})" for j in range(5)
-    ) + ")"
-    grams = (
-        f"CASE WHEN size(tokens) >= 5 "
-        f"THEN array_distinct(transform(sequence(1, size(tokens) - 4), i -> {gram})) "
-        "ELSE array() END"
-    )
-    # Spread BEFORE the gram transform: a compact doc file arrives in one
-    # split, and tokenize + ~n_tokens string concats per doc is the
-    # compute-heavy part (single-tasked, it dominated the whole query);
-    # inflate reflects the ~5× gram blowup the optimizer can't see. The
-    # gram arrays are computed once and persisted — the lineage feeds three
-    # consumers (bench set, training explode, training doc list).
-    sh = (
-        right_size(t.documents.select("doc_id", "text"), "doc_id", inflate=5.0)
-        .select("doc_id", toks.alias("tokens"))
-        .select("doc_id", F.expr(grams).alias("grams"))
-        .persist()
-    )
-    bench = (
-        sh.where(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode("grams").alias("g"))
-        .distinct()
-    )
-    ex = sh.where(F.col("doc_id") % _BENCH_MOD != 0).select(
-        "doc_id", F.explode("grams").alias("g")
-    )
-    hits = (
-        ex.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    train = sh.where(F.col("doc_id") % _BENCH_MOD != 0).select("doc_id")
-    return train.join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit_grams"),
-        (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
-    )
+    return contamination_flags(t.documents)
 
 
 @query(

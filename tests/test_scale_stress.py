@@ -135,3 +135,64 @@ def test_lsh_pair_path_recall_on_planted_neardups(spark):
         .count()
     )
     assert pairs >= 90, f"LSH pair recall too low: {pairs}/100"
+
+
+def test_contamination_flags_planted_overlaps_at_20k_docs(spark):
+    """Decontamination at 20k docs with planted ground truth: training docs
+    seeded with a verbatim 5-token window from a benchmark doc are flagged;
+    the other ~19.8k random-soup docs (vocab 5000 → a specific 5-gram
+    collision is ~1/5000^5) are all clean. The benchmark gram set stays
+    broadcast-sized, so the check is one map-side probe at any corpus
+    scale."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe5 import (
+        contamination_flags,
+    )
+
+    n_docs, n_planted, toks = 20_000, 100, 40
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(toks)), lambda i: _token(i)), " "
+        ).alias("text"),
+    )
+
+    def bench_token(bench_id: int, pos):
+        # token `pos` of benchmark doc `bench_id` (reproduces _token with a
+        # literal id — the planted docs quote a real benchmark window).
+        # Cast to LONG: xxhash64 hashes INT and LONG inputs differently,
+        # and the corpus generator hashes id*1000+i as LONG.
+        return F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64((F.lit(bench_id * 1000) + pos).cast("long")), F.lit(5000)
+            ),
+        )
+
+    planted = [
+        spark.range(1).select(
+            F.lit(n_docs + k * 97 + 1).alias("doc_id"),  # never ≡ 0 (mod 97)
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(toks)),
+                    lambda i: F.when(i <= 5, bench_token(97 * k, i)).otherwise(
+                        F.concat(F.lit("p"), F.lit(k), F.lit("_"), i)
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        for k in range(n_planted)
+    ]
+    corpus = base
+    for p in planted:
+        corpus = corpus.unionAll(p)
+    flags = contamination_flags(corpus).persist()
+    flagged = {r["doc_id"] for r in flags.where("contaminated").collect()}
+    expect = {n_docs + k * 97 + 1 for k in range(n_planted)}
+    assert flagged == expect, (
+        f"missed={sorted(expect - flagged)[:5]} false={sorted(flagged - expect)[:5]}"
+    )
+    # planted docs quote exactly one 5-token window → exactly 1 hit gram
+    hits = {r["n_hit_grams"] for r in flags.where("contaminated").collect()}
+    assert hits == {1}
+    flags.unpersist()
