@@ -322,3 +322,46 @@ def streaming_curation(
     return gated.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_decontamination(
+    docs: DataFrame, benchmark_docs: DataFrame, *, n: int = 5
+) -> DataFrame:
+    """Streaming twin of `queries.datapipe5.contamination_flags`: gate an
+    unbounded docs stream against a STATIC benchmark corpus, dropping any
+    doc that shares an n-gram with it.
+
+    Stream-static and STATELESS: the benchmark's distinct grams collapse
+    to a one-row static side (eval suites are MBs — the same broadcast-
+    size assumption the batch op makes), the stream cross-joins that one
+    row, and `arrays_overlap` filters map-side. No watermark, no state
+    store, nothing accumulates — each micro-batch pays one broadcast probe
+    per doc, which is the only shape that holds up on an unbounded stream.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(tokens, i + {j})" for j in range(n)
+    ) + ")"
+    grams = (
+        f"CASE WHEN size(tokens) >= {n} "
+        f"THEN array_distinct(transform(sequence(1, size(tokens) - {n - 1}), i -> {gram})) "
+        "ELSE array() END"
+    )
+
+    def gram_col(df: DataFrame) -> DataFrame:
+        return df.withColumn("tokens", toks).withColumn(
+            "__grams", F.expr(grams)
+        ).drop("tokens")
+
+    bench_row = (
+        gram_col(benchmark_docs)
+        .select(F.explode("__grams").alias("g"))
+        .distinct()
+        .agg(F.collect_set("g").alias("__bench_grams"))
+    )
+    return (
+        gram_col(docs)
+        .join(bench_row)  # stream-static inner join, 1-row static side
+        .where(~F.arrays_overlap("__grams", "__bench_grams"))
+        .drop("__grams", "__bench_grams")
+    )

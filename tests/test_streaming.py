@@ -625,3 +625,33 @@ def test_streaming_curation_dedups_across_batches(spark, replay_dir):
     assert 9 in got, "key not evicted after watermark horizon — state grows forever"
     assert got.isdisjoint({2, 3, 5, 7})
     assert len(got) == 4
+
+
+def test_streaming_decontamination_gate(spark, replay_dir):
+    """Stream-static decontamination: docs quoting a benchmark 5-gram are
+    dropped mid-stream, clean docs pass through unchanged, and the gate is
+    stateless (no watermark required)."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        streaming_decontamination,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import run_to_memory
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    clean = "one two three four five six seven eight nine ten"
+    dirty = "x y alpha beta gamma delta epsilon tail words here"  # quotes bench 5-gram
+    short = "tiny doc"  # < 5 tokens → no grams → passes
+    rows = [(1, clean), (2, dirty), (3, short)]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        replay_dir
+    )
+    stream = spark.readStream.schema(schema).parquet(replay_dir)
+    q = run_to_memory(
+        streaming_decontamination(stream, bench), "decontam_docs", output_mode="append"
+    )
+    got = {r.doc_id for r in spark.table("decontam_docs").collect()}
+    q.stop()
+    assert got == {1, 3}
