@@ -132,3 +132,28 @@ def test_knuth_hash_no_overflow_for_huge_doc_ids(spark):
         ).alias("bucket")
     ).collect()
     assert all(0 <= r.bucket < 100 for r in rows)
+
+
+def test_shard_packing_invariant_to_range_width(spark, sf_dir, monkeypatch):
+    """The distributed prefix-sum decomposition must produce IDENTICAL
+    shards for ANY range width — the dial shapes parallelism only. Width 1
+    degenerates to one range per doc (offsets do all the work); a width
+    larger than the corpus degenerates to the single-range case (local
+    window does all the work)."""
+    from dipa_collaborative_pulsar_idps_spark import config
+    from dipa_collaborative_pulsar_idps_spark.queries import datapipe
+
+    def run(width):
+        monkeypatch.setattr(
+            datapipe, "SCALE", config.ScaleConfig(pack_range_width=width)
+        )
+        return {
+            tuple(r)
+            for r in datapipe.token_shard_assignment_scalable(spark, sf_dir).collect()
+        }
+
+    baseline = {
+        tuple(r) for r in datapipe.token_shard_assignment(spark, sf_dir).collect()
+    }
+    for width in (1, 7, 50_000):
+        assert run(width) == baseline, f"width={width} changed shard packing"
