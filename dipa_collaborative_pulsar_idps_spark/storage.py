@@ -116,3 +116,53 @@ def compact_partition(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Curated-corpus layout: the datapipe twin of the telemetry lake. A trained-on
+# corpus is read back over and over (shard export, decontamination re-runs,
+# stratified sampling) — the layout must make those scans cheap.
+# ---------------------------------------------------------------------------
+
+#: lang first: it is the dominant curation predicate (per-language funnels,
+#: stratified sampling) and is low-cardinality — safe as a directory key.
+#: doc_id stays in ROW-GROUP sort order (high cardinality — never a dir key);
+#: range scans (shard manifests, id-bucket sampling) prune via parquet
+#: min/max stats instead.
+CORPUS_PARTITION_COLS = ("lang",)
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    target_file_rows: int | None = None,
+) -> None:
+    """Write a curated documents frame hive-partitioned by lang, sorted
+    within files by doc_id (row-group stats pruning for id-range reads).
+    One task owns each lang directory — no small-files spray."""
+    out = df.repartition(*CORPUS_PARTITION_COLS).sortWithinPartitions(
+        *CORPUS_PARTITION_COLS, "doc_id"
+    )
+    writer = out.write.mode(mode).partitionBy(*CORPUS_PARTITION_COLS)
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    writer.parquet(path)
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    lang: str | None = None,
+    doc_id_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Read back with the pruning predicates expressed as column filters:
+    lang prunes directories, the doc_id range prunes row groups via the
+    in-file sort (both asserted in tests/test_scale_strategies.py)."""
+    df = spark.read.parquet(path)
+    if lang is not None:
+        df = df.where(F.col("lang") == lang)
+    if doc_id_range is not None:
+        lo, hi = doc_id_range
+        df = df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    return df

@@ -275,3 +275,38 @@ def test_compact_partition_reduces_files_keeps_rows(spark, tmp_path):
     }
     assert after_rows == before_rows
     assert files_of(2) == other_files  # untouched leaf
+
+
+def test_curated_corpus_layout_prunes(spark, tmp_path):
+    """Corpus layout (lang dirs + in-file doc_id sort): a one-lang read
+    plans PartitionFilters and touches only that directory; a doc_id range
+    read pushes min/max filters to the scan for row-group pruning."""
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.plans.explain import plan_text
+    from dipa_collaborative_pulsar_idps_spark.storage import (
+        read_corpus,
+        write_corpus,
+    )
+
+    rows = [(lang_i * 1000 + i, lang, f"text {i}") for lang_i, lang in
+            enumerate(("en", "de", "zh")) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    path = str(tmp_path / "corpus")
+    write_corpus(df, path, target_file_rows=10)
+
+    one_lang = read_corpus(spark, path, lang="de")
+    assert one_lang.count() == 50
+    txt = plan_text(one_lang)
+    pf = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in " ".join(pf), txt
+    files = {r[0] for r in one_lang.select(F.input_file_name()).distinct().collect()}
+    assert files and all("lang=de" in f for f in files), files
+    # file-count hygiene: one sorted run per lang, split only by
+    # maxRecordsPerFile — not one file per input task
+    assert len(files) == 5, files
+
+    ranged = read_corpus(spark, path, doc_id_range=(1000, 1010))
+    assert ranged.count() == 10
+    pushed = [ln for ln in plan_text(ranged).splitlines() if "PushedFilters" in ln]
+    assert pushed and "doc_id" in " ".join(pushed), "doc_id range not pushed to scan"
