@@ -65,3 +65,51 @@ def test_sql_twin_exact_dedup(spark, sf_dir):
     )
     df = REGISTRY["dedup_exact_groups"].fn(spark, sf_dir)
     assert _rows(sql.select(df.columns)) == _rows(df)
+
+
+def test_sql_twin_vocab_top_terms(spark, sf_dir):
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        WITH ex AS (
+            SELECT doc_id,
+                   EXPLODE(FILTER(SPLIT(text, ' '), x -> x != '')) AS term
+            FROM documents
+        ), stats AS (
+            SELECT term, COUNT(*) AS collection_freq,
+                   COUNT(DISTINCT doc_id) AS doc_freq
+            FROM ex GROUP BY term
+        )
+        SELECT term, collection_freq, doc_freq,
+               ROUND(LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                        / doc_freq), 6) AS idf
+        FROM stats
+        ORDER BY collection_freq DESC, term
+        LIMIT 50
+        """
+    )
+    df = REGISTRY["vocab_top_terms"].fn(spark, sf_dir)
+    assert _rows(sql.select(df.columns)) == _rows(df)
+
+
+def test_sql_twin_embedding_quantize(spark, sf_dir):
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        WITH v AS (
+            SELECT vec_id, label,
+                   TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   ARRAY_MAX(TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE))))
+                       AS full_max
+            FROM embeddings
+        )
+        SELECT vec_id, label, ROUND(full_max, 6) AS max_abs,
+               AGGREGATE(TRANSFORM(e, x -> FLOOR(x * 127.0D / full_max + 0.5D)),
+                         0L, (acc, x) -> acc + x) AS q_sum,
+               ARRAY_MAX(TRANSFORM(e,
+                         x -> ABS(FLOOR(x * 127.0D / full_max + 0.5D)))) AS q_max_abs
+        FROM v
+        """
+    )
+    df = REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir)
+    assert _rows(sql.select(df.columns)) == _rows(df)
