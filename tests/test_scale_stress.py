@@ -196,3 +196,61 @@ def test_contamination_flags_planted_overlaps_at_20k_docs(spark):
     hits = {r["n_hit_grams"] for r in flags.where("contaminated").collect()}
     assert hits == {1}
     flags.unpersist()
+
+
+def test_prefix_sum_packing_matches_global_window_at_20k_docs(spark):
+    """The distributed prefix-sum shard assignment equals the global-window
+    form at 20k synthetic docs (40 ranges at width 512) — the decomposition
+    holds beyond the driver fixtures, where every doc fits one range."""
+    from pyspark.sql.window import Window
+
+    from dipa_collaborative_pulsar_idps_spark.config import SCALE
+    from dipa_collaborative_pulsar_idps_spark.queries import datapipe
+
+    toks = 40
+    corpus = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(toks)), lambda i: _token(i)), " "
+        ).alias("text"),
+    )
+
+    # global-window reference, inline (the declared queries read parquet)
+    toks_col = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = corpus.select("doc_id", F.size(toks_col).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = (
+        d.withColumn(
+            "shard_id",
+            ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(SCALE.shard_tokens))
+            .cast("long"),
+        )
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+    )
+
+    # the scalable path over the same corpus, via a temp view + query fn
+    # machinery: reuse the range/offset shape directly
+    rng = SCALE.pack_range_width
+    d2 = d.withColumn("range_id", F.expr(f"doc_id DIV {rng}"))
+    totals = d2.groupBy("range_id").agg(F.sum("n_tokens").alias("range_tokens"))
+    w_pfx = Window.orderBy("range_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "range_id",
+        F.coalesce(F.sum("range_tokens").over(w_pfx), F.lit(0)).alias("range_offset"),
+    )
+    w_local = (
+        Window.partitionBy("range_id").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scal = (
+        d2.join(F.broadcast(offsets), "range_id")
+        .withColumn(
+            "excl_total",
+            F.col("range_offset") + F.sum("n_tokens").over(w_local) - F.col("n_tokens"),
+        )
+        .withColumn("shard_id", F.expr(f"excl_total DIV {SCALE.shard_tokens}"))
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+    )
+    assert {tuple(r) for r in scal.collect()} == {tuple(r) for r in ref.collect()}
