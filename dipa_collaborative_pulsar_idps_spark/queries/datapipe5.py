@@ -274,3 +274,101 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("collection_freq"), "term")
         .limit(50)
     )
+
+
+@query(
+    "curation_funnel_decontaminated",
+    survey="ext-curation,ext-text,ext-dedup",
+    oracle=f"""
+WITH tokall AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+), gr AS (
+    SELECT doc_id,
+           CASE WHEN LEN(tokens) >= 5 THEN
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tokens) - 3),
+                   i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                        || ' ' || tokens[i+3] || ' ' || tokens[i+4]))
+           ELSE [] END AS grams
+    FROM tokall
+), bench AS (
+    SELECT DISTINCT UNNEST(grams) AS g FROM gr WHERE doc_id % {_BENCH_MOD} = 0
+), dirty AS (
+    SELECT DISTINCT gr.doc_id FROM gr, UNNEST(gr.grams) AS u(g)
+    WHERE gr.doc_id % {_BENCH_MOD} <> 0 AND u.g IN (SELECT g FROM bench)
+), tok AS (
+    SELECT doc_id, text, n_chars,
+           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+    WHERE lang = 'en' AND doc_id % {_BENCH_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM dirty)
+), quality AS (
+    SELECT * FROM tok
+    WHERE LEN(tokens) >= 20
+      AND CAST(n_chars AS DOUBLE) / LEN(tokens) <= 15.0
+      AND LEN(LIST_FILTER(tokens, x -> x IN ('the','a','of','and','to')))
+          * 1.0 / LEN(tokens) >= 0.01
+), deduped AS (
+    SELECT * FROM (
+        SELECT doc_id, n_chars, tokens,
+               MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep_id
+        FROM quality
+    ) WHERE doc_id = keep_id
+)
+SELECT CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+            WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(tokens)) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM deduped
+GROUP BY split
+""",
+)
+def curation_funnel_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline a pretraining run actually ships:
+    benchmark exclusion + decontamination (drop benchmark docs and any
+    training doc sharing a 5-gram with them) composed IN FRONT of the
+    `curation_funnel` gates (lang → quality → exact dedup → split stats).
+
+    100 TB shape: decontamination adds one broadcast semi-join (the
+    benchmark gram probe) before the funnel's single wide shuffle — the
+    anti-join on contaminated ids is keyed by doc_id against a
+    broadcast-scale id list (contaminated docs are rare in a clean
+    corpus), so filter-before-shuffle ordering still holds."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    flags = contamination_flags(t.documents)
+    dirty_ids = flags.where("contaminated").select("doc_id")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = (
+        t.documents.where(F.col("lang") == "en")
+        .where(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(dirty_ids), "doc_id", "left_anti")
+        .select("doc_id", "text", "n_chars", toks.alias("tokens"))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    stop_hits = F.size(F.filter(F.col("tokens"), lambda x: F.array_contains(stop_arr, x)))
+    quality = d.where(
+        (F.size("tokens") >= 20)
+        & (F.col("n_chars").cast("double") / F.size("tokens") <= 15.0)
+        & (stop_hits * F.lit(1.0) / F.size("tokens") >= 0.01)
+    )
+    keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    deduped = quality.withColumn("keep_id", keep).where(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    bucket = F.pmod(
+        F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), F.lit(100)
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), F.size("tokens").alias("n_tokens"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
