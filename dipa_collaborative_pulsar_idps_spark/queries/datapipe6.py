@@ -1,0 +1,457 @@
+"""Training-data-pipeline operators, batch 6 (round 3, second pass):
+published curation-rule families a pretraining user expects beyond the
+funnel already shipped — Gopher-style document quality rules, character
+entropy, PII redaction, cross-document repeated-window removal (the exact
+substring-dedup analog at token-window granularity), context-length
+chunking, and temperature-based domain mixture weights.
+
+All text math stays in whole-stage codegen (higher-order functions, no
+Python); every query has a DuckDB oracle. The reference has no equivalent
+surface (its pipeline is flow telemetry — e.g.
+ryu/src/deployed_controller/DIPA_Controller.py); these rows extend the
+engine toward the LLM-data workload the target cluster actually runs, per
+the published C4 / Gopher / CCNet / Dolma curation recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import Tables
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, §A1.1) — the thresholds
+# published for MassiveText, applied per document. Map-only: no Exchange.
+# ---------------------------------------------------------------------------
+
+#: Gopher's "must contain ≥2 stop words" check (the published 8-word list).
+_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "gopher_quality_rules",
+    survey="ext-text,ext-curation",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           LEN(tokens) AS n_words,
+           CAST(LIST_SUM(LIST_TRANSFORM(tokens, x -> LENGTH(x))) AS BIGINT)
+               AS n_word_chars,
+           LEN(LIST_FILTER(tokens, x -> REGEXP_MATCHES(x, '[a-z]')))
+               AS n_alpha_words,
+           LEN(LIST_FILTER(tokens, x -> LIST_CONTAINS([{_STOP_SQL}], x)))
+               AS n_stopwords
+    FROM tok
+)
+SELECT doc_id, n_words, n_stopwords,
+       CAST(n_word_chars AS DOUBLE) / n_words AS mean_word_len,
+       CAST(n_alpha_words AS DOUBLE) / n_words AS frac_alpha_words,
+       (n_words BETWEEN 50 AND 100000
+        AND CAST(n_word_chars AS DOUBLE) / n_words BETWEEN 3 AND 10
+        AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8
+        AND n_stopwords >= 2) AS passes_gopher
+FROM m
+""",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality gates: word count in [50, 100k], mean
+    word length in [3, 10], ≥80% words containing an alphabetic char, ≥2
+    stop words. Ratios are exact int/int IEEE divisions — bit-identical
+    across engines, no rounding needed.
+
+    100 TB shape: map-only over the corpus scan (plan-gated zero Exchange
+    in tests/test_plans.py) — composes in front of the curation funnel's
+    one wide shuffle like the existing gates.
+    """
+    t = Tables(spark, sf_dir)
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("n_word_chars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).alias("n_alpha_words"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias(
+            "n_stopwords"
+        ),
+    )
+    mean_len = F.col("n_word_chars").cast("double") / F.col("n_words")
+    frac_alpha = F.col("n_alpha_words").cast("double") / F.col("n_words")
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_stopwords",
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        (
+            F.col("n_words").between(50, 100000)
+            & mean_len.between(3, 10)
+            & (frac_alpha >= 0.8)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("passes_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-unigram entropy (a CCNet/Gopher-family quality signal: gibberish
+# and boilerplate sit at the entropy extremes).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "char_entropy",
+    survey="ext-text",
+    oracle="""
+WITH ch AS (
+    SELECT doc_id,
+           LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1), i -> SUBSTR(text, CAST(i AS INTEGER), 1)) AS chars
+    FROM documents
+), c2 AS (
+    SELECT doc_id, chars, LEN(chars) AS n,
+           LIST_DISTINCT(chars) AS uniq
+    FROM ch
+)
+SELECT doc_id, n AS n_chars_counted, LEN(uniq) AS n_distinct_chars,
+       ROUND(-COALESCE(LIST_SUM(LIST_TRANSFORM(uniq,
+           c -> (CAST(LEN(LIST_FILTER(chars, x -> x = c)) AS DOUBLE) / n)
+                * LOG2(CAST(LEN(LIST_FILTER(chars, x -> x = c)) AS DOUBLE) / n)
+       )), 0.0), 6) AS char_entropy_bits
+FROM c2
+""",
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document, in bits.
+
+    Shuffle-free: per-char extraction, distinct-char counting, and the
+    entropy fold are all array higher-order functions inside one codegen
+    stage — O(distinct_chars × doc_len) per row, no explode, no groupBy.
+    (An explode + groupBy(doc_id, char) form would shuffle the entire
+    character population of a 100 TB corpus; this form shuffles nothing.)
+    Entropy is rounded to 6 decimals: the fold order over distinct chars
+    is first-occurrence in both engines, but libm log2 may differ in the
+    last ulp.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(text) > 0 THEN "
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1)) "
+            "ELSE array() END"
+        ).alias("chars"),
+    ).select(
+        "doc_id",
+        "chars",
+        F.size("chars").alias("n"),
+        F.array_distinct("chars").alias("uniq"),
+    )
+    p = "(cast(size(filter(chars, x -> x = c)) as double) / n)"
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        F.size("uniq").alias("n_distinct_chars"),
+        F.round(
+            -F.expr(f"aggregate(transform(uniq, c -> {p} * log2({p})), cast(0.0 as double), (a, x) -> a + x)"),
+            6,
+        ).alias("char_entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. The synthetic corpus carries no PII, so the query derives a
+# deterministic PII-bearing column from table values (email / IPv4 / phone
+# built from doc_id), then runs the real redaction machinery — counts via
+# regexp_extract_all, scrub via ordered regexp_replace. The patterns are
+# deliberately in the RE2 ∩ java.util.regex portable subset.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IP_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+_PHONE_RE = "\\+1-555-\\d{4}"
+
+
+@query(
+    "pii_redaction",
+    survey="ext-text,ext-curation",
+    oracle=f"""
+WITH pii AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from ' || CAST(10 + doc_id % 200 AS VARCHAR)
+                || '.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                || CAST(1 + doc_id % 254 AS VARCHAR)
+                || ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS pii_text
+    FROM documents
+)
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(pii_text, '{_EMAIL_RE}')) AS n_emails,
+       LEN(REGEXP_EXTRACT_ALL(pii_text, '{_IP_RE}')) AS n_ips,
+       LEN(REGEXP_EXTRACT_ALL(pii_text, '{_PHONE_RE}')) AS n_phones,
+       REGEXP_REPLACE(
+           REGEXP_REPLACE(
+               REGEXP_REPLACE(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_IP_RE}', '<IP>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM pii
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style PII scrub: count and mask emails, IPv4 addresses, and
+    phone numbers. Map-only regex work (plan-gated zero Exchange); at
+    100 TB this is a pure scan→scan transform that fuses with any
+    adjacent gate. Spark regexp_replace is global by default; the DuckDB
+    oracle passes the 'g' option explicitly."""
+    t = Tables(spark, sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from "),
+        (F.col("doc_id") % 200 + 10).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 254 + 1).cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = t.documents.select("doc_id", pii_text.alias("pii_text"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("pii_text", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("pii_text", F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("pii_text", F.lit(_IP_RE), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.size(F.regexp_extract_all("pii_text", F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        red.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-window removal — the token-window analog of exact
+# substring dedup (Lee et al. 2022 dedups at 50-token granularity; C4 at the
+# 3-sentence span). Windows that recur ANYWHERE in the corpus are flagged.
+# ---------------------------------------------------------------------------
+
+_WIN = 8  # tokens per non-overlapping window
+
+
+@query(
+    "window_dedup_global",
+    survey="ext-dedup,ext-curation",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+), w AS (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(RANGE(0, LEN(tokens) // {_WIN}),
+               i -> ARRAY_TO_STRING(tokens[i*{_WIN}+1 : i*{_WIN}+{_WIN}], ' ')))
+               AS win
+    FROM tok
+), freq AS (
+    SELECT win, COUNT(*) AS cnt FROM w GROUP BY win
+), per_doc AS (
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN freq.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+    FROM w JOIN freq USING (win)
+    GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per_doc.n_windows, 0) AS n_windows,
+       COALESCE(per_doc.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN COALESCE(per_doc.n_windows, 0) = 0 THEN 0.0
+            ELSE CAST(per_doc.n_dup_windows AS DOUBLE) / per_doc.n_windows
+       END AS dup_window_ratio
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+""",
+)
+def window_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus-wide repeated 8-token windows per document — see
+    `window_dedup_stats` for the plan shape."""
+    return window_dedup_stats(Tables(spark, sf_dir).documents)
+
+
+def window_dedup_stats(docs: DataFrame, *, win: int = _WIN) -> DataFrame:
+    """Core of `window_dedup_global` over any (doc_id, text) frame.
+
+    Plan: one explode → one shuffle on the window string (count) → shuffle
+    join back → per-doc re-aggregation. At 100 TB the window-frequency
+    table is the corpus's repeated mass only after the HAVING-style cnt>1
+    filter; here the join carries all windows because the per-doc TOTAL
+    window count rides the same join (one pass instead of two).
+    Map-side partial counts apply to both aggregations.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # CASE guard: Spark's sequence(0, -1) is a DESCENDING [0, -1], not empty.
+    wins = F.expr(
+        f"CASE WHEN size(tokens) >= {win} THEN "
+        f"transform(sequence(0, size(tokens) DIV {win} - 1), "
+        f"i -> array_join(slice(tokens, i*{win}+1, {win}), ' ')) "
+        "ELSE array() END"
+    )
+    w = (
+        docs.select("doc_id", toks.alias("tokens"))
+        .select("doc_id", F.explode(wins).alias("win"))
+    )
+    freq = w.groupBy("win").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        w.join(freq, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.col("n_dup_windows").cast("double") / F.col("n_windows"))
+        .alias("dup_window_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-length chunking: overlapping fixed-size token windows, the standard
+# prep for packing documents into training sequences.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64
+_STRIDE = 48  # overlap = _CHUNK - _STRIDE = 16 tokens
+
+
+@query(
+    "doc_chunk_windows",
+    survey="ext-curation",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, tokens,
+           UNNEST(RANGE(0, CAST(LEN(tokens) AS BIGINT), {_STRIDE})) AS start
+    FROM tok
+    WHERE LEN(tokens) > 0
+)
+SELECT doc_id,
+       CAST(start // {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(LEAST({_CHUNK}, LEN(tokens) - start) AS BIGINT) AS n_chunk_tokens,
+       MD5(ARRAY_TO_STRING(tokens[start+1 : start+{_CHUNK}], ' ')) AS chunk_hash
+FROM c
+""",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into {_CHUNK}-token chunks at stride {_STRIDE}
+    (16-token overlap), emitting a content hash per chunk — the standard
+    context-window prep before sequence packing (pack chunks, not docs,
+    when docs exceed the model context).
+
+    Narrow plan: sequence + posexplode per row, no shuffle (plan-gated).
+    The chunk hash certifies chunk CONTENT cross-engine without shipping
+    the chunk text through the comparator.
+    """
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = t.documents.select("doc_id", toks.alias("tokens")).where(
+        F.size("tokens") > 0
+    )
+    d = d.select(
+        "doc_id",
+        "tokens",
+        F.explode(F.expr(f"sequence(0, size(tokens) - 1, {_STRIDE})")).alias("start"),
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"start DIV {_STRIDE}").cast("long").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.size("tokens") - F.col("start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.expr(f"array_join(slice(tokens, start + 1, {_CHUNK}), ' ')").cast(
+                "binary"
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixture weights (the multinomial-sampling recipe
+# of multilingual/multi-source pretraining: share_i ∝ tokens_i^α).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "domain_mixture_weights",
+    survey="ext-curation",
+    oracle="""
+WITH dom AS (
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY lang, source
+), tot AS (
+    SELECT SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS z FROM dom
+)
+SELECT lang, source, n_docs, n_tokens,
+       ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / z, 6) AS mix_share
+FROM dom CROSS JOIN tot
+""",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) sampling shares at temperature α = 0.5:
+    share ∝ n_tokens^0.5, normalized. sqrt is IEEE-correctly-rounded (so
+    bit-identical across engines, unlike pow); only the normalizer's
+    summation order varies, hence round-6 on the share.
+
+    100 TB shape: the domain table is tiny (|langs|×|sources|), so the
+    normalizer is a broadcast 1-row aggregate — same pattern as
+    `suspected_bots`' ratio-of-total. The heavy part (per-doc token
+    counts) is a map-side-combined groupBy, one shuffle of ~100 rows.
+    """
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    dom = (
+        t.documents.select("lang", "source", F.size(toks).alias("nt"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    tot = dom.agg(F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"))
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("z"), 6).alias(
+            "mix_share"
+        ),
+    )

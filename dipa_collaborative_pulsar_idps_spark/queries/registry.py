@@ -73,6 +73,7 @@ def _load_all() -> None:
         datapipe3,
         datapipe4,
         datapipe5,
+        datapipe6,
         detection,
         media,
         relational,

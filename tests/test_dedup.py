@@ -285,3 +285,94 @@ def test_minhash_signatures_drop_empty_shingles(spark):
     assert {r.id for r in rows} == {3}
     assert all(v is not None for r in rows for v in r.sig)
     assert lsh_candidate_pairs(sigs).count() == 0
+
+
+# --- batch-6 curation ops: semantic (planted-truth / invariant) checks ---
+
+
+def test_window_dedup_flags_planted_shared_window(spark):
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe6 import (
+        window_dedup_stats,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(8))  # one full 8-token window
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, shared + " one two three four five six seven eight"),
+            (3, "lone tokens that never repeat across any doc here ok"),
+            (4, "short doc"),  # < 8 tokens → zero windows
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in window_dedup_stats(docs).collect()}
+    assert got[1]["n_windows"] == 2 and got[1]["n_dup_windows"] == 1
+    assert got[2]["n_windows"] == 2 and got[2]["n_dup_windows"] == 1
+    assert got[3]["n_windows"] == 1 and got[3]["n_dup_windows"] == 0
+    assert got[4]["n_windows"] == 0 and got[4]["dup_window_ratio"] == 0.0
+
+
+def test_pii_redaction_leaves_no_residual_pii(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe6 import (
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+    )
+
+    df = REGISTRY["pii_redaction"].fn(spark, sf_dir)
+    residual = df.select(
+        *[
+            F.sum(
+                F.size(F.regexp_extract_all("redacted", F.lit(p), F.lit(0)))
+            ).alias(f"r{i}")
+            for i, p in enumerate((_EMAIL_RE, _IP_RE, _PHONE_RE))
+        ],
+        F.min("n_emails").alias("e"),
+        F.min("n_ips").alias("i"),
+        F.min("n_phones").alias("p"),
+    ).first()
+    assert residual["r0"] == residual["r1"] == residual["r2"] == 0
+    # every derived doc carries at least one of each planted PII kind
+    assert residual["e"] >= 1 and residual["i"] >= 1 and residual["p"] >= 1
+
+
+def test_char_entropy_within_information_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+
+    df = REGISTRY["char_entropy"].fn(spark, sf_dir)
+    bad = df.where(
+        (F.col("char_entropy_bits") < -1e-6)
+        | (F.col("char_entropy_bits") > F.log2("n_distinct_chars") + 1e-6)
+    ).count()
+    assert bad == 0
+
+
+def test_doc_chunks_cover_every_token(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    chunks = REGISTRY["doc_chunk_windows"].fn(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_tok = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.size(toks).alias("n_tokens")
+    )
+    agg = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("n_chunk_tokens").alias("max_len"),
+        F.min("n_chunk_tokens").alias("min_len"),
+    )
+    joined = agg.join(n_tok, "doc_id")
+    # stride-48 starts while start < n  →  n_chunks = ceil(n / 48)
+    bad = joined.where(
+        (F.col("n_chunks") != F.ceil(F.col("n_tokens") / 48))
+        | (F.col("max_len") > 64)
+        | (F.col("min_len") < 1)
+    ).count()
+    assert bad == 0

@@ -199,3 +199,33 @@ def test_quantize_is_map_only(spark, sf_dir):
     txt = plan_text(df)
     assert "Exchange" not in txt, f"quantization should not shuffle:\n{txt}"
     assert_no_python_udf(df)
+
+
+def test_curation_rule_queries_are_map_only(spark, sf_dir):
+    """Gopher rules, char entropy, PII redaction, and chunking are pure
+    scan→scan transforms (HOF/regex codegen) — zero Exchange, no Python.
+    At 100 TB these fuse with adjacent gates instead of shuffling."""
+    for name in (
+        "gopher_quality_rules",
+        "char_entropy",
+        "pii_redaction",
+        "doc_chunk_windows",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        txt = plan_text(df)
+        assert "Exchange" not in txt, f"{name} should not shuffle:\n{txt}"
+        assert_no_python_udf(df)
+
+
+def test_domain_mixture_broadcasts_normalizer(spark, sf_dir):
+    """The temperature-mixing normalizer is a 1-row aggregate — it must be
+    broadcast back, never a shuffled join against the domain table."""
+    df = REGISTRY["domain_mixture_weights"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+    assert_no_python_udf(df)
+
+
+def test_window_dedup_stays_jvm_side(spark, sf_dir):
+    df = REGISTRY["window_dedup_global"].fn(spark, sf_dir)
+    assert_no_python_udf(df)
