@@ -81,6 +81,9 @@ class ScaleConfig:
     ivf_n_list: int = 16
     ivf_n_probe: int = 4
     ivf_sample_per_list: int = 256
+    pq_m: int = 8
+    pq_ksub: int = 32
+    pq_sample_cap: int = 4096
     shard_tokens: int = 4096
     pack_range_width: int = 512
 

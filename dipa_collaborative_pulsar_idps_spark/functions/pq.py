@@ -1,0 +1,173 @@
+"""Product quantization (PQ) — the ANN memory-compression path beside
+IVF (functions/ivf.py) and hyperplane LSH (functions/similarity.py).
+
+The FAISS ``IndexPQ`` recipe: split each d-dim vector into ``m`` subspaces
+of d/m dims, k-means each subspace to ``ksub`` codewords on a BOUNDED
+training sample, then encode the FULL corpus distributed — each vector
+becomes ``m`` small integers (m bytes at ksub ≤ 256) instead of d floats,
+a 32× compression at d=64/m=8/float32. Search is the ADC (asymmetric
+distance computation) scan: per query, a tiny (m × ksub) lookup table of
+query-subvector · codeword partial dot products; a vector's approximate
+inner product is then m table gathers — no float decode of the corpus.
+
+At 100 TB: the codebooks are tiny (m·ksub·dsub doubles — broadcast in the
+UDF closure); training collects ≤ ``sample_cap`` rows regardless of corpus
+size (same bounded-collect move as IVF, ivf.py:80); encoding is one Arrow
+map pass; the ADC scan reads only the code column (m bytes/row — the point
+of PQ) and ships just per-partition top-k up the merge. Compose with IVF
+(write codes partitioned by list_id) for the standard IVF-PQ layout — the
+probe then prunes partitions AND scans compressed codes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ivf import _lloyd
+from .similarity import topk
+
+#: Hard bound on the driver-side query batch for the ADC scan — queries are
+#: the small serving-side input by construction (same bound as IVF training).
+_MAX_QUERY_BATCH = 4096
+
+
+def train_pq(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a bounded, deterministically-sampled
+    subset. Returns ``(m, ksub, dim//m)`` float64 codebooks.
+
+    The sample filter is the same id-hash thinning as IVF training: driver
+    traffic is ≤ sample_cap rows whether the corpus is 500 rows or 1 B.
+    """
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample_df = corpus.where(
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.lit(1_000_000))
+        < F.lit(int(frac * 1_000_000))
+        if frac < 1.0
+        else F.lit(True)
+    )
+    rows = sample_df.select("e").collect()  # bounded by the hash filter above
+    x = np.array([r.e for r in rows], dtype=np.float64)
+    return np.stack(
+        [_lloyd(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j) for j in range(m)]
+    )
+
+
+def pq_encode(corpus: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """Encode (vec_id, e) → (vec_id, codes array<int>), one Arrow map pass
+    with the codebooks in the UDF closure. Map-only: no shuffle."""
+    m, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)  # (B, d)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cb = codebooks[j]  # (ksub, dsub)
+            dist = -2 * sub @ cb.T + (cb**2).sum(1)[None, :]
+            codes[:, j] = dist.argmin(1)
+        return pd.Series(list(codes))
+
+    return corpus.select("vec_id", enc(F.col("e")).alias("codes"))
+
+
+def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Decode code rows back to approximate vectors (test/debug helper)."""
+    m, ksub, dsub = codebooks.shape
+    out = np.empty((len(codes), m * dsub))
+    for j in range(m):
+        out[:, j * dsub : (j + 1) * dsub] = codebooks[j][codes[:, j]]
+    return out
+
+
+def pq_search_adc(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k scan: approximate cosine between each query and every
+    encoded vector, computed entirely from code gathers.
+
+    cos(q, v̂) = (Σ_j LUT_ip[j, code_j]) / (‖q‖ · sqrt(Σ_j n2[j, code_j]))
+    where v̂ is the reconstruction — exact cosine against the DEQUANTIZED
+    vector, never materializing it (the identity is pinned by
+    tests/test_dedup.py::test_pq_adc_equals_reconstructed_cosine).
+
+    queries: (query_id, qe). Collected to the driver under a hard
+    ``_MAX_QUERY_BATCH`` bound (the serving batch is the small side by
+    construction); each corpus partition emits only its per-partition
+    top-k per query, then ``topk`` merges globally.
+    """
+    m, ksub, dsub = codebooks.shape
+    q_rows = queries.limit(_MAX_QUERY_BATCH + 1).collect()  # bounded: serving batch ≤ _MAX_QUERY_BATCH, asserted below
+    if len(q_rows) > _MAX_QUERY_BATCH:
+        raise ValueError(
+            f"query batch exceeds {_MAX_QUERY_BATCH}; chunk the serving batch"
+        )
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qe for r in q_rows], dtype=np.float64)  # (Q, d)
+    q_norm = np.sqrt((q_mat**2).sum(1))
+    # (Q, m, ksub) inner-product LUT + (m, ksub) codeword squared norms
+    lut = np.stack(
+        [q_mat[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )
+    n2 = (codebooks**2).sum(2)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            ip = np.zeros((len(q_ids), len(codes)))
+            vn2 = np.zeros(len(codes))
+            for j in range(m):
+                ip += lut[:, j, :][:, codes[:, j]]
+                vn2 += n2[j][codes[:, j]]
+            denom = np.maximum(q_norm[:, None] * np.sqrt(vn2)[None, :], 1e-12)
+            cos = ip / denom
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_c = [], [], []
+            # self-excluded, tie-broken by ascending id — the same order the
+            # global topk window applies, so the per-partition cut is exact.
+            for row, q in enumerate(q_ids):
+                keep = vec_ids != q
+                s, ids = cos[row, keep], vec_ids[keep]
+                part = np.lexsort((ids, -s))[:k]
+                out_q.append(np.full(len(part), q))
+                out_n.append(ids[part])
+                out_c.append(s[part])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    return topk(
+        encoded.mapInPandas(
+            scan, "query_id long, neighbor_id long, cosine double"
+        ),
+        k,
+    )

@@ -219,3 +219,49 @@ def ann_topk_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, q, dim=64, k=5, n_planes=4, probe_radius=4).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     )
+
+
+@query("ann_topk_pq_neighbors", survey="ext-sim")
+def ann_topk_pq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 for the first 50 query vectors:
+    m=8 subspaces × 16 codewords → 8-byte codes (32× compression over
+    float32), scored by LUT gathers without decoding the corpus
+    (functions/pq.py). No SQL oracle (k-means codebooks are iterative);
+    recall vs brute force and the ADC≡reconstructed-cosine identity are
+    asserted in tests/test_dedup.py; the exhaustive twin below carries the
+    full value oracle."""
+    from ..functions.pq import pq_encode, pq_search_adc, train_pq
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cb = train_pq(
+        emb, dim=64, m=SCALE.pq_m, ksub=SCALE.pq_ksub, sample_cap=SCALE.pq_sample_cap
+    )
+    return pq_search_adc(pq_encode(emb, cb), cb, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    )
+
+
+@query("ann_topk_pq_exhaustive", survey="ext-sim", oracle=_BRUTE_TOPK_ORACLE)
+def ann_topk_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with ksub == corpus size, trained on the full corpus: k-means++
+    seeds every distinct vector as its own codeword and Lloyd fixes them
+    (singleton clusters), so reconstruction is bit-exact and the ADC scan
+    must return EXACTLY the brute-force top-k — the full value-level
+    oracle for the encode→LUT→scan machinery (same certifier pattern as
+    the IVF/LSH exhaustive twins). Certifier-only config: training
+    collects the whole (small) corpus here; the production path above
+    keeps the bounded sample cap."""
+    from ..functions.pq import pq_encode, pq_search_adc, train_pq
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    n = emb.count()
+    cb = train_pq(emb, dim=64, m=SCALE.pq_m, ksub=n, sample_cap=n)
+    return pq_search_adc(pq_encode(emb, cb), cb, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    )

@@ -376,3 +376,80 @@ def test_doc_chunks_cover_every_token(spark, sf_dir):
         | (F.col("min_len") < 1)
     ).count()
     assert bad == 0
+
+
+# --- product quantization (functions/pq.py) ---
+
+
+def test_pq_recall_on_clustered_data(spark, clustered_vectors):
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        pq_encode,
+        pq_search_adc,
+        train_pq,
+    )
+
+    corpus = clustered_vectors
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cb = train_pq(corpus, dim=64, m=8, ksub=32)
+    approx = pq_search_adc(pq_encode(corpus, cb), cb, queries, k=5)
+    exact = topk(cosine_scores(corpus, queries), 5)
+    r = recall_at_k(approx, exact, 5)
+    # Fine ranking WITHIN a tight cluster is PQ's hardest case (cluster
+    # mates collapse toward shared codes); 0.65+ exact-top-5 recall plus
+    # near-perfect cluster purity below is the expected compression profile.
+    assert r >= 0.65, f"PQ recall@5 too low: {r}"
+    # every retrieved neighbor must come from the query's true cluster
+    # (vec_id // 10): compression may blur sibling order, never clusters
+    pur = approx.where(
+        F.floor(F.col("neighbor_id") / 10) == F.floor(F.col("query_id") / 10)
+    ).count() / approx.count()
+    assert pur >= 0.95, f"PQ cluster purity too low: {pur}"
+
+
+def test_pq_adc_equals_reconstructed_cosine(spark, sf_dir):
+    """The ADC LUT algebra must equal exact cosine against the DEQUANTIZED
+    vectors — distance math certified independently of quantization loss."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        pq_encode,
+        pq_reconstruct,
+        pq_search_adc,
+        train_pq,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+    emb = _corpus(spark, sf_dir)
+    cb = train_pq(emb, dim=64, m=8, ksub=16)
+    enc = pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in pq_search_adc(enc, cb, queries, k=3).collect()
+    }
+    codes = {r.vec_id: r.codes for r in enc.collect()}
+    qvecs = {r.query_id: np.array(r.qe) for r in queries.collect()}
+    for (qid, nid), adc_cos in got.items():
+        recon = pq_reconstruct(cb, np.array([codes[nid]]))[0]
+        q = qvecs[qid]
+        want = float(
+            q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon))
+        )
+        assert abs(adc_cos - want) < 1e-9, (qid, nid, adc_cos, want)
+
+
+def test_pq_training_is_bounded_and_deterministic(spark, sf_dir):
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import train_pq
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+    emb = _corpus(spark, sf_dir)
+    a = train_pq(emb, dim=64, m=8, ksub=16, sample_cap=128)
+    b = train_pq(emb, dim=64, m=8, ksub=16, sample_cap=128)
+    assert a.shape == (8, 16, 8)
+    assert np.array_equal(a, b), "seeded PQ training must be reproducible"
