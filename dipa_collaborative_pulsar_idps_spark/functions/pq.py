@@ -60,7 +60,7 @@ def train_pq(
         if frac < 1.0
         else F.lit(True)
     )
-    rows = sample_df.select("e").collect()  # bounded by the hash filter above
+    rows = sample_df.select("e").collect()  # bounded-collect: ≤ sample_cap rows via the hash filter above, corpus-size-independent
     x = np.array([r.e for r in rows], dtype=np.float64)
     return np.stack(
         [_lloyd(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j) for j in range(m)]
@@ -117,7 +117,7 @@ def pq_search_adc(
     top-k per query, then ``topk`` merges globally.
     """
     m, ksub, dsub = codebooks.shape
-    q_rows = queries.limit(_MAX_QUERY_BATCH + 1).collect()  # bounded: serving batch ≤ _MAX_QUERY_BATCH, asserted below
+    q_rows = queries.limit(_MAX_QUERY_BATCH + 1).collect()  # bounded-collect: serving batch ≤ _MAX_QUERY_BATCH, enforced below
     if len(q_rows) > _MAX_QUERY_BATCH:
         raise ValueError(
             f"query batch exceeds {_MAX_QUERY_BATCH}; chunk the serving batch"
@@ -171,3 +171,106 @@ def pq_search_adc(
         ),
         k,
     )
+
+
+def ivfpq_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ: probe the ``n_probe`` nearest inverted lists (coarse
+    quantizer) and ADC-score only their *codes* (product quantizer) — the
+    standard billion-scale serving layout (FAISS ``IVFPQ``): scanned
+    fraction ≈ n_probe/n_list AND every scanned row is m bytes, not d
+    floats.
+
+    assigned: (vec_id, e, list_id) from ivf.build_ivf_index — encoded here
+    (one extra Arrow pass; persist the encode output partitioned by
+    list_id via ivf.save_ivf_index-style layout to amortize).
+    Cogroups on list_id like ivf_search, but the kernel gathers from the
+    PQ lookup table instead of BLAS-ing raw vectors.
+    """
+    m, ksub, dsub = codebooks.shape
+    enc = pq_encode(assigned, codebooks).join(
+        assigned.select("vec_id", "list_id"), "vec_id"
+    )
+
+    from pyspark.sql.window import Window
+
+    from .similarity import cosine_cols
+
+    q_cent = (
+        F.broadcast(queries)
+        .join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qe",
+            "list_id",
+            cosine_cols(F.col("qe"), F.col("centroid")).alias("c_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
+    probes = (
+        q_cent.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= n_probe)
+        .select("list_id", "query_id", "qe")
+    )
+
+    n2 = (codebooks**2).sum(2)
+
+    def fn(probes_pdf: pd.DataFrame, codes_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(probes_pdf) or not len(codes_pdf):
+            return empty
+        qid = probes_pdf["query_id"].to_numpy(dtype=np.int64)
+        qm = np.array(probes_pdf["qe"].tolist(), dtype=np.float64)
+        qn = np.sqrt((qm**2).sum(1))
+        codes = np.array(codes_pdf["codes"].tolist(), dtype=np.int64)
+        nid = codes_pdf["vec_id"].to_numpy(dtype=np.int64)
+        lut = np.stack(
+            [qm[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)],
+            axis=1,
+        )
+        ip = np.zeros((len(qid), len(codes)))
+        vn2 = np.zeros(len(codes))
+        for j in range(m):
+            ip += lut[:, j, :][:, codes[:, j]]
+            vn2 += n2[j][codes[:, j]]
+        cos = ip / np.maximum(qn[:, None] * np.sqrt(vn2)[None, :], 1e-12)
+        out_q, out_n, out_c = [], [], []
+        for row, q in enumerate(qid):
+            keep = nid != q
+            s, ids = cos[row, keep], nid[keep]
+            part = np.lexsort((ids, -s))[:k]
+            out_q.append(np.full(len(part), q))
+            out_n.append(ids[part])
+            out_c.append(s[part])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    scored = (
+        enc.select("list_id", "vec_id", "codes")
+        .groupBy("list_id")
+        .cogroup(probes.groupBy("list_id"))
+        .applyInPandas(
+            lambda codes_pdf, probes_pdf: fn(probes_pdf, codes_pdf),
+            "query_id long, neighbor_id long, cosine double",
+        )
+    )
+    return topk(scored, k)

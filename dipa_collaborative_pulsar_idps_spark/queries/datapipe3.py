@@ -265,3 +265,47 @@ def ann_topk_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search_adc(pq_encode(emb, cb), cb, q, k=5).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     )
+
+
+@query("ann_topk_ivfpq_neighbors", survey="ext-sim")
+def ann_topk_ivfpq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the billion-scale serving layout): probe 4 of 16 inverted
+    lists, ADC-score only their 8-byte codes — ~25% scan fraction AND 32×
+    row compression multiply. No SQL oracle (two iterative quantizers);
+    recall T in tests/test_dedup.py; the exhaustive twin below is the
+    value oracle."""
+    from ..functions.ivf import build_ivf_index
+    from ..functions.pq import ivfpq_search, train_pq
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(emb, dim=64, n_list=SCALE.ivf_n_list)
+    cb = train_pq(
+        emb, dim=64, m=SCALE.pq_m, ksub=SCALE.pq_ksub, sample_cap=SCALE.pq_sample_cap
+    )
+    return ivfpq_search(
+        assigned, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+
+
+@query("ann_topk_ivfpq_exhaustive", survey="ext-sim", oracle=_BRUTE_TOPK_ORACLE)
+def ann_topk_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with every list probed AND ksub == corpus size: the coarse
+    probe covers everything and reconstruction is bit-exact, so the
+    composed path must equal brute force — full value oracle over probe
+    ranking, cogrouped ADC kernel, and top-k merge at once."""
+    from ..functions.ivf import build_ivf_index
+    from ..functions.pq import ivfpq_search, train_pq
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(emb, dim=64, n_list=8)
+    n = emb.count()
+    cb = train_pq(emb, dim=64, m=SCALE.pq_m, ksub=n, sample_cap=n)
+    return ivfpq_search(assigned, centroids, cb, q, k=5, n_probe=8).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    )

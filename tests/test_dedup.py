@@ -453,3 +453,28 @@ def test_pq_training_is_bounded_and_deterministic(spark, sf_dir):
     b = train_pq(emb, dim=64, m=8, ksub=16, sample_cap=128)
     assert a.shape == (8, 16, 8)
     assert np.array_equal(a, b), "seeded PQ training must be reproducible"
+
+
+def test_ivfpq_recall_on_clustered_data(spark, clustered_vectors):
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_search,
+        train_pq,
+    )
+
+    corpus = clustered_vectors
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=16)
+    cb = train_pq(corpus, dim=64, m=8, ksub=32)
+    approx = ivfpq_search(assigned, centroids, cb, queries, k=5, n_probe=4)
+    exact = topk(cosine_scores(corpus, queries), 5)
+    r = recall_at_k(approx, exact, 5)
+    # compounded coarse+fine quantization loss; cluster purity is the
+    # operative guarantee (as in the flat-PQ test)
+    assert r >= 0.6, f"IVF-PQ recall@5 too low: {r}"
+    pur = approx.where(
+        F.floor(F.col("neighbor_id") / 10) == F.floor(F.col("query_id") / 10)
+    ).count() / approx.count()
+    assert pur >= 0.95, f"IVF-PQ cluster purity too low: {pur}"
