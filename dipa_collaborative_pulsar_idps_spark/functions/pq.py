@@ -62,6 +62,13 @@ def train_pq(
     )
     rows = sample_df.select("e").collect()  # bounded-collect: ≤ sample_cap rows via the hash filter above, corpus-size-independent
     x = np.array([r.e for r in rows], dtype=np.float64)
+    if ksub == len(x):
+        # Degenerate certifier config (the exhaustive twins): with one
+        # codeword per training point, k-means++ + Lloyd provably fixes
+        # every distinct point as its own centroid — skip straight there.
+        # Codeword ORDER differs from what Lloyd's random init would pick,
+        # which is irrelevant: encode is an argmin over the same set.
+        return np.stack([x[:, j * dsub : (j + 1) * dsub] for j in range(m)])
     return np.stack(
         [_lloyd(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j) for j in range(m)]
     )

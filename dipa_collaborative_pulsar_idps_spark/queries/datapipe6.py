@@ -141,8 +141,21 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is first-occurrence in both engines, but libm log2 may differ in the
     last ulp.
     """
+    from ..plans.sizing import right_size
+
     t = Tables(spark, sf_dir)
-    d = t.documents.select(
+    # Spread FIRST: the O(distinct_chars × len) HOF does ~60× the work of
+    # a scan per byte, so the per-partition BYTE budget shrinks by that
+    # factor (file-size-proportional splits would make 10-minute
+    # stragglers of 128 MB tasks at real scale; a compact local file
+    # would serialize the whole stage on one core).
+    # (the budget is per COMPRESSED byte of the size estimate; measured
+    # ~20 s of HOF work per compressed MB on one core, so 32 KiB ≈ 0.6 s
+    # tasks here — a cluster deployment would budget larger for 30-60 s
+    # tasks, same dial)
+    d = right_size(
+        t.documents.select("doc_id", "text"), bytes_per_partition=32 << 10
+    ).select(
         "doc_id",
         F.expr(
             "CASE WHEN length(text) > 0 THEN "
@@ -155,13 +168,24 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chars").alias("n"),
         F.array_distinct("chars").alias("uniq"),
     )
-    p = "(cast(size(filter(chars, x -> x = c)) as double) / n)"
+    # count each distinct char ONCE into an array, then fold — halves the
+    # O(distinct × len) filter work vs inlining the count twice (p·log p)
+    d = d.select(
+        "doc_id",
+        "n",
+        F.size("uniq").alias("n_distinct_chars"),
+        F.expr(
+            "transform(uniq, c -> cast(size(filter(chars, x -> x = c)) as double))"
+        ).alias("cnts"),
+    )
     return d.select(
         "doc_id",
         F.col("n").alias("n_chars_counted"),
-        F.size("uniq").alias("n_distinct_chars"),
+        "n_distinct_chars",
         F.round(
-            -F.expr(f"aggregate(transform(uniq, c -> {p} * log2({p})), cast(0.0 as double), (a, x) -> a + x)"),
+            -F.expr(
+                "aggregate(cnts, cast(0.0 as double), (a, x) -> a + (x/n)*log2(x/n))"
+            ),
             6,
         ).alias("char_entropy_bits"),
     )
@@ -307,6 +331,8 @@ def window_dedup_stats(docs: DataFrame, *, win: int = _WIN) -> DataFrame:
     window count rides the same join (one pass instead of two).
     Map-side partial counts apply to both aggregations.
     """
+    from ..plans.sizing import right_size
+
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     # CASE guard: Spark's sequence(0, -1) is a DESCENDING [0, -1], not empty.
     wins = F.expr(
@@ -315,8 +341,12 @@ def window_dedup_stats(docs: DataFrame, *, win: int = _WIN) -> DataFrame:
         f"i -> array_join(slice(tokens, i*{win}+1, {win}), ' ')) "
         "ELSE array() END"
     )
+    # spread before the tokenize+window map so a compact scan split doesn't
+    # serialize it ahead of the count shuffle (compute-dense stage → smaller
+    # per-partition byte budget)
     w = (
-        docs.select("doc_id", toks.alias("tokens"))
+        right_size(docs.select("doc_id", "text"), bytes_per_partition=512 << 10)
+        .select("doc_id", toks.alias("tokens"))
         .select("doc_id", F.explode(wins).alias("win"))
     )
     freq = w.groupBy("win").agg(F.count("*").alias("cnt"))

@@ -6,6 +6,8 @@ scale — these tests fail it."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from dipa_collaborative_pulsar_idps_spark.plans.explain import (
@@ -207,7 +209,6 @@ def test_curation_rule_queries_are_map_only(spark, sf_dir):
     At 100 TB these fuse with adjacent gates instead of shuffling."""
     for name in (
         "gopher_quality_rules",
-        "char_entropy",
         "pii_redaction",
         "doc_chunk_windows",
     ):
@@ -215,6 +216,19 @@ def test_curation_rule_queries_are_map_only(spark, sf_dir):
         txt = plan_text(df)
         assert "Exchange" not in txt, f"{name} should not shuffle:\n{txt}"
         assert_no_python_udf(df)
+
+
+def test_char_entropy_spreads_compute_without_keyed_shuffle(spark, sf_dir):
+    """char_entropy's O(distinct_chars × len) HOF is compute-heavy enough
+    that a compact scan split would serialize it — the plan carries exactly
+    one data-proportional ROUND-ROBIN exchange (parallelism, not data
+    movement semantics): no keyed shuffle, no Python."""
+    df = REGISTRY["char_entropy"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", txt, re.M))
+    assert n_exchanges == 1 and "REPARTITION_BY_NUM" in txt, txt
+    assert "hashpartitioning" not in txt.lower(), txt
+    assert_no_python_udf(df)
 
 
 def test_domain_mixture_broadcasts_normalizer(spark, sf_dir):
