@@ -485,3 +485,100 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson/Sparck-Jones): the standard relevance
+# ranking over an inverted-index shape — term stats are tiny aggregates
+# (broadcast), the per-doc work is one filtered explode.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "slow")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "bm25_retrieval",
+    survey="ext-text,ext-sim",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+), dlen AS (
+    SELECT doc_id, LEN(tokens) AS dl, tokens FROM tok
+), stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dlen
+), tf AS (
+    SELECT doc_id, dl, t, COUNT(*) AS tf
+    FROM (SELECT doc_id, dl, UNNEST(tokens) AS t FROM dlen)
+    WHERE t IN ({_TERMS_SQL})
+    GROUP BY doc_id, dl, t
+), dft AS (
+    SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       ROUND(SUM(
+           LN(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * tf.dl / stats.avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dft USING (t) CROSS JOIN stats
+GROUP BY tf.doc_id
+""",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed 3-term query
+    (k1=1.2, b=0.75, the Robertson idf with +1 smoothing).
+
+    100 TB shape: the explode is filtered to the QUERY TERMS before the
+    (doc_id, term) aggregation, so the shuffle carries only matching
+    postings — an inverted-index probe, not a corpus tokenization; the
+    document-frequency and corpus-stats sides are tiny aggregates joined
+    back by broadcast. Score rounded to 6 (float sum order across the ≤3
+    term contributions is engine-dependent).
+    """
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    dlen = t.documents.select(
+        "doc_id", toks.alias("tokens")
+    ).select("doc_id", F.size("tokens").alias("dl"), "tokens")
+    stats = dlen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        dlen.select("doc_id", "dl", F.explode("tokens").alias("t"))
+        .where(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("t").agg(F.count("*").alias("df"))
+    contrib = (
+        F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.round(F.sum(contrib), 6).alias("bm25"),
+        )
+    )

@@ -243,3 +243,14 @@ def test_domain_mixture_broadcasts_normalizer(spark, sf_dir):
 def test_window_dedup_stays_jvm_side(spark, sf_dir):
     df = REGISTRY["window_dedup_global"].fn(spark, sf_dir)
     assert_no_python_udf(df)
+
+
+def test_bm25_broadcasts_term_stats_and_filters_postings(spark, sf_dir):
+    """BM25's document-frequency and corpus-stats sides are tiny — they
+    must come back by broadcast; the (doc, term) shuffle must be preceded
+    by the query-term filter so only matching postings shuffle."""
+    df = REGISTRY["bm25_retrieval"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert txt.count("BroadcastHashJoin") + txt.count("BroadcastNestedLoopJoin") >= 2, txt
+    assert "Filter" in txt and "t#" in txt
+    assert_no_python_udf(df)
