@@ -1,0 +1,105 @@
+"""Training-data-pipeline operators, batch 7: exact-k per-group sampling
+and the salted skewed JOIN — the two remaining scale techniques that had
+helpers but no oracle-certified declared query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import Tables
+from .registry import query
+
+_SAMPLE_K = 20
+
+
+@query(
+    "exact_k_per_group_sample",
+    survey="ext-curation,G1",
+    oracle=f"""
+WITH ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id & 2147483647) * 2654435761, doc_id
+           ) AS sample_rank
+    FROM documents
+)
+SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= {_SAMPLE_K}
+""",
+)
+def exact_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {_SAMPLE_K} documents per language, chosen by rank under the
+    engine-portable Knuth multiplicative hash (doc_id tie-break) — the
+    'fixed-size evaluation slice per domain' curation primitive.
+
+    Unlike the rate-based `stratified_sample_by_lang` (~20%, size varies
+    with the group), this guarantees the COUNT: reproducible across
+    engines, runs, and partitionings, because the order key is a pure
+    function of doc_id — a seeded shuffle would not survive repartitioning.
+    Plan: one shuffle on lang, per-group rank, early rank filter; group
+    cardinality is small (languages), so the window never sees a
+    single-partition global sort.
+    """
+    t = Tables(spark, sf_dir)
+    hash_key = F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761)
+    w = Window.partitionBy("lang").orderBy(hash_key, F.col("doc_id"))
+    return (
+        t.documents.select("lang", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= _SAMPLE_K)
+    )
+
+
+@query(
+    "salted_skew_join_totals",
+    survey="E1-scale,ext-skew",
+    oracle="""
+WITH dim AS (
+    SELECT DISTINCT event_type, LENGTH(event_type) AS weight FROM events
+)
+SELECT e.event_type,
+       -- decimal-quantized: the salted join changes addition order, so a
+       -- double sum would drift by ulps
+       CAST(SUM(CAST(e.value AS DECIMAL(28, 6)) * dim.weight) AS DOUBLE)
+           AS weighted_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key JOIN under a salt, declared as a first-class query: the
+    fact side carries 5 heavy keys (the shape where one hot key lands a
+    whole shuffle partition on one task at 100 TB); the small dimension is
+    replicated across 16 salt values (`operators/skew.explode_salt_dim`)
+    and the fact salted by a STABLE row hash, so the join key becomes
+    (event_type, salt) and the hot key's mass spreads ~1/16 per task.
+
+    The oracle runs the direct unsalted join — equality certifies that
+    salting changes the distribution, never the result. (AQE's skew-join
+    split is the zero-code alternative when the join is a plain
+    sort-merge; the explicit salt is the portable form that also composes
+    with aggregation, works under broadcast, and needs no runtime stats.)
+    """
+    from ..operators.skew import explode_salt_dim
+
+    n_salts = 16
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type", F.col("value").cast("decimal(28,6)").alias("value")
+    )
+    dim = ev.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type")
+    )
+    fact = ev.withColumn("__salt", F.pmod(F.xxhash64("value"), F.lit(n_salts)))
+    joined = fact.join(
+        explode_salt_dim(dim, n_salts), ["event_type", "__salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.sum(F.col("value") * F.col("weight")).cast("double").alias("weighted_value"),
+        F.count("*").alias("n_events"),
+    )

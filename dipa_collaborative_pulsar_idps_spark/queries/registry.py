@@ -74,6 +74,7 @@ def _load_all() -> None:
         datapipe4,
         datapipe5,
         datapipe6,
+        datapipe7,
         detection,
         media,
         relational,

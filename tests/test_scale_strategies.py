@@ -310,3 +310,59 @@ def test_curated_corpus_layout_prunes(spark, tmp_path):
     assert ranged.count() == 10
     pushed = [ln for ln in plan_text(ranged).splitlines() if "PushedFilters" in ln]
     assert pushed and "doc_id" in " ".join(pushed), "doc_id range not pushed to scan"
+
+
+def test_salted_join_equals_direct_join(spark, sf_dir):
+    """The salted skewed join must return exactly the unsalted join's
+    aggregate — and its plan must join on (key, salt), not key alone."""
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    _load_all()
+    salted = REGISTRY["salted_skew_join_totals"].fn(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type", F.col("value").cast("decimal(28,6)").alias("value")
+    )
+    dim = ev.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type")
+    )
+    direct = (
+        ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("value") * F.col("weight")).cast("double").alias("wv"),
+            F.count("*").alias("n"),
+        )
+    )
+    got = {r.event_type: (r.weighted_value, r.n_events) for r in salted.collect()}
+    want = {r.event_type: (r.wv, r.n) for r in direct.collect()}
+    assert got == want and got
+    txt = plan_text(salted)
+    assert "__salt" in txt, "join should be keyed on (event_type, __salt)"
+
+
+def test_exact_k_sample_is_partition_invariant(spark, sf_dir):
+    """The hash-ranked per-group sample must be identical however the
+    input arrives — the property rand()-seeded sampling lacks."""
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+    from pyspark.sql.window import Window
+
+    _load_all()
+    base = {
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in REGISTRY["exact_k_per_group_sample"].fn(spark, sf_dir).collect()
+    }
+    docs = Tables(spark, sf_dir).documents.select("lang", "doc_id").repartition(13)
+    hash_key = F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761)
+    w = Window.partitionBy("lang").orderBy(hash_key, F.col("doc_id"))
+    re_run = {
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= 20)
+        .collect()
+    }
+    assert base == re_run and len({(l, r) for l, _, r in base}) == len(base)
