@@ -254,3 +254,51 @@ def test_prefix_sum_packing_matches_global_window_at_20k_docs(spark):
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
     )
     assert {tuple(r) for r in scal.collect()} == {tuple(r) for r in ref.collect()}
+
+
+def test_window_dedup_flags_planted_windows_at_20k_docs(spark):
+    """Cross-document repeated-window removal at 20k docs: 100 doc pairs
+    share one identical 8-token window (planted); every other window is
+    id-salted soup (collision-free w.h.p. over a 5000-token vocab). All
+    200 carriers must flag ≥1 dup window; the false-positive mass must be
+    zero among non-carriers."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe6 import (
+        window_dedup_stats,
+    )
+
+    toks = 40
+    base = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(toks)), lambda i: _token(i)), " "
+        ).alias("text"),
+    )
+    # 100 carrier PAIRS: docs 20000+2j and 20000+2j+1 share the same fixed
+    # 8-token prefix window "p<j> ..." — identical within the pair, unique
+    # across pairs; the remaining 32 tokens are id-salted soup.
+    shared = (
+        spark.range(2 * N_PLANTED)
+        # shift FIRST so the soup tokens (hashed from `id`) don't reuse the
+        # base docs' 0..199 id space and collide with their windows
+        .select((F.col("id") + N_DOCS).alias("id"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(toks)),
+                    lambda i: F.when(
+                        i <= 8,
+                        F.concat(
+                            F.lit("p"), F.expr(f"(id - {N_DOCS}) DIV 2"), F.lit("_"), i
+                        ),
+                    ).otherwise(_token(i)),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    stats = window_dedup_stats(base.unionAll(shared))
+    carriers = stats.where(F.col("doc_id") >= N_DOCS)
+    assert carriers.where(F.col("n_dup_windows") >= 1).count() == 2 * N_PLANTED
+    clean = stats.where(F.col("doc_id") < N_DOCS)
+    assert clean.where(F.col("n_dup_windows") > 0).count() == 0

@@ -113,3 +113,70 @@ def test_sql_twin_embedding_quantize(spark, sf_dir):
     )
     df = REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir)
     assert _rows(sql.select(df.columns)) == _rows(df)
+
+
+def test_sql_twin_gopher_rules(spark, sf_dir):
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        WITH tok AS (
+            SELECT doc_id, filter(split(text, ' '), x -> x != '') AS tokens
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   size(tokens) AS n_words,
+                   aggregate(tokens, 0L, (a, x) -> a + length(x)) AS n_word_chars,
+                   size(filter(tokens, x -> x rlike '[a-z]')) AS n_alpha_words,
+                   size(filter(tokens,
+                        x -> array_contains(array('the','be','to','of','and','that','have','with'), x)))
+                       AS n_stopwords
+            FROM tok
+        )
+        SELECT doc_id, n_words, n_stopwords,
+               CAST(n_word_chars AS DOUBLE) / n_words AS mean_word_len,
+               CAST(n_alpha_words AS DOUBLE) / n_words AS frac_alpha_words,
+               (n_words BETWEEN 50 AND 100000
+                AND CAST(n_word_chars AS DOUBLE) / n_words BETWEEN 3 AND 10
+                AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8
+                AND n_stopwords >= 2) AS passes_gopher
+        FROM m
+        """
+    )
+    df = REGISTRY["gopher_quality_rules"].fn(spark, sf_dir)
+    assert _rows(sql.select(df.columns)) == _rows(df)
+
+
+def test_sql_twin_bm25(spark, sf_dir):
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        WITH dlen AS (
+            SELECT doc_id, filter(split(text, ' '), x -> x != '') AS tokens
+            FROM documents
+        ), d2 AS (
+            SELECT doc_id, size(tokens) AS dl, tokens FROM dlen
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM d2
+        ), tf AS (
+            SELECT doc_id, dl, t, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, explode(tokens) AS t FROM d2)
+            WHERE t IN ('join', 'vector', 'slow')
+            GROUP BY doc_id, dl, t
+        ), dft AS (
+            SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+        )
+        SELECT tf.doc_id,
+               COUNT(*) AS n_terms_matched,
+               ROUND(SUM(
+                   LN(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dft USING (t) CROSS JOIN stats
+        GROUP BY tf.doc_id
+        """
+    )
+    df = REGISTRY["bm25_retrieval"].fn(spark, sf_dir)
+    assert _rows(sql.select(df.columns)) == _rows(df)
