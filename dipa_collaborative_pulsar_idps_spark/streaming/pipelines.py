@@ -365,3 +365,42 @@ def streaming_decontamination(
         .where(~F.arrays_overlap("__grams", "__bench_grams"))
         .drop("__grams", "__bench_grams")
     )
+
+
+def streaming_window_dedup(
+    docs: DataFrame,
+    *,
+    win: int = 8,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of `queries/datapipe6.window_dedup_global`: emit each
+    {win}-token window's FIRST sighting across the stream, suppressing
+    cross-document (and cross-batch) repeats within the watermark horizon.
+
+    Input: (ingest_ts timestamp, doc_id long, text string).
+    Output: (ingest_ts, doc_id, pos, win_hash) — the surviving windows; a
+    downstream consumer reassembles de-duplicated documents by grouping on
+    doc_id and concatenating surviving positions (the batch query keeps
+    per-doc stats instead).
+
+    Same state-eviction reasoning as `streaming_curation`: key-only dedup
+    under a watermark needs ``dropDuplicatesWithinWatermark`` — plain
+    dropDuplicates on the hash would grow state forever and never re-admit
+    a window after the horizon. State is keyed by window hash; RocksDB
+    (session.enable_rocksdb_state) carries corpus-scale window counts.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    wins = F.expr(
+        f"CASE WHEN size(tokens) >= {win} THEN "
+        f"transform(sequence(0, size(tokens) DIV {win} - 1), "
+        f"i -> array_join(slice(tokens, i*{win}+1, {win}), ' ')) "
+        "ELSE array() END"
+    )
+    exploded = (
+        docs.select("ingest_ts", "doc_id", toks.alias("tokens"))
+        .select("ingest_ts", "doc_id", F.posexplode(wins).alias("pos", "win"))
+        .select("ingest_ts", "doc_id", "pos", F.md5("win").alias("win_hash"))
+    )
+    return exploded.withWatermark(
+        "ingest_ts", watermark
+    ).dropDuplicatesWithinWatermark(["win_hash"])

@@ -655,3 +655,45 @@ def test_streaming_decontamination_gate(spark, replay_dir):
     got = {r.doc_id for r in spark.table("decontam_docs").collect()}
     q.stop()
     assert got == {1, 3}
+
+
+def test_streaming_window_dedup_suppresses_cross_batch_repeats(spark, replay_dir):
+    """Streaming repeated-window suppression: a window planted in batch 0
+    is suppressed when another doc carries it in batch 1; unique windows
+    pass; sub-window docs emit nothing."""
+    import time as _t
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        streaming_window_dedup,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import run_to_memory
+
+    base = dt.datetime(2024, 1, 1)
+    shared = " ".join(f"s{i}" for i in range(8))
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    schema = "ingest_ts timestamp, doc_id long, text string"
+    b0 = [
+        (base, 1, shared + " " + uniq_a),   # windows: shared@0, a@1
+        (base, 2, "tiny doc"),              # < 8 tokens → no windows
+    ]
+    b1 = [
+        (base + dt.timedelta(seconds=10), 3, shared + " " + uniq_b),  # shared suppressed, b@1 emits
+    ]
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            replay_dir
+        )
+        _t.sleep(0.05)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        replay_dir
+    )
+    q = run_to_memory(
+        streaming_window_dedup(stream), "window_dedup_stream", output_mode="append"
+    )
+    got = {(r.doc_id, r.pos) for r in spark.table("window_dedup_stream").collect()}
+    q.stop()
+    assert (1, 0) in got and (1, 1) in got, "batch-0 windows must emit"
+    assert (3, 1) in got, "doc 3's unique window must emit"
+    assert (3, 0) not in got, "repeated window must be suppressed"
+    assert not any(d == 2 for d, _ in got)
