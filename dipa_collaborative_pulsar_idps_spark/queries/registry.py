@@ -68,6 +68,7 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         analytic,
+        analytic2,
         datapipe,
         datapipe2,
         datapipe3,
