@@ -103,3 +103,72 @@ def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value") * F.col("weight")).cast("double").alias("weighted_value"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "embedding_pca_project",
+    survey="ext-sim,K2",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to 16 dims (the ANN
+    recall/compute trade: downstream search runs at k=16 instead of d=64).
+    No SQL oracle (SVD is iterative); numpy-equivalence, orthonormality,
+    and determinism are tested in tests/test_dedup.py; the full-rank
+    roundtrip twin below carries the value oracle. Output: per-vector
+    projected norm and first component (stable under the sign-fixed
+    training), rounded."""
+    from ..functions.projection import pca_project, train_pca
+    from .datapipe3 import _corpus
+
+    emb = _corpus(spark, sf_dir)
+    mean, comp, _ = train_pca(emb, dim=64, k=16)
+    proj = pca_project(emb, mean, comp)
+    return proj.select(
+        "vec_id",
+        F.round(F.sqrt(F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x)), 6).alias(
+            "proj_norm"
+        ),
+        F.round(F.element_at("proj", 1), 6).alias("pc1"),
+    )
+
+
+@query(
+    "embedding_pca_roundtrip",
+    survey="ext-sim,K2",
+    oracle="""
+SELECT vec_id,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS recon_norm,
+       0.0 AS max_abs_err
+FROM embeddings
+""",
+)
+def embedding_pca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA at FULL rank (k = d = 64): the component matrix is square
+    orthonormal, so project→reconstruct must return every vector exactly
+    (float-exact to ~1e-13) — the oracle-checkable certifier of the
+    projection machinery (same pattern as the ANN exhaustive twins). The
+    oracle asserts the roundtrip property itself: reconstructed norm
+    equals the ORIGINAL embedding's norm (computed independently by
+    DuckDB) and the max per-element reconstruction error rounds to zero
+    at 6 decimals. Any projection/centering/transpose bug makes the error
+    O(1) and the row hash-mismatches."""
+    from ..functions.projection import pca_project, pca_reconstruct, train_pca
+    from .datapipe3 import _corpus
+
+    emb = _corpus(spark, sf_dir)
+    mean, comp, _ = train_pca(emb, dim=64, k=64)
+    recon = pca_reconstruct(pca_project(emb, mean, comp), mean, comp)
+    joined = emb.join(recon, "vec_id")
+    err = F.aggregate(
+        F.zip_with("e", "recon", lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    return joined.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("recon", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("recon_norm"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

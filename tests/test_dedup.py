@@ -478,3 +478,44 @@ def test_ivfpq_recall_on_clustered_data(spark, clustered_vectors):
         F.floor(F.col("neighbor_id") / 10) == F.floor(F.col("query_id") / 10)
     ).count() / approx.count()
     assert pur >= 0.95, f"IVF-PQ cluster purity too low: {pur}"
+
+
+# --- PCA projection (functions/projection.py) ---
+
+
+def test_pca_matches_numpy_and_is_orthonormal(spark, sf_dir):
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.projection import (
+        pca_project,
+        train_pca,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+    emb = _corpus(spark, sf_dir)
+    mean, comp, ratio = train_pca(emb, dim=64, k=16)
+    assert comp.shape == (16, 64)
+    assert np.allclose(comp @ comp.T, np.eye(16), atol=1e-10), "rows not orthonormal"
+    assert ratio.shape == (16,) and (ratio >= 0).all() and ratio.sum() <= 1 + 1e-9
+    # deterministic training (seeded sample + sign-fixed SVD)
+    mean2, comp2, _ = train_pca(emb, dim=64, k=16)
+    assert np.array_equal(mean, mean2) and np.array_equal(comp, comp2)
+    # distributed projection == driver-side numpy on the same vectors
+    rows = emb.select("vec_id", "e").collect()
+    x = np.array([r.e for r in rows])
+    want = (x - mean) @ comp.T
+    got_map = {r.vec_id: np.array(r.proj) for r in pca_project(emb, mean, comp).collect()}
+    got = np.array([got_map[r.vec_id] for r in rows])
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_pca_variance_ordering(spark, sf_dir):
+    """Explained-variance ratios must be non-increasing — the top-k cut is
+    only meaningful if components come out in eigenvalue order."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.projection import train_pca
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+    _, _, ratio = train_pca(_corpus(spark, sf_dir), dim=64, k=16)
+    assert (np.diff(ratio) <= 1e-12).all(), ratio
