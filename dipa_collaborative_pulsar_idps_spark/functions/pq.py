@@ -74,9 +74,13 @@ def train_pq(
     )
 
 
-def pq_encode(corpus: DataFrame, codebooks: np.ndarray) -> DataFrame:
-    """Encode (vec_id, e) → (vec_id, codes array<int>), one Arrow map pass
-    with the codebooks in the UDF closure. Map-only: no shuffle."""
+def pq_encode(
+    corpus: DataFrame, codebooks: np.ndarray, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Encode (vec_id, e) → (vec_id, *keep, codes array<int>), one Arrow
+    map pass with the codebooks in the UDF closure. Map-only: no shuffle —
+    pass-through columns ride the same projection (``keep``) instead of a
+    join-back."""
     m, ksub, dsub = codebooks.shape
 
     @F.pandas_udf("array<int>")
@@ -92,7 +96,7 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray) -> DataFrame:
             codes[:, j] = dist.argmin(1)
         return pd.Series(list(codes))
 
-    return corpus.select("vec_id", enc(F.col("e")).alias("codes"))
+    return corpus.select("vec_id", *keep, enc(F.col("e")).alias("codes"))
 
 
 def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
@@ -201,9 +205,7 @@ def ivfpq_search(
     PQ lookup table instead of BLAS-ing raw vectors.
     """
     m, ksub, dsub = codebooks.shape
-    enc = pq_encode(assigned, codebooks).join(
-        assigned.select("vec_id", "list_id"), "vec_id"
-    )
+    enc = pq_encode(assigned, codebooks, keep=("list_id",))
 
     from pyspark.sql.window import Window
 

@@ -79,15 +79,23 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count("*").alias("n2"))
     c3 = s3.agg(F.count("*").alias("n3"))
     counts = c1.crossJoin(c2).crossJoin(c3)
-    stage = lambda k, n, prev: counts.select(  # noqa: E731
-        F.lit(k).alias("stage"),
-        F.col(n).cast("long").alias("n_users"),
-        F.round(
-            F.col(n).cast("double") / F.nullif(F.col(prev), F.lit(0)), 6
-        ).alias("conversion"),
+    # one execution: explode the 3 stage rows out of the single 1-row
+    # counts frame (a unionAll of three selects would re-run every
+    # aggregation once per branch)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("stage"),
+                F.col(n).cast("long").alias("n_users"),
+                F.round(
+                    F.col(n).cast("double") / F.nullif(F.col(p), F.lit(0)), 6
+                ).alias("conversion"),
+            )
+            for k, n, p in ((1, "n1", "n1"), (2, "n2", "n1"), (3, "n3", "n2"))
+        ]
     )
-    return stage(1, "n1", "n1").unionAll(stage(2, "n2", "n1")).unionAll(
-        stage(3, "n3", "n2")
+    return counts.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.n_users", "s.conversion"
     )
 
 
