@@ -147,3 +147,162 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_date", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search: sliding-window correlation top-k over the
+# per-type hourly event-count series (the distributed subsequence-matching
+# shape of EDBT'19 "Time Series Similarity Search for Streaming Data").
+# ---------------------------------------------------------------------------
+
+_TS_W = 24  # window length (hours)
+_TS_K = 10
+
+
+@query(
+    "ts_window_correlation_topk",
+    survey="ext-analytic,D8",
+    oracle=f"""
+WITH sec AS (
+    SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS h
+    FROM events
+), cnts AS (
+    SELECT event_type, h, COUNT(*) AS c FROM sec GROUP BY event_type, h
+), bounds AS (
+    SELECT MIN(h) AS h0, MAX(h) AS h1 FROM sec
+), grid AS (
+    SELECT t.event_type, g.h
+    FROM (SELECT DISTINCT event_type FROM sec) t
+    CROSS JOIN (SELECT UNNEST(RANGE(h0, h1 + 1)) AS h FROM bounds) g
+), series AS (
+    SELECT grid.event_type,
+           LIST(COALESCE(cnts.c, 0) ORDER BY grid.h) AS arr
+    FROM grid LEFT JOIN cnts
+      ON grid.event_type = cnts.event_type AND grid.h = cnts.h
+    GROUP BY grid.event_type
+), q AS (
+    SELECT arr[1:{_TS_W}] AS qa FROM series WHERE event_type = 'error'
+), wins0 AS (
+    SELECT s.event_type, q.qa,
+           UNNEST(RANGE(1, LEN(s.arr) - {_TS_W} + 2)) AS win_start,
+           s.arr
+    FROM series s CROSS JOIN q
+), wins AS MATERIALIZED (
+    -- MATERIALIZED: DuckDB 1.0's optimizer hits an internal binder error
+    -- ("Failed to bind column reference win_start") when it fuses the
+    -- UNNEST-derived slice bound through the lambda projections below;
+    -- the materialization boundary sidesteps the bug without changing
+    -- semantics.
+    SELECT event_type, win_start, qa,
+           arr[win_start : win_start + {_TS_W} - 1] AS ya
+    FROM wins0
+), scored AS (
+    SELECT event_type, win_start,
+           CAST(LIST_SUM(qa) AS BIGINT) AS sx,
+           CAST(LIST_SUM(ya) AS BIGINT) AS sy,
+           CAST(LIST_SUM(LIST_TRANSFORM(qa, v -> v * v)) AS BIGINT) AS sxx,
+           CAST(LIST_SUM(LIST_TRANSFORM(ya, v -> v * v)) AS BIGINT) AS syy,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, {_TS_W} + 1),
+                i -> qa[i] * ya[i])) AS BIGINT) AS sxy
+    FROM wins
+), terms AS (
+    SELECT event_type, win_start,
+           {_TS_W} * sxy - sx * sy AS num,
+           {_TS_W} * sxx - sx * sx AS vx,
+           {_TS_W} * syy - sy * sy AS vy
+    FROM scored
+)
+SELECT event_type, CAST(win_start AS BIGINT) AS win_start,
+       ROUND(num / SQRT(CAST(vx AS DOUBLE) * vy), 6) AS corr
+FROM terms WHERE vx > 0 AND vy > 0
+ORDER BY corr DESC, event_type, win_start
+LIMIT {_TS_K}
+""",
+)
+def ts_window_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence similarity search over event telemetry: slide a
+    {_TS_W}-hour window over every event type's dense hourly-count series
+    and rank Pearson correlation against the query pattern (the 'error'
+    series' first day). Top-{_TS_K} with (corr, type, start) ordering —
+    the self-match (corr = 1) certifies the pipeline end-to-end.
+
+    Numeric determinism: every sum is INTEGER (counts), so numerator and
+    variance terms are exact in both engines; the single double division
+    + sqrt are IEEE-exactly-rounded — corr is bit-identical, and round-6
+    ordering with explicit tie-breaks keeps the LIMIT stable.
+
+    100 TB shape: the heavy reduction (events → per-type hourly counts)
+    is one map-side-combined groupBy; series arrays are bounded by the
+    TIME RANGE (720 entries/month at hourly grain), not corpus size, so
+    collect_list stays small however many raw events fold into each
+    bucket; window scoring is per-key HOF work; the final top-k is a
+    TakeOrderedAndProject over |keys|×|hours| candidate rows.
+    """
+    t = Tables(spark, sf_dir)
+    sec = t.events.select(
+        "event_type",
+        F.expr("unix_seconds(cast(ts as timestamp)) DIV 3600").alias("h"),
+    )
+    cnts = sec.groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    bounds = sec.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        sec.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+    )
+    series = (
+        grid.join(cnts, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(h, c))), s -> s.c)").alias(
+                "arr"
+            )
+        )
+    )
+    q = series.where(F.col("event_type") == "error").select(
+        F.expr(f"slice(arr, 1, {_TS_W})").alias("qa")
+    )
+    wins = (
+        series.crossJoin(F.broadcast(q))
+        .select(
+            "event_type",
+            "qa",
+            "arr",
+            F.explode(F.expr(f"sequence(1, size(arr) - {_TS_W} + 1)")).alias(
+                "win_start"
+            ),
+        )
+        .select(
+            "event_type",
+            "win_start",
+            "qa",
+            F.expr(f"slice(arr, win_start, {_TS_W})").alias("ya"),
+        )
+    )
+    isum = lambda e: F.expr(f"aggregate({e}, 0L, (a, x) -> a + x)")  # noqa: E731
+    scored = wins.select(
+        "event_type",
+        F.col("win_start").cast("long").alias("win_start"),
+        isum("qa").alias("sx"),
+        isum("ya").alias("sy"),
+        isum("transform(qa, v -> v * v)").alias("sxx"),
+        isum("transform(ya, v -> v * v)").alias("syy"),
+        isum("zip_with(qa, ya, (a, b) -> a * b)").alias("sxy"),
+    )
+    w = _TS_W
+    vx = w * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = w * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.round(
+        (w * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt((vx * vy).cast("double")),
+        6,
+    )
+    return (
+        scored.where((vx > 0) & (vy > 0))
+        .select("event_type", "win_start", corr.alias("corr"))
+        .orderBy(F.desc("corr"), "event_type", "win_start")
+        .limit(_TS_K)
+    )

@@ -254,3 +254,13 @@ def test_bm25_broadcasts_term_stats_and_filters_postings(spark, sf_dir):
     assert txt.count("BroadcastHashJoin") + txt.count("BroadcastNestedLoopJoin") >= 2, txt
     assert "Filter" in txt and "t#" in txt
     assert_no_python_udf(df)
+
+
+def test_ts_correlation_topk_plan(spark, sf_dir):
+    """Subsequence search: heavy reduction first (map-side-combined hourly
+    counts), bounds broadcast, final top-k as TakeOrderedAndProject —
+    never a global sort of the candidate windows."""
+    df = REGISTRY["ts_window_correlation_topk"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt, txt
+    assert_no_python_udf(df)
