@@ -80,6 +80,7 @@ def _load_all() -> None:
         media,
         relational,
         relational_ext,
+        relational_ext2,
         scalars,
         thresholds,
         tpch,
