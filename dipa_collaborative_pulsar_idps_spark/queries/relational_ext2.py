@@ -117,3 +117,35 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("bin_min"),
         F.max("value").cast("double").alias("bin_max"),
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    survey="D4-scale,ext-text",
+    oracle="""
+WITH tok AS (
+    SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
+    FROM documents
+), counted AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+)
+SELECT token, n FROM counted ORDER BY n DESC, token LIMIT 10
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens via the bounded-memory SpaceSaving
+    two-phase operator (`operators/heavyhitters.py`): per-partition
+    candidates (≤128 counters/task, cardinality-independent), broadcast
+    semi-join, exact count of candidates only. The oracle runs the plain
+    full-cardinality groupBy — equality certifies the pigeonhole
+    guarantee end-to-end (exact whenever the 10th frequency > N/128,
+    which any real heavy-hitter workload satisfies by definition)."""
+    from ..operators.heavyhitters import heavy_hitters_exact
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("token")
+    )
+    return heavy_hitters_exact(toks, "token", k=10, m=128)

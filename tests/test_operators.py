@@ -279,3 +279,35 @@ def test_connected_components_chains_and_singletons(spark):
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 99: 99}
+
+
+def test_spacesaving_heavy_hitters_exact_under_eviction(spark):
+    """SpaceSaving with m=64 counters against 10k distinct values: the 20
+    planted heavy values (freq 500 each ≫ N/m = 312) must come out with EXACT
+    counts and ranking identical to the full groupBy — proving the
+    eviction path and the pigeonhole candidate guarantee, not just the
+    no-eviction fixture case."""
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    heavy = spark.range(20 * 500).select(
+        F.concat(F.lit("hot"), (F.col("id") % 20)).alias("v")
+    )
+    tail = spark.range(10_000).select(
+        F.concat(F.lit("cold"), F.col("id")).alias("v")
+    )
+    items = heavy.unionAll(tail).repartition(8)
+    got = [(r.v, r.n) for r in heavy_hitters_exact(items, "v", k=20, m=64).collect()]
+    exact = [
+        (r.v, r.n)
+        for r in items.groupBy("v")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("v"))
+        .limit(20)
+        .collect()
+    ]
+    assert got == exact
+    assert all(n == 500 for _, n in got), got
