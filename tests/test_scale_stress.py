@@ -302,3 +302,39 @@ def test_window_dedup_flags_planted_windows_at_20k_docs(spark):
     assert carriers.where(F.col("n_dup_windows") >= 1).count() == 2 * N_PLANTED
     clean = stats.where(F.col("doc_id") < N_DOCS)
     assert clean.where(F.col("n_dup_windows") > 0).count() == 0
+
+
+def test_ivfpq_planted_neighbor_recall_at_20k_vectors(spark):
+    """IVF-PQ at 20k×64: the planted near-neighbor (query = original vector
+    with one coordinate nudged +0.01) must surface in the top-5 for ≥80%
+    of 50 queries with a 4/16-list probe over m=8/ksub=32 codes — the
+    composed coarse+fine quantization loss at 10× the fixture size, fully
+    distributed."""
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_search,
+        train_pq,
+    )
+
+    n, dim = 20_000, 64
+    coord = lambda j: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("id") * F.lit(dim) + F.lit(j)), F.lit(2000)) / 1000.0 - 1.0
+    )
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*[coord(j) for j in range(dim)]).alias("e")
+    )
+    queries = vecs.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("query_id"),
+        F.concat(
+            F.slice("e", 1, dim - 1),
+            F.array(F.element_at("e", dim) + F.lit(0.01)),
+        ).alias("qe"),
+    )
+    assigned, cents = build_ivf_index(vecs, dim=dim, n_list=16)
+    cb = train_pq(vecs, dim=dim, m=8, ksub=32)
+    hits = (
+        ivfpq_search(assigned.persist(), cents, cb, queries, k=5, n_probe=4)
+        .where(F.col("neighbor_id") == F.col("query_id") - F.lit(1_000_000))
+        .count()
+    )
+    assert hits >= 40, f"IVF-PQ planted recall@5 too low at 20k: {hits}/50"
