@@ -359,3 +359,75 @@ def pushback_dedupe_stream(
         .groupBy("__shard")
         .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    col: str,
+    m: int = 128,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Streaming frequent items: per-shard SpaceSaving state over an
+    unbounded stream (the streaming twin of
+    `operators/heavyhitters.heavy_hitters_exact`).
+
+    Values are SHARDED BY VALUE HASH, so every occurrence of a value
+    lands in the same shard and each shard maintains one SpaceSaving
+    summary of ≤ ``m`` counters — state is O(m · n_shards) FOREVER,
+    regardless of stream length or value cardinality (no watermark
+    needed: the summary itself is the bounded structure, unlike dedup
+    state). Each batch the shard re-emits its current candidate set as
+    (value, est_count, err_bound): est overestimates the true count by at
+    most err_bound (the count the entry inherited at its last eviction) —
+    the standard SpaceSaving guarantee, which also means any value with
+    true frequency > batch_total/m so far is present.
+
+    Append-mode emission of per-batch snapshots: downstream takes the
+    latest batch (or maxes over time) for a live top-k board.
+    """
+    out_schema = f"{col} string, est_count long, err_bound long"
+    state_schema = "vals array<string>, counts array<long>, errs array<long>"
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            vs, cs, es = state.get
+            counts = dict(zip(vs, cs))
+            errs = dict(zip(vs, es))
+        else:
+            counts, errs = {}, {}
+        for pdf in pdfs:
+            for v in pdf[col]:
+                if v in counts:
+                    counts[v] += 1
+                elif len(counts) < m:
+                    counts[v] = 1
+                    errs[v] = 0
+                else:
+                    mk = min(counts, key=counts.get)
+                    mv = counts.pop(mk)
+                    errs.pop(mk)
+                    counts[v] = mv + 1
+                    errs[v] = mv  # overestimate bound inherited on eviction
+        keys = list(counts.keys())
+        state.update((keys, [counts[k2] for k2 in keys], [errs[k2] for k2 in keys]))
+        yield pd.DataFrame(
+            {
+                col: keys,
+                "est_count": [counts[k2] for k2 in keys],
+                "err_bound": [errs[k2] for k2 in keys],
+            }
+        )
+
+    shard = F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("__shard")
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

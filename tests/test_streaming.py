@@ -697,3 +697,49 @@ def test_streaming_window_dedup_suppresses_cross_batch_repeats(spark, replay_dir
     assert (3, 1) in got, "doc 3's unique window must emit"
     assert (3, 0) not in got, "repeated window must be suppressed"
     assert not any(d == 2 for d, _ in got)
+
+
+def test_streaming_heavy_hitters_track_planted_skew(spark, replay_dir):
+    """Streaming SpaceSaving: hot values planted across two micro-batches
+    are reported with exact counts (no eviction pressure touches them),
+    totals accumulate across batches, and state stays bounded at m
+    counters per shard even with 600 distinct cold values streaming by."""
+    import time as _t
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import run_to_memory
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        heavy_hitters_stream,
+    )
+
+    schema = "v string"
+    # batch 0: hot0×30, hot1×20, cold0..299 once each
+    b0 = [("hot0",)] * 30 + [("hot1",)] * 20 + [(f"cold{i}",) for i in range(300)]
+    # batch 1: hot0×25 more, cold300..599
+    b1 = [("hot0",)] * 25 + [(f"cold{i}",) for i in range(300, 600)]
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            replay_dir
+        )
+        _t.sleep(0.05)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        replay_dir
+    )
+    q = run_to_memory(
+        heavy_hitters_stream(stream, "v", m=64, n_shards=4),
+        "hh_stream",
+        output_mode="append",
+    )
+    rows = spark.table("hh_stream").collect()
+    q.stop()
+    # latest estimate per value across snapshots = the running total
+    est = {}
+    for r in rows:
+        est[r.v] = max(est.get(r.v, 0), r.est_count)
+    assert est.get("hot0") == 55, est.get("hot0")   # accumulated across batches
+    assert est.get("hot1") == 20, est.get("hot1")
+    # bounded state: each shard holds ≤ m entries, so across 2 snapshots of
+    # 4 shards at most 2·4·64 distinct values can ever be reported — far
+    # fewer than the 602 distinct values streamed (eviction really ran)
+    assert len({r.v for r in rows}) <= 2 * 4 * 64
+    per_batch_rows = len(rows)
+    assert per_batch_rows <= 2 * 4 * 64, per_batch_rows
