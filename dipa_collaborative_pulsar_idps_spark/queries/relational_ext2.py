@@ -149,3 +149,125 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token")
     )
     return heavy_hitters_exact(toks, "token", k=10, m=128)
+
+
+@query(
+    "grouped_median_mode",
+    survey="D1,ext-analytic",
+    oracle="""
+WITH counted AS (
+    SELECT event_type, value, COUNT(*) AS cnt
+    FROM events GROUP BY event_type, value
+), modes AS (
+    SELECT event_type, value AS mode_value
+    FROM (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, value ASC) AS rk
+        FROM counted
+    ) WHERE rk = 1
+)
+SELECT e.event_type,
+       ROUND(MEDIAN(e.value), 6) AS median_value,
+       ANY_VALUE(m.mode_value) AS mode_value
+FROM events e JOIN modes m USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def grouped_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (interpolating, = percentile 0.5 in both
+    engines) and mode with a DETERMINISTIC tie-break (highest count, then
+    smallest value — Spark's built-in `mode()` breaks ties arbitrarily,
+    which would be flaky cross-engine AND cross-run, so the mode is a
+    max_by over per-value counts instead).
+
+    100 TB note: exact median requires a per-group sort of distinct
+    values — Spark's percentile aggregation buffers per group; for
+    heavy groups the sketch twin (`approx_price_percentiles`) is the
+    production dial. Mode via counted max_by is two map-side-combined
+    aggregations, scale-safe."""
+    t = Tables(spark, sf_dir)
+    counted = t.events.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    modes = counted.groupBy("event_type").agg(
+        F.max_by(
+            "value", F.struct(F.col("cnt"), (-F.col("value")).alias("nv"))
+        ).alias("mode_value")
+    )
+    med = t.events.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("median_value")
+    )
+    return med.join(modes, "event_type")
+
+
+@query(
+    "regression_value_over_time",
+    survey="ext-analytic,K2",
+    oracle="""
+SELECT event_type,
+       ROUND(REGR_SLOPE(value, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600), 6)
+           AS slope_per_hour,
+       ROUND(REGR_INTERCEPT(value, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600), 6)
+           AS intercept,
+       ROUND(CORR(value, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600), 6)
+           AS corr_vh,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def regression_value_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type ordinary-least-squares trend of event value over time
+    (hour index as regressor): regr_slope / regr_intercept / corr — the
+    SQL:2016 linear-regression aggregate family. One map-side-combined
+    aggregation (the regr_* aggregates fold into sufficient statistics,
+    so they scale like any sum); round-6 because the moment accumulation
+    order is engine-dependent."""
+    t = Tables(spark, sf_dir)
+    h = F.expr("unix_seconds(cast(ts as timestamp)) DIV 3600").cast("double")
+    return t.events.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), h), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept(F.col("value"), h), 6).alias("intercept"),
+        F.round(F.corr(F.col("value"), h), 6).alias("corr_vh"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "grouping_sets_event_traffic",
+    survey="D1,ext-analytic",
+    oracle="""
+SELECT event_type,
+       CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+""",
+)
+def grouping_sets_event_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: per-(type, user-bucket)
+    detail, per-type subtotal, and grand total in ONE pass — completing
+    the multi-granularity family beside cube_region_status (CUBE) and
+    order_lineitem_rollup (ROLLUP). The gid column disambiguates subtotal
+    NULLs from data NULLs (the reason grouping_id exists). Spark expands
+    sets with a single expand+aggregate — one shuffle for all three
+    granularities; decimal-quantized sums for cross-engine exactness."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        (F.col("user_id") % 10).alias("user_bucket"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "user_bucket"], ["event_type"], []],
+            "event_type",
+            "user_bucket",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .select("event_type", "user_bucket", F.col("gid").cast("long"), "n", "total_value")
+    )
