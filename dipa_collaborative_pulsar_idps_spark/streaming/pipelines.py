@@ -404,3 +404,38 @@ def streaming_window_dedup(
     return exploded.withWatermark(
         "ingest_ts", watermark
     ).dropDuplicatesWithinWatermark(["win_hash"])
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native streaming sessionization: Spark's `session_window` merges a
+    user's events into gap-separated sessions AS STATE, finalizing a
+    session once the watermark passes its close — the streaming twin of
+    the batch `session_windows_30m` (which materializes the same islands
+    via a cumulative new-session flag over the full log).
+
+    Input: (ts timestamp, user_id long). Output per CLOSED session:
+    (user_id, session_start, session_end, n_events).
+
+    100 TB shape: session state is per (user, open-session) and evicted at
+    watermark close — bounded by concurrently-open sessions, not history;
+    the merge is Spark's built-in session-window state operator (no
+    Python). Late events inside the watermark extend/merge sessions
+    correctly — the exact semantics the batch twin can only get by
+    re-sorting the whole log.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

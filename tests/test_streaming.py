@@ -743,3 +743,50 @@ def test_streaming_heavy_hitters_track_planted_skew(spark, replay_dir):
     assert len({r.v for r in rows}) <= 2 * 4 * 64
     per_batch_rows = len(rows)
     assert per_batch_rows <= 2 * 4 * 64, per_batch_rows
+
+
+def test_streaming_session_window_matches_batch_islands(spark, replay_dir):
+    """Native session_window sessionization: events for one user split by a
+    >30 min gap across micro-batches must close as TWO sessions with the
+    right bounds and counts; a second user's single burst closes as one.
+    A far-future row advances the watermark so every session finalizes
+    under availableNow."""
+    import time as _t
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        streaming_session_counts,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import run_to_memory
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "ts timestamp, user_id long"
+    b0 = [
+        (base, 1), (base + dt.timedelta(minutes=10), 1),          # session A
+        (base + dt.timedelta(minutes=5), 2),                      # user 2
+    ]
+    b1 = [
+        (base + dt.timedelta(minutes=20), 1),                     # extends A
+        (base + dt.timedelta(minutes=70), 1),                     # > 30 min gap → session B
+        (base + dt.timedelta(hours=12), 99),                      # watermark pusher
+    ]
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            replay_dir
+        )
+        _t.sleep(0.05)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        replay_dir
+    )
+    q = run_to_memory(
+        streaming_session_counts(stream), "stream_sessions", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("stream_sessions").collect()
+        if r.user_id != 99
+    }
+    q.stop()
+    assert (1, base, 3) in got, got                               # A: 3 events
+    assert (1, base + dt.timedelta(minutes=70), 1) in got, got    # B after the gap
+    assert (2, base + dt.timedelta(minutes=5), 1) in got, got
+    assert len(got) == 3, got
