@@ -166,3 +166,56 @@ def read_corpus(
         lo, hi = doc_id_range
         df = df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
     return df
+
+
+def upsert_telemetry(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...] = ("dpid", "flow_key", "poll_ts"),
+    ts_col: str = "poll_ts",
+) -> int:
+    """Keyed upsert (MERGE-equivalent) into the plain-parquet lake:
+    last-write-wins on *key_cols*, rewriting ONLY the (event_date, dpid)
+    leaves the updates touch.
+
+    Plain parquet has no MERGE, so the honest primitive is
+    read-affected-leaves → anti-join out the superseded rows → union the
+    updates → dynamic-overwrite those leaves. Cost scales with the
+    touched leaves, not the table: the affected-partition set comes from
+    the (small) update batch and prunes the read via PartitionFilters —
+    a late-correction batch for one day/switch rewrites one directory of
+    a year-sized lake. (Delta/Iceberg make this transactional; the
+    rewrite SHAPE — touched-partition scoping, key anti-join — is the
+    same, which is why it lives here as the layout's upsert story.)
+    Returns the number of update rows applied."""
+    ups = updates.withColumn("event_date", F.to_date(F.col(ts_col)))
+    touched = [
+        (r["event_date"], r["dpid"])
+        for r in ups.select("event_date", "dpid").distinct().collect()
+    ]  # bounded-collect: one row per touched (day, switch) leaf — the update batch's partition set, not table data
+    if not touched:
+        return 0
+    existing = spark.read.parquet(path).where(
+        F.struct("event_date", "dpid").isin(
+            [F.struct(F.lit(d).cast("date"), F.lit(s)) for d, s in touched]
+        )
+    )
+    keep = existing.join(
+        ups.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    )
+    merged = keep.select(*ups.columns).unionByName(ups)
+    n = ups.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("event_date", "dpid")
+            .sortWithinPartitions(ts_col)
+            .write.mode("overwrite")
+            .partitionBy(*TELEMETRY_PARTITION_COLS)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n

@@ -366,3 +366,60 @@ def test_exact_k_sample_is_partition_invariant(spark, sf_dir):
         .collect()
     }
     assert base == re_run and len({(l, r) for l, _, r in base}) == len(base)
+
+
+def test_upsert_rewrites_only_touched_leaves(spark, tmp_path):
+    """Keyed lake upsert: replaced keys get the new values, new keys
+    append, untouched (date, dpid) leaves keep their ORIGINAL files on
+    disk (mtime-stable — proof the rewrite was partition-scoped)."""
+    import datetime as dt
+    import os
+
+    from dipa_collaborative_pulsar_idps_spark.storage import (
+        upsert_telemetry,
+        write_telemetry,
+    )
+
+    path = str(tmp_path / "lake")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (t0, 1, "f1", 100),
+        (t0, 1, "f2", 200),
+        (t0, 2, "f1", 300),                        # other switch → other leaf
+        (t0 + dt.timedelta(days=1), 1, "f1", 400),  # other day → other leaf
+    ]
+    df = spark.createDataFrame(rows, "poll_ts timestamp, dpid int, flow_key string, packet_count long")
+    write_telemetry(df, path)
+
+    def leaf_files(d, s):
+        leaf = os.path.join(path, f"event_date={d}", f"dpid={s}")
+        return {
+            f: os.path.getmtime(os.path.join(leaf, f))
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet")
+        }
+
+    before_d2 = leaf_files("2024-01-02", 1)
+    before_s2 = leaf_files("2024-01-01", 2)
+
+    updates = spark.createDataFrame(
+        [(t0, 1, "f1", 999),                       # replaces (1, f1, t0)
+         (t0, 1, "f9", 50)],                       # brand-new key, same leaf
+        "poll_ts timestamp, dpid int, flow_key string, packet_count long",
+    )
+    applied = upsert_telemetry(spark, path, updates)
+    assert applied == 2
+
+    got = {
+        (r.dpid, r.flow_key, r.poll_ts): r.packet_count
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[(1, "f1", t0)] == 999               # replaced
+    assert got[(1, "f9", t0)] == 50                # inserted
+    assert got[(1, "f2", t0)] == 200               # sibling row survived
+    assert got[(2, "f1", t0)] == 300
+    assert got[(1, "f1", t0 + dt.timedelta(days=1))] == 400
+    assert len(got) == 5
+    # untouched leaves: identical file sets with identical mtimes
+    assert leaf_files("2024-01-02", 1) == before_d2
+    assert leaf_files("2024-01-01", 2) == before_s2
