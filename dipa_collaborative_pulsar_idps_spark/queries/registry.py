@@ -85,6 +85,7 @@ def _load_all() -> None:
         thresholds,
         tpch,
         tpch2,
+        warehouse,
         windows,
     )
 

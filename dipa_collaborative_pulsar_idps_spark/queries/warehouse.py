@@ -1,0 +1,147 @@
+"""Warehouse-maintenance operators: CDC snapshot diff and SCD2 history
+build — the two change-tracking shapes every lake/warehouse pipeline
+runs, certified against window/join-only oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import Tables
+from .registry import query
+
+
+@query(
+    "cdc_snapshot_diff",
+    survey="F1,ext-analytic",
+    oracle="""
+WITH b_mod AS (
+    -- snapshot B, derived deterministically from A (orders): every 97th
+    -- key deleted, every 89th repriced, every 101st cloned as an insert
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 89 = 0
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_totalprice
+    FROM orders WHERE o_orderkey % 101 = 0
+), diff AS (
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'D'
+                WHEN a.o_orderkey IS NULL THEN 'I'
+                WHEN a.o_totalprice <> b.o_totalprice THEN 'U'
+           END AS change
+    FROM orders a FULL OUTER JOIN b_mod b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM diff WHERE change IS NOT NULL GROUP BY change
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer join on
+    the key classifies every row as Insert / Update / Delete (unchanged
+    rows drop out). Snapshot B is derived deterministically from A so the
+    planted change set is known; output is per-class counts plus a key
+    checksum so the oracle certifies WHICH rows changed, not just how
+    many.
+
+    100 TB shape: one co-partitioned full-outer join on the snapshot key
+    — the canonical diff; with both snapshots bucketed/sorted by key on
+    disk (storage.py layouts) it degrades to a zipper merge. The U-class
+    comparison touches only the columns under CDC, so column pruning
+    keeps the scan narrow.
+    """
+    t = Tables(spark, sf_dir)
+    a = t.orders.select("o_orderkey", "o_totalprice")
+    b = a.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    ).unionByName(
+        a.where(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("b.o_orderkey").isNull(), "D")
+        .when(F.col("a.o_orderkey").isNull(), "I")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "U")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            change.alias("change"),
+        )
+        .where(F.col("change").isNotNull())
+        .groupBy("change")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+    )
+
+
+@query(
+    "scd2_user_event_history",
+    survey="H1,ext-analytic",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+), starts AS (
+    SELECT user_id, event_type, ts AS valid_from
+    FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+), versioned AS (
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS version
+    FROM starts
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       CAST(version AS BIGINT) AS version,
+       valid_to IS NULL AS is_current
+FROM versioned
+""",
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from the event log: each
+    run of consecutive identical event types per user becomes one
+    versioned validity interval [valid_from, valid_to), the latest row
+    open-ended (is_current). The lag-compress → lead-close → version
+    pattern is the standard SCD2 derivation; tie-break by event_id makes
+    same-timestamp ordering deterministic cross-engine.
+
+    100 TB shape: all three windows share one (user_id) partitioning —
+    one shuffle, three frame passes, no self-join; the 'starts'
+    compression shrinks the frame before the lead/version windows run.
+    """
+    t = Tables(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t.events.select(
+        "user_id", "event_type", "ts", "event_id"
+    ).withColumn("prev_type", F.lag("event_type").over(w_ord))
+    starts = ordered.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    w_v = Window.partitionBy("user_id").orderBy("valid_from")
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+        F.row_number().over(w_v).cast("long").alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
