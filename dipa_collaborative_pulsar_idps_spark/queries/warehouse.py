@@ -145,3 +145,76 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_v).alias("valid_to"),
         F.row_number().over(w_v).cast("long").alias("version"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+#: (column, portable value expression) — each column's min/max are cast to
+#: a representation both engines print identically: longs and strings as-is,
+#: the double through DECIMAL(18,2), the timestamp through DATE.
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST(o_orderkey AS STRING)", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    (
+        "o_totalprice",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
+    ),
+    (
+        "o_orderdate",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING)",
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+    ),
+)
+
+
+@query(
+    "table_profile_orders",
+    survey="D4,ext-analytic",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN({dk}) AS min_repr, MAX({dk}) AS max_repr
+FROM orders"""
+        for c, _, dk in _PROFILE_COLS
+    )
+    + "\n)",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the Deequ/dbt-test shape): per column of
+    `orders` — null count, exact distinct count, and min/max in an
+    engine-portable representation (doubles through DECIMAL(18,2),
+    timestamps through DATE: raw double/timestamp stringification is
+    engine-dependent). One pass over the table: all 6×4 aggregates fold
+    into a single 1-row aggregation, exploded to one row per column (the
+    oracle's UNION ALL is the semantic spec; Spark computes it without
+    re-scanning per column). At 100 TB the exact distinct counts are the
+    dial to swap for approx_count_distinct (`approx_distinct_users`
+    pattern) — exactness here keeps the oracle bit-checkable."""
+    t = Tables(spark, sf_dir)
+    aggs = []
+    for c, sk, _ in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.expr(sk)).alias(f"{c}__min"),
+            F.max(F.expr(sk)).alias(f"{c}__max"),
+        ]
+    one = t.orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_repr"),
+                F.col(f"{c}__max").alias("max_repr"),
+            )
+            for c, _, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select(
+        "p.column_name", "p.n_nulls", "p.n_distinct", "p.min_repr", "p.max_repr"
+    )
