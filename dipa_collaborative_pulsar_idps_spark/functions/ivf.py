@@ -70,15 +70,9 @@ def build_ivf_index(
     (NOT a corpus collect; at 1 B rows this is still ≤ 4096 rows for the
     default n_list=16). Assignment streams the corpus through one Arrow
     pass with the centroid matrix in the UDF closure."""
-    cap = sample_per_list * n_list
-    n = corpus.count()
-    frac = min(1.0, cap / max(n, 1))
-    sample_df = corpus.where(
-        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.lit(1_000_000))
-        < F.lit(int(frac * 1_000_000)) if frac < 1.0 else F.lit(True)
-    )
-    rows = sample_df.select("e").collect()  # bounded-collect: ≤ n_list·sample_per_list rows by the hash filter above, corpus-size-independent
-    x = np.array([r.e for r in rows], dtype=np.float64)
+    from .sampling import bounded_sample
+
+    x = bounded_sample(corpus, sample_per_list * n_list, seed)
     cents = _lloyd(x, n_list, seed)
 
     @F.pandas_udf("int")

@@ -52,16 +52,9 @@ def train_pq(
     """
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     dsub = dim // m
-    n = corpus.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    sample_df = corpus.where(
-        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.lit(1_000_000))
-        < F.lit(int(frac * 1_000_000))
-        if frac < 1.0
-        else F.lit(True)
-    )
-    rows = sample_df.select("e").collect()  # bounded-collect: ≤ sample_cap rows via the hash filter above, corpus-size-independent
-    x = np.array([r.e for r in rows], dtype=np.float64)
+    from .sampling import bounded_sample
+
+    x = bounded_sample(corpus, sample_cap, seed)
     if ksub == len(x):
         # Degenerate certifier config (the exhaustive twins): with one
         # codeword per training point, k-means++ + Lloyd provably fixes

@@ -28,16 +28,9 @@ def train_pca(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (mean (d,), components (k, d) row-orthonormal, explained
     variance ratio (k,)) from an ≤ sample_cap deterministic sample."""
-    n = corpus.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    sample_df = corpus.where(
-        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.lit(1_000_000))
-        < F.lit(int(frac * 1_000_000))
-        if frac < 1.0
-        else F.lit(True)
-    )
-    rows = sample_df.select("e").collect()  # bounded-collect: ≤ sample_cap rows via the hash filter above, corpus-size-independent
-    x = np.array([r.e for r in rows], dtype=np.float64)
+    from .sampling import bounded_sample
+
+    x = bounded_sample(corpus, sample_cap, seed)
     mean = x.mean(0)
     # SVD of the centered sample: rows of Vt are the principal directions.
     # Sign-fix each component (largest-|coord| entry positive) so the model

@@ -265,15 +265,20 @@ def ts_window_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = series.where(F.col("event_type") == "error").select(
         F.expr(f"slice(arr, 1, {_TS_W})").alias("qa")
     )
+    # CASE guard: Spark's sequence(1, 0) is DESCENDING, not empty — a
+    # sub-{_TS_W}-hour event span would explode garbage starts and crash
+    # slice() instead of yielding zero windows like the oracle's RANGE.
+    starts = F.expr(
+        f"CASE WHEN size(arr) >= {_TS_W} "
+        f"THEN sequence(1, size(arr) - {_TS_W} + 1) ELSE array() END"
+    )
     wins = (
         series.crossJoin(F.broadcast(q))
         .select(
             "event_type",
             "qa",
             "arr",
-            F.explode(F.expr(f"sequence(1, size(arr) - {_TS_W} + 1)")).alias(
-                "win_start"
-            ),
+            F.explode(starts).alias("win_start"),
         )
         .select(
             "event_type",

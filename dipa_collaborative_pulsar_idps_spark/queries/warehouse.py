@@ -96,19 +96,22 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="H1,ext-analytic",
     oracle="""
 WITH ordered AS (
-    SELECT user_id, event_type, ts,
+    SELECT user_id, event_type, ts, event_id,
            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
     FROM events
 ), starts AS (
-    SELECT user_id, event_type, ts AS valid_from
+    SELECT user_id, event_type, ts AS valid_from, event_id
     FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
 ), versioned AS (
+    -- event_id tie-break: two runs CAN start at the same timestamp (two
+    -- event types sharing a ts), and valid_from alone would leave the
+    -- version/valid_to assignment engine-dependent
     SELECT user_id, event_type, valid_from,
-           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-               AS valid_to,
-           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
-               AS version
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS version
     FROM starts
 )
 SELECT user_id, event_type, valid_from, valid_to,
@@ -136,8 +139,10 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("prev_type", F.lag("event_type").over(w_ord))
     starts = ordered.where(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
-    w_v = Window.partitionBy("user_id").orderBy("valid_from")
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    # event_id tie-break: same-ts run starts would otherwise get
+    # engine-dependent version/valid_to assignment
+    w_v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return starts.select(
         "user_id",
         "event_type",
@@ -147,23 +152,25 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
-#: (column, portable value expression) — each column's min/max are cast to
-#: a representation both engines print identically: longs and strings as-is,
-#: the double through DECIMAL(18,2), the timestamp through DATE.
+#: (column, post-aggregate repr template) — min/max run on the NATIVE type
+#: (lexicographic string extremes would be wrong for numerics: '9999' >
+#: '60000'), and only the aggregated RESULT is cast to a representation both
+#: engines print identically: longs and strings as-is, the double through
+#: DECIMAL(18,2), the timestamp through DATE. {v} is the aggregate.
 _PROFILE_COLS = (
-    ("o_orderkey", "CAST(o_orderkey AS STRING)", "CAST(o_orderkey AS VARCHAR)"),
-    ("o_custkey", "CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)"),
-    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
-    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    ("o_orderkey", "CAST({v} AS STRING)", "CAST({v} AS VARCHAR)"),
+    ("o_custkey", "CAST({v} AS STRING)", "CAST({v} AS VARCHAR)"),
+    ("o_orderstatus", "{v}", "{v}"),
+    ("o_orderpriority", "{v}", "{v}"),
     (
         "o_totalprice",
-        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)",
-        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
+        "CAST(CAST({v} AS DECIMAL(18,2)) AS STRING)",
+        "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)",
     ),
     (
         "o_orderdate",
-        "CAST(CAST(o_orderdate AS DATE) AS STRING)",
-        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+        "CAST(CAST({v} AS DATE) AS STRING)",
+        "CAST(CAST({v} AS DATE) AS VARCHAR)",
     ),
 )
 
@@ -176,7 +183,8 @@ _PROFILE_COLS = (
         f"""SELECT '{c}' AS column_name,
        CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       MIN({dk}) AS min_repr, MAX({dk}) AS max_repr
+       {dk.format(v=f"MIN({c})")} AS min_repr,
+       {dk.format(v=f"MAX({c})")} AS max_repr
 FROM orders"""
         for c, _, dk in _PROFILE_COLS
     )
@@ -184,10 +192,12 @@ FROM orders"""
 )
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling summary (the Deequ/dbt-test shape): per column of
-    `orders` — null count, exact distinct count, and min/max in an
-    engine-portable representation (doubles through DECIMAL(18,2),
-    timestamps through DATE: raw double/timestamp stringification is
-    engine-dependent). One pass over the table: all 6×4 aggregates fold
+    `orders` — null count, exact distinct count, and NATIVE-type min/max
+    whose aggregated result is then cast to an engine-portable
+    representation (doubles through DECIMAL(18,2), timestamps through
+    DATE; aggregate-then-cast, because min over a string cast would be
+    lexicographic — '9999' > '60000' — and raw double/timestamp
+    stringification is engine-dependent). One pass over the table: all 6×4 aggregates fold
     into a single 1-row aggregation, exploded to one row per column (the
     oracle's UNION ALL is the semantic spec; Spark computes it without
     re-scanning per column). At 100 TB the exact distinct counts are the
@@ -199,8 +209,8 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(F.expr(sk)).alias(f"{c}__min"),
-            F.max(F.expr(sk)).alias(f"{c}__max"),
+            F.expr(sk.format(v=f"MIN({c})")).alias(f"{c}__min"),
+            F.expr(sk.format(v=f"MAX({c})")).alias(f"{c}__max"),
         ]
     one = t.orders.agg(*aggs)
     rows = F.array(
