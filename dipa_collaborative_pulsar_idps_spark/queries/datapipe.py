@@ -168,15 +168,47 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curation_funnel",
-    survey="ext-text,ext-dedup,ext-curation",
-    oracle="""
-WITH tok AS (
+def funnel_core(d: DataFrame) -> DataFrame:
+    """Shared funnel tail over a pre-gated (doc_id, text, n_chars) frame:
+    quality gates → exact content dedup (min doc_id per md5) → Knuth-hash
+    split rollup. ONE definition for the plain and decontaminated funnels
+    — a gate-threshold or split-hash change lands in both (and their
+    oracles share `funnel_oracle` the same way)."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = d.select("doc_id", "text", "n_chars", toks.alias("tokens"))
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    stop_hits = F.size(F.filter(F.col("tokens"), lambda x: F.array_contains(stop_arr, x)))
+    quality = d.where(
+        (F.size("tokens") >= 20)
+        & (F.col("n_chars").cast("double") / F.size("tokens") <= 15.0)
+        & (stop_hits * F.lit(1.0) / F.size("tokens") >= 0.01)
+    )
+    keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    deduped = quality.withColumn("keep_id", keep).where(F.col("doc_id") == F.col("keep_id"))
+    bucket = F.pmod(F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), F.lit(100))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), F.size("tokens").alias("n_tokens"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def funnel_oracle(tok_where: str, prefix_ctes: str = "") -> str:
+    """The funnel tail's oracle SQL, parameterized by the gate WHERE (and
+    optional prefix CTEs) — the SQL twin of :func:`funnel_core`."""
+    return f"""
+WITH {prefix_ctes}tok AS (
     SELECT doc_id, text, n_chars,
            LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
     FROM documents
-    WHERE lang = 'en'
+    WHERE {tok_where}
 ), quality AS (
     SELECT * FROM tok
     WHERE LEN(tokens) >= 20
@@ -198,7 +230,13 @@ SELECT CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM deduped
 GROUP BY split
-""",
+"""
+
+
+@query(
+    "curation_funnel",
+    survey="ext-text,ext-dedup,ext-curation",
+    oracle=funnel_oracle("lang = 'en'"),
 )
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data curation pipeline as ONE declarative query:
@@ -216,33 +254,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the whole game at scale; Catalyst keeps it because the gates are
     plain predicates."""
     t = Tables(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    d = (
-        t.documents.where(F.col("lang") == "en")
-        .select("doc_id", "text", "n_chars", toks.alias("tokens"))
-    )
-    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
-    stop_hits = F.size(F.filter(F.col("tokens"), lambda x: F.array_contains(stop_arr, x)))
-    quality = d.where(
-        (F.size("tokens") >= 20)
-        & (F.col("n_chars").cast("double") / F.size("tokens") <= 15.0)
-        & (stop_hits * F.lit(1.0) / F.size("tokens") >= 0.01)
-    )
-    from pyspark.sql.window import Window
-
-    keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    deduped = quality.withColumn("keep_id", keep).where(F.col("doc_id") == F.col("keep_id"))
-    bucket = F.pmod(F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), F.lit(100))
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    return (
-        deduped.select(split.alias("split"), F.size("tokens").alias("n_tokens"), "n_chars")
-        .groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
+    return funnel_core(t.documents.where(F.col("lang") == "en"))
 
 
 @query(

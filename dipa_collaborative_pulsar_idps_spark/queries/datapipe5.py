@@ -11,12 +11,109 @@ from pyspark.sql import functions as F
 
 from ..config import SCALE
 from ..tables import Tables
+from .datapipe import funnel_oracle
 from .registry import query
 
 #: Deterministic "benchmark" membership: every 97th doc stands in for an
 #: eval set (decontamination needs SOME held-out set; the modulus keeps it
 #: reproducible across engines and partitionings).
 _BENCH_MOD = 97
+
+
+#: Memoized persisted gram-array frames, keyed by (appId, plan hash, dials):
+#: repeated calls in one session (funnel + standalone query + bench reps)
+#: reuse ONE cached relation instead of leaking a new persist per call;
+#: `clear_gram_cache()` owns the explicit lifecycle end (same contract as
+#: datapipe3.clear_corpus_cache, per the round-2 advisor remedy).
+_GRAM_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_gram_cache() -> None:
+    """Unpersist every memoized gram frame (explicit lifecycle end)."""
+    for df in _GRAM_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _GRAM_CACHE.clear()
+
+
+def _gram_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, grams array<string>): per-doc distinct n-gram arrays,
+    compute-spread and persisted once per (session, input plan, dials)."""
+    from ..plans.sizing import right_size
+
+    key = (
+        docs.sparkSession.sparkContext.applicationId,
+        docs.semanticHash(),
+        id_col,
+        text_col,
+        n,
+    )
+    cached = _GRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(tokens, i + {j})" for j in range(n)
+    ) + ")"
+    grams = (
+        f"CASE WHEN size(tokens) >= {n} "
+        f"THEN array_distinct(transform(sequence(1, size(tokens) - {n - 1}), i -> {gram})) "
+        "ELSE array() END"
+    )
+    # Spread BEFORE the gram transform: a compact doc file arrives in one
+    # split, and tokenize + ~n_tokens string concats per doc is the
+    # compute-heavy part (single-tasked, it dominated the whole query);
+    # inflate reflects the ~n× gram blowup the optimizer can't see. The
+    # gram arrays are computed once and persisted — the lineage feeds
+    # several consumers (bench set, training explode, training doc list).
+    sh = (
+        right_size(
+            docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id", inflate=5.0
+        )
+        .select("doc_id", toks.alias("tokens"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .persist()
+    )
+    _GRAM_CACHE[key] = sh
+    return sh
+
+
+def _gram_hits(sh: DataFrame, bench_mod: int) -> DataFrame:
+    """(doc_id, n_hit) for training docs sharing ≥1 gram with the benchmark
+    complement — the broadcast-probe core shared by flags and id-only
+    consumers."""
+    bench = (
+        sh.where(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    ex = sh.where(F.col("doc_id") % bench_mod != 0).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    return (
+        ex.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bench_mod: int = _BENCH_MOD,
+) -> DataFrame:
+    """Just the dirty doc ids — the anti-join input a funnel needs. Skips
+    `contamination_flags`' corpus-wide train-list left join entirely: the
+    dirty set IS the hits set (n_hit > 0 by construction)."""
+    sh = _gram_arrays(docs, id_col, text_col, n)
+    return _gram_hits(sh, bench_mod).select("doc_id")
 
 
 def contamination_flags(
@@ -40,42 +137,8 @@ def contamination_flags(
     decontamination join, with n scaled to the corpus's doc length
     (production uses 10-13-grams).
     """
-    from ..plans.sizing import right_size
-
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    gram = "concat_ws(' ', " + ", ".join(
-        f"element_at(tokens, i + {j})" for j in range(n)
-    ) + ")"
-    grams = (
-        f"CASE WHEN size(tokens) >= {n} "
-        f"THEN array_distinct(transform(sequence(1, size(tokens) - {n - 1}), i -> {gram})) "
-        "ELSE array() END"
-    )
-    # Spread BEFORE the gram transform: a compact doc file arrives in one
-    # split, and tokenize + ~n_tokens string concats per doc is the
-    # compute-heavy part (single-tasked, it dominated the whole query);
-    # inflate reflects the ~n× gram blowup the optimizer can't see. The
-    # gram arrays are computed once and persisted — the lineage feeds three
-    # consumers (bench set, training explode, training doc list).
-    sh = (
-        right_size(docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id", inflate=5.0)
-        .select("doc_id", toks.alias("tokens"))
-        .select("doc_id", F.expr(grams).alias("grams"))
-        .persist()
-    )
-    bench = (
-        sh.where(F.col("doc_id") % bench_mod == 0)
-        .select(F.explode("grams").alias("g"))
-        .distinct()
-    )
-    ex = sh.where(F.col("doc_id") % bench_mod != 0).select(
-        "doc_id", F.explode("grams").alias("g")
-    )
-    hits = (
-        ex.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
+    sh = _gram_arrays(docs, id_col, text_col, n)
+    hits = _gram_hits(sh, bench_mod)
     train = sh.where(F.col("doc_id") % bench_mod != 0).select("doc_id")
     return train.join(hits, "doc_id", "left").select(
         "doc_id",
@@ -276,11 +339,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curation_funnel_decontaminated",
-    survey="ext-curation,ext-text,ext-dedup",
-    oracle=f"""
-WITH tokall AS (
+_DECON_PREFIX_CTES = f"""tokall AS (
     SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
     FROM documents
 ), gr AS (
@@ -296,79 +355,42 @@ WITH tokall AS (
 ), dirty AS (
     SELECT DISTINCT gr.doc_id FROM gr, UNNEST(gr.grams) AS u(g)
     WHERE gr.doc_id % {_BENCH_MOD} <> 0 AND u.g IN (SELECT g FROM bench)
-), tok AS (
-    SELECT doc_id, text, n_chars,
-           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
-    FROM documents
-    WHERE lang = 'en' AND doc_id % {_BENCH_MOD} <> 0
-      AND doc_id NOT IN (SELECT doc_id FROM dirty)
-), quality AS (
-    SELECT * FROM tok
-    WHERE LEN(tokens) >= 20
-      AND CAST(n_chars AS DOUBLE) / LEN(tokens) <= 15.0
-      AND LEN(LIST_FILTER(tokens, x -> x IN ('the','a','of','and','to')))
-          * 1.0 / LEN(tokens) >= 0.01
-), deduped AS (
-    SELECT * FROM (
-        SELECT doc_id, n_chars, tokens,
-               MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep_id
-        FROM quality
-    ) WHERE doc_id = keep_id
-)
-SELECT CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
-            WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
-            ELSE 'test' END AS split,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(LEN(tokens)) AS BIGINT) AS total_tokens,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM deduped
-GROUP BY split
-""",
+), """
+
+
+@query(
+    "curation_funnel_decontaminated",
+    survey="ext-curation,ext-text,ext-dedup",
+    # shared funnel-tail SQL (datapipe.funnel_oracle) + decontamination
+    # prefix CTEs: the oracle twins cannot diverge from the plain funnel's
+    oracle=funnel_oracle(
+        f"lang = 'en' AND doc_id % {_BENCH_MOD} <> 0 "
+        "AND doc_id NOT IN (SELECT doc_id FROM dirty)",
+        prefix_ctes=_DECON_PREFIX_CTES,
+    ),
 )
 def curation_funnel_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE curation pipeline a pretraining run actually ships:
     benchmark exclusion + decontamination (drop benchmark docs and any
     training doc sharing a 5-gram with them) composed IN FRONT of the
-    `curation_funnel` gates (lang → quality → exact dedup → split stats).
+    shared funnel tail (`datapipe.funnel_core`: quality gates → exact
+    dedup → split stats — one definition with `curation_funnel`, so a
+    gate or split change cannot diverge between the twins).
 
     100 TB shape: decontamination adds one broadcast semi-join (the
     benchmark gram probe) before the funnel's single wide shuffle — the
     anti-join on contaminated ids is keyed by doc_id against a
     broadcast-scale id list (contaminated docs are rare in a clean
-    corpus), so filter-before-shuffle ordering still holds."""
-    from pyspark.sql.window import Window
+    corpus; `contaminated_ids` skips the corpus-wide train-list join the
+    full flags frame would pay), so filter-before-shuffle ordering still
+    holds."""
+    from .datapipe import funnel_core
 
     t = Tables(spark, sf_dir)
-    flags = contamination_flags(t.documents)
-    dirty_ids = flags.where("contaminated").select("doc_id")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    d = (
+    dirty = contaminated_ids(t.documents)
+    gated = (
         t.documents.where(F.col("lang") == "en")
         .where(F.col("doc_id") % _BENCH_MOD != 0)
-        .join(F.broadcast(dirty_ids), "doc_id", "left_anti")
-        .select("doc_id", "text", "n_chars", toks.alias("tokens"))
+        .join(F.broadcast(dirty), "doc_id", "left_anti")
     )
-    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
-    stop_hits = F.size(F.filter(F.col("tokens"), lambda x: F.array_contains(stop_arr, x)))
-    quality = d.where(
-        (F.size("tokens") >= 20)
-        & (F.col("n_chars").cast("double") / F.size("tokens") <= 15.0)
-        & (stop_hits * F.lit(1.0) / F.size("tokens") >= 0.01)
-    )
-    keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    deduped = quality.withColumn("keep_id", keep).where(
-        F.col("doc_id") == F.col("keep_id")
-    )
-    bucket = F.pmod(
-        F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), F.lit(100)
-    )
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    return (
-        deduped.select(split.alias("split"), F.size("tokens").alias("n_tokens"), "n_chars")
-        .groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
+    return funnel_core(gated)

@@ -197,9 +197,15 @@ class PulsarLiteStreamReader(DataSourceStreamReader):
         if not url:
             raise ValueError("pulsarlite requires option service.url")
         self.root = broker_dir(url)
-        pattern = options.get("topicspattern") or options.get("topic")
+        pattern = options.get("topicspattern")
         if not pattern:
-            raise ValueError("pulsarlite requires option topicsPattern (or topic)")
+            literal = options.get("topic")
+            if not literal:
+                raise ValueError("pulsarlite requires option topicsPattern (or topic)")
+            # `topic` is the connector's LITERAL-name option — Pulsar names
+            # legally contain regex metachars ('.', '+'), so escape before
+            # compiling; only topicsPattern is a user regex.
+            pattern = re.escape(literal)
         # Java-regex option; anchored full-match like the connector.
         self.pattern = re.compile(pattern)
         self.starting = (options.get("startingoffsets") or "latest").lower()
@@ -242,8 +248,11 @@ class PulsarLiteStreamReader(DataSourceStreamReader):
             if not line:
                 continue
             key, us, value = decode_message(line)
+            # yield the AWARE instant: a naive datetime would be
+            # reinterpreted in the session timezone, skewing __publishTime
+            # by the zone offset on any non-UTC session
             ts = dt.datetime.fromtimestamp(us / 1_000_000, tz=dt.timezone.utc)
-            yield (key, partition.topic, ts.replace(tzinfo=None), value)
+            yield (key, partition.topic, ts, value)
 
     def commit(self, end: dict) -> None:  # broker keeps the full log (replayable)
         pass

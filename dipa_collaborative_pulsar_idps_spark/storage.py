@@ -137,13 +137,27 @@ def write_corpus(
     path: str,
     mode: str = "append",
     target_file_rows: int | None = None,
+    n_tasks: int | None = None,
 ) -> None:
     """Write a curated documents frame hive-partitioned by lang, sorted
     within files by doc_id (row-group stats pruning for id-range reads).
-    One task owns each lang directory — no small-files spray."""
-    out = df.repartition(*CORPUS_PARTITION_COLS).sortWithinPartitions(
-        *CORPUS_PARTITION_COLS, "doc_id"
-    )
+
+    Write tasks RANGE-partition on (lang, doc_id): repartitioning by lang
+    alone would funnel each language's entire corpus through one task —
+    at 100 TB an 80%-English corpus would bound the job by one executor
+    sorting 80 TB. Range partitioning with an explicit data-proportional
+    task count (``n_tasks``; explicit so AQE cannot coalesce it away)
+    spreads a big language across many tasks while every task's output
+    stays a CONTIGUOUS sorted id run — in-file doc_id sort (and therefore
+    row-group range pruning) is preserved, and files per lang stay
+    ~tasks-touching-that-lang, not a task-parallel spray."""
+    if n_tasks is None:
+        from .plans.sizing import sized_partition_count
+
+        n_tasks = sized_partition_count(df)
+    out = df.repartitionByRange(
+        n_tasks, *CORPUS_PARTITION_COLS, "doc_id"
+    ).sortWithinPartitions(*CORPUS_PARTITION_COLS, "doc_id")
     writer = out.write.mode(mode).partitionBy(*CORPUS_PARTITION_COLS)
     if target_file_rows:
         writer = writer.option("maxRecordsPerFile", target_file_rows)
@@ -189,6 +203,8 @@ def upsert_telemetry(
     rewrite SHAPE — touched-partition scoping, key anti-join — is the
     same, which is why it lives here as the layout's upsert story.)
     Returns the number of update rows applied."""
+    import os
+
     ups = updates.withColumn("event_date", F.to_date(F.col(ts_col)))
     touched = [
         (r["event_date"], r["dpid"])
@@ -196,6 +212,12 @@ def upsert_telemetry(
     ]  # bounded-collect: one row per touched (day, switch) leaf — the update batch's partition set, not table data
     if not touched:
         return 0
+    if not os.path.exists(path):
+        # MERGE into an empty target is pure insert — first write creates
+        # the lake instead of crashing on a missing base path
+        n = ups.count()
+        write_telemetry(updates, path, ts_col=ts_col)
+        return n
     existing = spark.read.parquet(path).where(
         F.struct("event_date", "dpid").isin(
             [F.struct(F.lit(d).cast("date"), F.lit(s)) for d, s in touched]

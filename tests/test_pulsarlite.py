@@ -356,3 +356,28 @@ def test_ep2_skips_malformed_messages(spark, broker, tmp_path):
     ledger = spark.read.parquet(str(tmp_path / "ledger"))
     keys = {r["__key"] for r in ledger.select("__key").collect()}
     assert len(keys) == 1 and any("10.0.0.2" in k for k in keys)
+
+
+def test_literal_topic_option_is_not_a_regex(tmp_path):
+    """The `topic` option is the connector's LITERAL-name option: a name
+    containing regex metachars ('.', '+') must match exactly and never
+    over-match lookalike topics ('.' as any-char); `topicsPattern` stays a
+    real regex."""
+    from dipa_collaborative_pulsar_idps_spark.sources.pulsarlite import (
+        PulsarLiteStreamReader,
+        seed_topic,
+    )
+
+    root = str(tmp_path / "broker")
+    literal = "persistent://t/ns.prod/update+1"
+    lookalike = "persistent://t/nsXprod/update1"
+    seed_topic(root, literal, ["a"])
+    seed_topic(root, lookalike, ["b"])
+
+    r = PulsarLiteStreamReader({"service.url": root, "topic": literal})
+    assert r._topics() == [literal]
+
+    rx = PulsarLiteStreamReader(
+        {"service.url": root, "topicspattern": "persistent://t/ns.prod/.*"}
+    )
+    assert set(rx._topics()) == {literal, lookalike}  # regex semantics intact

@@ -293,7 +293,9 @@ def test_curated_corpus_layout_prunes(spark, tmp_path):
             enumerate(("en", "de", "zh")) for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     path = str(tmp_path / "corpus")
-    write_corpus(df, path, target_file_rows=10)
+    # n_tasks=1: this test pins the single-run layout/pruning contract;
+    # task spreading has its own test below
+    write_corpus(df, path, target_file_rows=10, n_tasks=1)
 
     one_lang = read_corpus(spark, path, lang="de")
     assert one_lang.count() == 50
@@ -423,3 +425,53 @@ def test_upsert_rewrites_only_touched_leaves(spark, tmp_path):
     # untouched leaves: identical file sets with identical mtimes
     assert leaf_files("2024-01-02", 1) == before_d2
     assert leaf_files("2024-01-01", 2) == before_s2
+
+
+def test_upsert_into_empty_lake_is_insert(spark, tmp_path):
+    """MERGE into a not-yet-created target is a pure insert — the first
+    upsert creates the lake instead of crashing on the missing path."""
+    import datetime as dt
+
+    from dipa_collaborative_pulsar_idps_spark.storage import upsert_telemetry
+
+    path = str(tmp_path / "fresh_lake")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    updates = spark.createDataFrame(
+        [(t0, 1, "f1", 7)],
+        "poll_ts timestamp, dpid int, flow_key string, packet_count long",
+    )
+    assert upsert_telemetry(spark, path, updates) == 1
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0].packet_count == 7
+
+
+def test_write_corpus_spreads_one_lang_across_range_tasks(spark, tmp_path):
+    """The doc_id-range secondary write key: a single-language corpus must
+    land as multiple per-range sorted files (not one task owning the whole
+    language), and each file must cover a contiguous doc_id run so range
+    pruning still works."""
+    from dipa_collaborative_pulsar_idps_spark.storage import read_corpus, write_corpus
+
+    rows = [(i, "en", f"text {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    path = str(tmp_path / "corpus")
+    write_corpus(df, path, n_tasks=4)  # 4 range tasks over one language
+
+    files = {
+        r[0]
+        for r in read_corpus(spark, path, lang="en")
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert len(files) == 4, files
+    # contiguity: each file's ids form one unbroken run
+    per_file = (
+        read_corpus(spark, path, lang="en")
+        .select(F.input_file_name().alias("f"), "doc_id")
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_file:
+        assert r.hi - r.lo + 1 == r.n, (r.lo, r.hi, r.n)
