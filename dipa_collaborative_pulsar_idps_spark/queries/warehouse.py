@@ -197,22 +197,32 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation (doubles through DECIMAL(18,2), timestamps through
     DATE; aggregate-then-cast, because min over a string cast would be
     lexicographic — '9999' > '60000' — and raw double/timestamp
-    stringification is engine-dependent). One pass over the table: all 6×4 aggregates fold
-    into a single 1-row aggregation, exploded to one row per column (the
-    oracle's UNION ALL is the semantic spec; Spark computes it without
-    re-scanning per column). At 100 TB the exact distinct counts are the
-    dial to swap for approx_count_distinct (`approx_distinct_users`
-    pattern) — exactness here keeps the oracle bit-checkable."""
+    stringification is engine-dependent), exploded to one row per column
+    (the oracle's UNION ALL is the semantic spec; Spark computes it
+    without re-scanning per column).
+
+    Physical-plan note: the distinct counts and the min/max/null counts
+    are computed in SEPARATE 1-row aggregations cross-joined at the end.
+    Folding them into one `agg` makes Catalyst's multi-distinct Expand
+    rewrite carry the string-buffered MIN/MAX aggregates, and a
+    string-typed aggregation buffer disqualifies HashAggregate — the
+    whole 6×-expanded row set falls back to SortAggregate on 7 keys
+    (measured 3.3 s vs 0.7 s at sf0.1). Split, the Expand branch is
+    all-HashAggregate (count buffers only; string GROUPING keys are
+    fine) and the min/max branch is a trivial keyless partial+final
+    pass. At 100 TB the exact distinct counts are the dial to swap for
+    approx_count_distinct (`approx_distinct_users` pattern) — exactness
+    here keeps the oracle bit-checkable."""
     t = Tables(spark, sf_dir)
-    aggs = []
+    mm_aggs, nd_aggs = [], []
     for c, sk, _ in _PROFILE_COLS:
-        aggs += [
+        mm_aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__nd"),
             F.expr(sk.format(v=f"MIN({c})")).alias(f"{c}__min"),
             F.expr(sk.format(v=f"MAX({c})")).alias(f"{c}__max"),
         ]
-    one = t.orders.agg(*aggs)
+        nd_aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    one = t.orders.agg(*mm_aggs).crossJoin(t.orders.agg(*nd_aggs))
     rows = F.array(
         *[
             F.struct(
