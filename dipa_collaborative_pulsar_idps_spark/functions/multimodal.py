@@ -9,9 +9,11 @@ First-class, not plumbing-only:
 - REAL nearest-neighbor resize + PPM re-encode.
 - REAL features: channel means/stds + luminance histogram (images),
   RMS/zero-crossing-rate + amplitude histogram (audio).
-- Video frame DECODE is the one stub left (no container parser here):
-  ``frame_sample`` emits real sample timestamps from metadata; decoding
-  those frames raises NotImplementedError until a real pyav lands.
+- REAL video decode for PPM streams (concatenated P6 frames — the
+  container-free format ffmpeg's ``-f image2pipe -vcodec ppm`` emits):
+  streaming per-frame luminance/motion features and true frame
+  extraction (``extract_frames``). Opaque containers (mp4/mkv) still
+  route through the clearly-marked stub until a demuxer (pyav) lands.
 
 All batch transforms are Arrow-batched ``mapInPandas`` over the canonical
 MEDIA_SCHEMA; binary payloads dominate task memory, so repartition upstream
@@ -67,9 +69,13 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
 
 
-def _decode_ppm(payload: bytes) -> np.ndarray:
+def _decode_ppm_at(payload: bytes, i: int) -> tuple[np.ndarray, int]:
+    """Decode one P6 frame starting at byte ``i``; returns (image, next
+    offset) so concatenated frames (PPM streams) can be walked."""
+    if payload[i : i + 2] != b"P6":
+        raise NotImplementedError(f"not a P6 frame at offset {i}")
     # header: magic, width, height, maxval — whitespace separated, '#' comments
-    tokens, i = [], 2  # skip "P6"
+    tokens, i = [], i + 2  # skip "P6"
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
@@ -85,7 +91,28 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = tokens
     if maxval != 255:
         raise NotImplementedError("PPM maxval != 255")
-    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    return img, i + w * h * 3
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    return _decode_ppm_at(payload, 0)[0]
+
+
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Frames → concatenated P6 stream: the container-free video format
+    ffmpeg's ``-f image2pipe -vcodec ppm`` emits. Each frame carries its
+    own header, so the stream is self-delimiting and seekable forward."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Concatenated-P6 video bytes → list of (H, W, 3) uint8 frames."""
+    frames, i = [], 0
+    while i < len(payload):
+        img, i = _decode_ppm_at(payload, i)
+        frames.append(img)
+    return frames
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
@@ -196,11 +223,54 @@ def audio_features(payload: bytes) -> np.ndarray:
 
 
 def _video_features_stub(payload: bytes) -> np.ndarray:
-    """STUB — video container decode needs pyav/ffmpeg (absent here). A
-    deterministic payload-derived vector keeps the pipeline total; swap for
-    real frame statistics when a decoder lands."""
+    """STUB for OPAQUE video containers (mp4/mkv…): container demux needs
+    pyav/ffmpeg (absent here). A deterministic payload-derived vector keeps
+    the pipeline total; swap for real frame statistics when a demuxer
+    lands. PPM-stream videos never reach this — see video_features."""
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
     return np.random.default_rng(seed).random(_FEATURE_DIM, dtype=np.float64)
+
+
+def video_features(payload: bytes) -> np.ndarray:
+    """16-dim REAL video signature for PPM-stream payloads:
+    [n_frames, w, h, mean luminance, luminance std, motion (mean |Δ|
+    between consecutive frames), 10-bin luminance histogram (density)].
+    Luminance stats stream frame-by-frame (one decoded frame + its
+    predecessor in memory — bounded regardless of clip length). Opaque
+    containers fall back to the marked stub."""
+    if payload[:2] != b"P6":
+        return _video_features_stub(payload)
+    lum_w = np.array([0.299, 0.587, 0.114])
+    n = s = s2 = 0.0
+    hist = np.zeros(10)
+    motion_sum, motion_n = 0.0, 0
+    prev = None
+    n_frames, w, h = 0, 0, 0
+    i = 0
+    while i < len(payload):
+        img, i = _decode_ppm_at(payload, i)
+        n_frames += 1
+        h, w = img.shape[:2]
+        lum = img.reshape(-1, 3).astype(np.float64) @ lum_w
+        n += len(lum)
+        s += float(lum.sum())
+        s2 += float((lum * lum).sum())
+        hist += np.histogram(lum, bins=10, range=(0.0, 256.0))[0]
+        if prev is not None and prev.shape == img.shape:
+            motion_sum += float(
+                np.abs(img.astype(np.int16) - prev.astype(np.int16)).mean()
+            )
+            motion_n += 1
+        prev = img
+    mean = s / n if n else 0.0
+    var = max(s2 / n - mean * mean, 0.0) if n else 0.0
+    motion = motion_sum / motion_n if motion_n else 0.0
+    return np.concatenate(
+        [
+            [float(n_frames), float(w), float(h), mean, var**0.5, motion],
+            hist / max(n, 1.0),
+        ]
+    )
 
 
 def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
@@ -212,7 +282,7 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     upstream so each task holds O(batch_hint) blobs — binary columns
     dominate memory, not row count."""
     out_schema = "media_id string, media_type string, feature array<double>, n_bytes int"
-    kernels = {"image": image_features, "audio": audio_features, "video": _video_features_stub}
+    kernels = {"image": image_features, "audio": audio_features, "video": video_features}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -248,7 +318,7 @@ def media_feature_pipeline(media: DataFrame, width: int, height: int) -> DataFra
         return image_features(resized), len(resized)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        plain = {"audio": audio_features, "video": _video_features_stub}
+        plain = {"audio": audio_features, "video": video_features}
         for pdf in batches:
             feats, sizes = [], []
             for p, t in zip(pdf["payload"], pdf["media_type"]):
@@ -293,10 +363,66 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(fn, out_schema)
 
 
+def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction: every ``every_n``-th frame of each
+    PPM-stream video becomes an image row (single-frame PPM payload), so
+    downstream image ops (resize/feature) apply unchanged — the classic
+    frame-sampling stage of a multimodal training pipeline.
+
+    Output: (media_id, frame_index int, frame_ts_ms int, payload, width,
+    height); frame_ts_ms assumes uniform frame spacing over duration_ms.
+    The stream is walked header-by-header WITHOUT materializing all
+    frames (one frame in memory at a time); opaque containers are
+    skipped (demux needs pyav — the honest gate, not a fake frame).
+    Partitioning: payloads dominate task memory — repartition upstream
+    to O(batch) videos per task like every op here."""
+    out_schema = (
+        "media_id string, frame_index int, frame_ts_ms int, "
+        "payload binary, width int, height int"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                p = bytes(p)
+                if p[:2] != b"P6":
+                    continue  # opaque container: no demuxer in this build
+                # count frames first (header walk is cheap vs pixel copy)
+                n_frames, i = 0, 0
+                while i < len(p):
+                    _, i = _decode_ppm_at(p, i)
+                    n_frames += 1
+                step_ms = (dur or 0) / max(n_frames, 1)
+                idx, i = 0, 0
+                while i < len(p):
+                    img, i = _decode_ppm_at(p, i)
+                    if idx % every_n == 0:
+                        rows.append(
+                            (
+                                mid,
+                                idx,
+                                int(idx * step_ms),
+                                encode_ppm(img),
+                                img.shape[1],
+                                img.shape[0],
+                            )
+                        )
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "frame_ts_ms", "payload", "width", "height",
+                ],
+            )
+
+    return media.where(F.col("media_type") == "video").mapInPandas(fn, out_schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame timestamp —
-    pure-JVM (explode over a sequence from metadata). Decoding the sampled
-    frame itself needs a video codec (see _video_features_stub)."""
+    """Video frame-timestamp sampling: one output row per sampled frame
+    timestamp — pure-JVM (explode over a sequence from metadata), no
+    decode. For the decoded frames themselves use ``extract_frames``."""
     return media.where(F.col("media_type") == "video").select(
         "media_id",
         F.explode(
@@ -334,7 +460,10 @@ def media_stats(media: DataFrame) -> DataFrame:
 def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) -> DataFrame:
     """n_items rows cycling image/audio/video. Images are 32×24 PPM
     gradients parameterized by id; audio is a 440+id Hz, 0.25 s PCM16 sine;
-    video payloads are opaque bytes with real duration metadata."""
+    videos are REAL 4-frame 16×12 PPM streams (a gradient translating one
+    pixel per frame, so motion features are non-trivial) with duration
+    metadata; every 5th video is an opaque blob to keep the
+    container-gate path exercised."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -353,9 +482,25 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                     t = np.arange(0, 4000) / 16000.0
                     wave = (np.sin(2 * np.pi * (440 + i) * t) * 12000).astype(np.int16)
                     rows.append((f"m{i}", kind, encode_wav_pcm16(wave, 16000), None, None, 250))
-                else:
+                elif (i // 3) % 5 == 4:  # opaque container row (gate path)
                     blob = (i.to_bytes(8, "little") * 16)[:100]
                     rows.append((f"m{i}", kind, blob, 320, 240, 1000 + i))
+                else:
+                    y, x = np.mgrid[0:12, 0:16]
+                    frames = [
+                        np.stack(
+                            [
+                                (x * 16 + f + i) % 256,
+                                (y * 20 + 2 * i) % 256,
+                                np.full_like(x, (i + 4 * f) % 256),
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        for f in range(4)
+                    ]
+                    rows.append(
+                        (f"m{i}", kind, encode_ppm_stream(frames), 16, 12, 1000 + i)
+                    )
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"]
             )

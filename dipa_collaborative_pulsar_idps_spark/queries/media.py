@@ -29,7 +29,8 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline: resize images to 16×16 (real decode +
     nearest resample + re-encode), extract per-modality features (real
-    channel stats / audio RMS; video stubbed), aggregate per media_type.
+    channel stats / audio RMS / PPM-stream video luminance+motion; opaque
+    containers through the marked stub), aggregate per media_type.
     Uses the FUSED decode→resize→feature operator (one Arrow pass; the
     composed resize_images∘extract_features form is proven equivalent in
     tests/test_operators.py). avg_feat0 doubles as an embedded correctness
@@ -40,4 +41,35 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feat0"),
         F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )
+
+
+@query("video_frame_stats", survey="ext-multimodal,K1")
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame pipeline: demux-free PPM-stream videos →
+    every-2nd-frame extraction (`extract_frames`, one frame in memory at
+    a time) → per-frame image features over the extracted frames → one
+    summary row per video. frames_sampled is exactly ⌈4/2⌉ = 2 for every
+    stream video (a built-in correctness probe); opaque-container videos
+    are absent by design (no demuxer — the honest gate). Rows-only (binary
+    codecs aren't SQL-expressible); codec kernels golden-tested in
+    tests/test_operators.py."""
+    from ..functions.multimodal import extract_features, extract_frames
+
+    frames = extract_frames(_corpus(spark, sf_dir), every_n=2)
+    as_media = frames.select(
+        F.concat_ws("#", "media_id", "frame_index").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        "payload",
+        "width",
+        "height",
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    # video_id rides inside the composite media_id — no join needed
+    feats = extract_features(as_media).withColumn(
+        "video_id", F.split("media_id", "#").getItem(0)
+    )
+    return feats.groupBy("video_id").agg(
+        F.count("*").alias("frames_sampled"),
+        F.round(F.avg(F.element_at("feature", 3)), 4).alias("avg_mean_r"),
     )

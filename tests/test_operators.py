@@ -311,3 +311,65 @@ def test_spacesaving_heavy_hitters_exact_under_eviction(spark):
     ]
     assert got == exact
     assert all(n == 500 for _, n in got), got
+
+
+def test_video_ppm_stream_codec_and_features(spark):
+    """Real video path: PPM-stream round-trip, golden luminance/motion
+    features, and extract_frames producing decodable image rows."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        decode_ppm_stream,
+        encode_ppm_stream,
+        extract_frames,
+        video_features,
+    )
+
+    # 3 frames of 2x2: constant 0, constant 10, constant 30 (all channels)
+    frames = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (0, 10, 30)]
+    stream = encode_ppm_stream(frames)
+    back = decode_ppm_stream(stream)
+    assert len(back) == 3 and all(np.array_equal(a, b) for a, b in zip(frames, back))
+
+    f = video_features(stream)
+    assert len(f) == 16
+    assert f[0] == 3.0 and f[1] == 2.0 and f[2] == 2.0  # n_frames, w, h
+    # luminance of constant-v RGB is v (weights sum to 1): mean of {0,10,30}
+    assert abs(f[3] - np.mean([0, 10, 30])) < 1e-9
+    assert abs(f[4] - np.std([0, 10, 30])) < 1e-9
+    # motion: mean |delta| over consecutive pairs = mean(10, 20) = 15
+    assert abs(f[5] - 15.0) < 1e-9
+    # histogram: all three frames land in bin 0 (lum < 25.6) except v=30 in bin 1
+    assert abs(f[6] - 2 / 3) < 1e-9 and abs(f[7] - 1 / 3) < 1e-9
+
+    # opaque container still routes through the deterministic stub
+    stub = video_features(b"\x00\x01\x02" * 40)
+    assert len(stub) == 16 and list(stub) == list(video_features(b"\x00\x01\x02" * 40))
+
+    rows = [
+        ("v1", "video", bytearray(stream), 2, 2, 3000),
+        ("v2", "video", bytearray(b"\x04" * 64), 320, 240, 1000),  # opaque: skipped
+        ("i1", "image", bytearray(b"P6\n1 1\n255\n\x00\x00\x00"), 1, 1, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_frames(media, every_n=2).collect()
+    # v1: frames 0 and 2 sampled; v2 opaque skipped; i1 not video
+    assert [(r.media_id, r.frame_index, r.frame_ts_ms) for r in out] == [
+        ("v1", 0, 0),
+        ("v1", 2, 2000),
+    ]
+    for r, want in zip(out, (frames[0], frames[2])):
+        assert np.array_equal(decode_image(bytes(r.payload)), want)
+        assert (r.width, r.height) == (2, 2)
+
+
+def test_video_frame_stats_query(spark):
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+
+    _load_all()
+    rows = REGISTRY["video_frame_stats"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "stream videos must yield frame stats"
+    assert all(r.frames_sampled == 2 for r in rows)  # ceil(4/2) per stream video
