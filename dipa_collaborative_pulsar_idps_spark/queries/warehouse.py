@@ -238,3 +238,57 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(rows).alias("p")).select(
         "p.column_name", "p.n_nulls", "p.n_distinct", "p.min_repr", "p.max_repr"
     )
+
+
+@query(
+    "incremental_priority_revenue",
+    survey="ext-warehouse,D1",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+       MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(o_totalprice) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def incremental_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh certified against full recompute: the
+    orders table is split at 1997-07-01 into a 'stored' base slice and a
+    'newly arrived' delta slice; each side is reduced to its mergeable
+    partial summary (`operators/incremental.py`) and the MERGE of the two
+    must equal the oracle's single-pass aggregate over everything — the
+    invariant that lets a 100 TB warehouse absorb a new partition by
+    rescanning only the partials (summary-sized shuffle), never the base
+    table. Prices go through DECIMAL(18,2) so partial sums merge
+    bit-exactly (float addition is order-dependent; decimal isn't); the
+    derived avg divides the exact decimal sum as a double."""
+    from ..operators.incremental import (
+        finalize_summary,
+        merge_summaries,
+        partial_summary,
+    )
+
+    orders = Tables(spark, sf_dir).orders.select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    split = F.lit("1997-07-01").cast("timestamp_ntz")
+    base = partial_summary(
+        orders.where(F.col("o_orderdate") < split), ["o_orderpriority"], "price"
+    )
+    delta = partial_summary(
+        orders.where(F.col("o_orderdate") >= split), ["o_orderpriority"], "price"
+    )
+    return finalize_summary(merge_summaries(base, delta)).select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_orders"),
+        F.col("m_sum").alias("total_price"),
+        F.col("m_min").alias("min_price"),
+        F.col("m_max").alias("max_price"),
+        F.col("m_avg").alias("avg_price"),
+    )

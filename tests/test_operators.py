@@ -373,3 +373,51 @@ def test_video_frame_stats_query(spark):
     rows = REGISTRY["video_frame_stats"].fn(spark, "/root/testdata/sf0.001").collect()
     assert rows, "stream videos must yield frame stats"
     assert all(r.frames_sampled == 2 for r in rows)  # ceil(4/2) per stream video
+
+
+def test_incremental_summary_merge_equals_direct(spark):
+    """merge(partials over any disjoint split) == single-pass aggregate,
+    and HLL distinct sketches union to the full-data sketch estimate."""
+    from decimal import Decimal
+
+    from dipa_collaborative_pulsar_idps_spark.operators.incremental import (
+        finalize_summary,
+        merge_distinct_sketches,
+        merge_summaries,
+        partial_distinct_sketch,
+        partial_summary,
+    )
+
+    rows = [
+        (f"k{i % 3}", Decimal(f"{(i * 37) % 500}.{i % 100:02d}"), f"u{i % 17}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, price decimal(18,2), user string")
+    direct = {
+        r.k: r
+        for r in finalize_summary(partial_summary(df, ["k"], "price")).collect()
+    }
+    # three-way uneven split (by modulus of a hash-ish expression)
+    parts = [
+        partial_summary(df.where(F.crc32("user") % 3 == i), ["k"], "price")
+        for i in range(3)
+    ]
+    merged = {r.k: r for r in finalize_summary(merge_summaries(*parts)).collect()}
+    assert set(merged) == set(direct)
+    for k in direct:
+        for c in ("n_rows", "n_notnull", "m_sum", "m_min", "m_max", "m_avg"):
+            assert merged[k][c] == direct[k][c], (k, c)
+
+    full = {
+        r.k: r.estimate
+        for r in merge_distinct_sketches(
+            partial_distinct_sketch(df, ["k"], "user")
+        ).collect()
+    }
+    sk_parts = [
+        partial_distinct_sketch(df.where(F.crc32("user") % 3 == i), ["k"], "user")
+        for i in range(3)
+    ]
+    merged_sk = {r.k: r.estimate for r in merge_distinct_sketches(*sk_parts).collect()}
+    assert merged_sk == full  # sketch union is lossless vs single-pass sketch
+    assert all(est == 17 for est in full.values())  # HLL exact at tiny cardinality
