@@ -161,3 +161,72 @@ def console_report(df: DataFrame, title: str, n: int = 20) -> None:
     """A9: formatted console report sink (TestCase_5/timeStamp.py:282-323)."""
     print(f"==== {title} ====")
     df.show(n, truncate=False)
+
+
+class SummarySink:
+    """Streaming materialized-view maintenance: a foreachBatch sink that
+    folds each micro-batch into a persisted mergeable summary
+    (`operators/incremental.py`) — the streaming twin of the
+    `incremental_priority_revenue` refresh query.
+
+    Exactly-once via VERSIONED snapshots: batch N merges its partial into
+    the newest snapshot with version < N and overwrites ``v=N``. A
+    replayed batch (at-least-once delivery) recomputes from the SAME
+    predecessor — double-merging is structurally impossible, no ledger
+    needed. Snapshots are summary-sized (one row per group), so the merge
+    shuffle never touches stream history; versions older than ``retain``
+    snapshots are pruned to bound storage.
+
+    100 TB shape: per-batch work = O(batch) partial aggregation +
+    O(summary) merge — the base "table" (all history) is never rescanned,
+    which is the entire point of mergeable summaries.
+    """
+
+    def __init__(
+        self,
+        summary_path: str,
+        keys: list[str],
+        measure: str,
+        retain: int = 3,
+    ) -> None:
+        self.summary_path = summary_path
+        self.keys = keys
+        self.measure = measure
+        self.retain = retain
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.summary_path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.summary_path)
+            if d.startswith("v=")
+        )
+
+    def _snapshot(self, spark, version: int) -> DataFrame:
+        return spark.read.parquet(f"{self.summary_path}/v={version}")
+
+    def current(self, spark) -> DataFrame:
+        """Latest finalized summary (empty-schema None if nothing yet)."""
+        from ..operators.incremental import finalize_summary
+
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no summary snapshots under {self.summary_path}")
+        return finalize_summary(self._snapshot(spark, vs[-1]))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.incremental import merge_summaries, partial_summary
+
+        spark = batch_df.sparkSession
+        part = partial_summary(batch_df, self.keys, self.measure)
+        # replay safety: ONLY versions strictly below this batch id are
+        # eligible predecessors — a redelivered batch folds into the same
+        # base it used the first time.
+        prior = [v for v in self._versions() if v < batch_id]
+        merged = merge_summaries(self._snapshot(spark, prior[-1]), part) if prior else part
+        merged.write.mode("overwrite").parquet(f"{self.summary_path}/v={batch_id}")
+        for v in prior[: -self.retain] if len(prior) > self.retain else []:
+            import shutil
+
+            shutil.rmtree(f"{self.summary_path}/v={v}", ignore_errors=True)

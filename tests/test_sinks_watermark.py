@@ -256,3 +256,73 @@ def test_file_message_sources_roundtrip(spark, tmp_path):
     got = {(r.src, r.dst_port, r.rate) for r in spark.table("file_updates").collect()}
     q2.stop()
     assert got == {("10.0.0.7", 23, 120), ("10.0.0.8", 2323, 4)}
+
+
+def test_summary_sink_streaming_mv(spark, tmpdirs):
+    """Streaming materialized view: batches fold into a versioned summary;
+    final state == direct aggregate over all rows; replayed batches are
+    structurally idempotent (same predecessor snapshot)."""
+    from decimal import Decimal
+
+    from dipa_collaborative_pulsar_idps_spark.operators.incremental import (
+        finalize_summary,
+        partial_summary,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.sinks import SummarySink
+
+    d, _, _ = tmpdirs
+    sink = SummarySink(f"{d}/summary", keys=["k"], measure="price", retain=2)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k string, price decimal(18,2)")
+
+    batches = [
+        mk([("a", Decimal("1.00")), ("b", Decimal("2.50"))]),
+        mk([("a", Decimal("3.25"))]),
+        mk([("b", Decimal("0.25")), ("c", Decimal("9.00")), ("a", Decimal("1.00"))]),
+    ]
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    allrows = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    direct = {
+        r.k: r for r in finalize_summary(partial_summary(allrows, ["k"], "price")).collect()
+    }
+    got = {r.k: r for r in sink.current(spark).collect()}
+    assert set(got) == {"a", "b", "c"}
+    for k in direct:
+        for c in ("n_rows", "m_sum", "m_min", "m_max", "m_avg"):
+            assert got[k][c] == direct[k][c], (k, c)
+
+    # at-least-once replay of the LAST batch: recomputes from the same
+    # predecessor (v=1), so the summary is unchanged — no double count
+    sink(batches[2], 2)
+    again = {r.k: r for r in sink.current(spark).collect()}
+    assert {k: r.m_sum for k, r in again.items()} == {
+        k: r.m_sum for k, r in got.items()
+    }
+
+    # drive it through a REAL stream (rate-limited replay, AvailableNow)
+    import pyspark.sql.functions as SF
+
+    src_dir = f"{d}/stream_src"
+    allrows.withColumn("price", SF.col("price").cast("string")).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src_dir)
+    stream = (
+        spark.readStream.schema("k string, price string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+        .withColumn("price", SF.col("price").cast("decimal(18,2)"))
+    )
+    sink2 = SummarySink(f"{d}/summary2", keys=["k"], measure="price")
+    q = (
+        stream.writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", f"{d}/ckpt2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got2 = {r.k: r for r in sink2.current(spark).collect()}
+    for k in direct:
+        assert got2[k].m_sum == direct[k].m_sum, k
