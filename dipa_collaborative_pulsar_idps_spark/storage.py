@@ -241,3 +241,79 @@ def upsert_telemetry(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-dimensional file skipping. A linear sort
+# gives perfect min/max pruning on its FIRST column and none on the rest;
+# bit-interleaving k scaled dimensions into one sort key gives every file a
+# tight bounding BOX over all k columns, so selective predicates on ANY of
+# them skip most files — the Delta/Iceberg OPTIMIZE ZORDER technique,
+# expressed as plain Catalyst bit arithmetic (whole-stage codegen, no UDF).
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(cols: list, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of k ALREADY-SCALED non-negative
+    int columns into one Morton code (bit j of column c lands at position
+    j*k + c). k*bits must fit a signed long. Callers scale real values
+    into [0, 2^bits) first — `zorder_scale` does min/max scaling."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed long")
+    z = F.lit(0).cast("long")
+    for c_i, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(col.cast("long"), j).bitwiseAND(F.lit(1)), j * k + c_i)
+            )
+    return z
+
+
+def zorder_scale(col, lo, hi, bits: int = 16) -> Column:
+    """Min/max-scale a numeric column into [0, 2^bits): the per-column
+    quantization step before interleaving. lo/hi come from one cheap
+    global agg (or table stats) — exact bounds are not required, only
+    monotonicity, so stale stats merely loosen the boxes."""
+    col = F.col(col) if isinstance(col, str) else col
+    span = max(float(hi) - float(lo), 1e-300)
+    scaled = ((col.cast("double") - float(lo)) / span) * ((1 << bits) - 1)
+    return F.least(
+        F.greatest(F.round(scaled).cast("long"), F.lit(0)),
+        F.lit((1 << bits) - 1),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` files clustered by the Morton code of
+    ``cols``: one stats agg for the scale bounds, range-partition on the
+    code (contiguous curve runs per file → tight per-file boxes), sort
+    within partitions so row groups inherit the clustering too.
+
+    Scale: the stats agg is one partial+final pass; the layout itself is
+    exactly one range shuffle — the same cost as any sorted write. Reading
+    back needs NO engine support beyond ordinary parquet min/max row-group
+    and file pruning on the original columns."""
+    bounds = df.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi"))]
+    ).first()
+    scaled = [
+        zorder_scale(c, bounds[f"{c}__lo"], bounds[f"{c}__hi"], bits).alias(f"__z_{c}")
+        for c in cols
+    ]
+    keyed = df.select("*", zorder_key([s for s in scaled], bits).alias("__zkey"))
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

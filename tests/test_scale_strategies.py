@@ -475,3 +475,79 @@ def test_write_corpus_spreads_one_lang_across_range_tasks(spark, tmp_path):
     )
     for r in per_file:
         assert r.hi - r.lo + 1 == r.n, (r.lo, r.hi, r.n)
+
+
+def test_zorder_key_golden():
+    """Morton interleave golden: known bit patterns land at known positions."""
+    from pyspark.sql import SparkSession
+
+    from dipa_collaborative_pulsar_idps_spark.storage import zorder_key
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long").select(
+        zorder_key(["x", "y"], bits=3).alias("z")
+    )
+    # x bits (c=0) at 0,2,4; y bits (c=1) at 1,3,5:
+    # x=101 -> z bits 4,0 set; y=011 -> z bits 3,1 set => 0b011011 = 27
+    assert df.first().z == 0b011011 == 27
+
+
+def test_zorder_layout_prunes_on_every_dimension(spark, tmp_path):
+    """Per-file parquet min/max boxes: a linear sort prunes only its lead
+    column; the Morton layout gives tight boxes on BOTH columns, so a
+    selective predicate on the non-lead column skips most files."""
+    import pyarrow.parquet as pq
+
+    from dipa_collaborative_pulsar_idps_spark.storage import write_zordered
+
+    n, files = 64_000, 16
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000))).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000))).alias("y"),
+    )
+    lin, zor = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(lin)
+    write_zordered(df, zor, ["x", "y"], n_files=files)
+
+    def boxes(path):
+        out = []
+        for f in (tmp_path / path).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {c: None for c in ("x", "y")}
+            hi = {c: None for c in ("x", "y")}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            out.append((lo, hi))
+        return out
+
+    def hit(path, col, a, b):
+        return sum(
+            1 for lo, hi in boxes(path) if not (hi[col] < a or lo[col] > b)
+        )
+
+    # y-band query (10% of the domain): linear-by-x layout cannot skip —
+    # every file spans ~the full y range; z-order skips most files.
+    lin_hits = hit("linear", "y", 100, 199)
+    z_hits = hit("zorder", "y", 100, 199)
+    assert lin_hits == files
+    assert z_hits <= files // 2, f"z-order should skip, hit {z_hits}/{files}"
+    # and the lead dimension still prunes under z-order
+    assert hit("zorder", "x", 100, 199) <= files // 2
+    # layout preserves content exactly
+    assert (
+        spark.read.parquet(zor).select(F.sum("x"), F.sum("y"), F.count("*")).first()
+        == df.select(F.sum("x"), F.sum("y"), F.count("*")).first()
+    )
+    # engine-level: the same band predicate reads fewer rows from the
+    # z-ordered files (row-group pruning visible as scan output rows)
+    z_cnt = spark.read.parquet(zor).where(F.col("y").between(100, 199)).count()
+    l_cnt = spark.read.parquet(lin).where(F.col("y").between(100, 199)).count()
+    assert z_cnt == l_cnt  # same answer, different I/O
