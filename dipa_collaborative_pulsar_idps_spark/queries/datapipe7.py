@@ -172,3 +172,86 @@ def embedding_pca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recon_norm"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+_NEG_K = 4
+
+
+@query(
+    "contrastive_negative_pairs",
+    survey="ext-sim,J14",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n_corpus FROM embeddings),
+slots AS (SELECT UNNEST(RANGE({_NEG_K})) AS slot),
+raw AS (
+    SELECT e.vec_id AS anchor_id, s.slot,
+           CAST(('0x' || substr(md5(e.vec_id || ':' || s.slot), 1, 15)) AS BIGINT)
+               % n.n_corpus AS cand
+    FROM embeddings e CROSS JOIN slots s CROSS JOIN n
+),
+pairs AS (
+    SELECT anchor_id, slot,
+           CASE WHEN cand = anchor_id
+                THEN (cand + 1) % (SELECT n_corpus FROM n)
+                ELSE cand END AS neg_id
+    FROM raw
+)
+SELECT p.anchor_id, CAST(p.slot AS BIGINT) AS slot, p.neg_id,
+       a.label = b.label AS same_label
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.anchor_id
+JOIN embeddings b ON b.vec_id = p.neg_id
+""",
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws K pseudo-random negatives via an engine-portable hash
+    (md5 of 'anchor:slot' → 60-bit int → mod corpus size; +1 shift on
+    self-collision), exploiting the corpus's dense 0..N-1 vec_id space —
+    reproducible across engines and runs, no RNG state (the J14 'random
+    generation' row done the seeded-fixture way). same_label marks
+    false negatives for loss masking downstream.
+
+    100 TB shape: the draw is a map-only explode (K rows per anchor, no
+    shuffle); the two label lookups are joins on vec_id — broadcast-able
+    while the label dim fits, shuffle joins co-partitioned on vec_id past
+    that. Nothing depends on a global order or a driver-side RNG."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "label")
+    n_corpus = emb.count()
+    raw = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("slot"),
+    ).withColumn(
+        "cand",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", "anchor_id", "slot")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_corpus),
+        ),
+    )
+    pairs = raw.select(
+        "anchor_id",
+        F.col("slot").cast("long").alias("slot"),
+        F.when(
+            F.col("cand") == F.col("anchor_id"),
+            (F.col("cand") + 1) % n_corpus,
+        )
+        .otherwise(F.col("cand"))
+        .alias("neg_id"),
+    )
+    a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label"))
+    b = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("b_label"))
+    return (
+        pairs.join(F.broadcast(a), "anchor_id")
+        .join(F.broadcast(b), "neg_id")
+        .select(
+            "anchor_id",
+            "slot",
+            "neg_id",
+            (F.col("a_label") == F.col("b_label")).alias("same_label"),
+        )
+    )

@@ -292,3 +292,43 @@ def incremental_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_max").alias("max_price"),
         F.col("m_avg").alias("avg_price"),
     )
+
+
+@query(
+    "key_skew_report",
+    survey="ext-warehouse,D4",
+    oracle="""
+WITH f AS (SELECT user_id, COUNT(*) AS freq FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(freq) AS BIGINT) AS n_rows,
+       CAST(MAX(freq) AS BIGINT) AS max_freq,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY freq), 4) AS p50_freq,
+       ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY freq), 4) AS p99_freq,
+       ROUND(AVG(freq), 4) AS avg_freq,
+       ROUND(MAX(freq) * COUNT(*) / CAST(SUM(freq) AS DOUBLE), 4) AS skew_ratio
+FROM f
+""",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the frequency distribution of a prospective
+    shuffle key (events.user_id) reduced to the numbers that decide a join
+    strategy — max/p99/median frequency and skew_ratio (hottest key vs
+    mean; >> 1 says salt it / let AQE split it). Costs exactly the shuffle
+    the join itself would pay (groupBy key) plus a key-count-sized reduce,
+    so it's the cheap scouting pass before committing a 100 TB join plan.
+    The exact percentile over per-key frequencies is a single reduce over
+    n_keys rows — fine up to ~1e8 keys; past that swap in the mergeable
+    percentile_approx sketch (`approx_price_percentiles` pattern)."""
+    t = Tables(spark, sf_dir)
+    freqs = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq"))
+    return freqs.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("freq").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+        F.round(F.percentile("freq", F.lit(0.5)), 4).alias("p50_freq"),
+        F.round(F.percentile("freq", F.lit(0.99)), 4).alias("p99_freq"),
+        F.round(F.avg("freq"), 4).alias("avg_freq"),
+        F.round(
+            F.max("freq") * F.count(F.lit(1)) / F.sum("freq").cast("double"), 4
+        ).alias("skew_ratio"),
+    )
