@@ -255,3 +255,89 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a_label") == F.col("b_label")).alias("same_label"),
         )
     )
+
+
+_SEQ_LEN = 256
+
+
+@query(
+    "sequence_packing_stats",
+    survey="ext-curation,D1",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+), pfx AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(start_offset // {_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN start_offset // {_SEQ_LEN}
+                 ELSE (start_offset + n_tokens - 1) // {_SEQ_LEN} END
+            AS BIGINT) AS last_seq,
+       n_tokens > 0 AND
+           (start_offset + n_tokens - 1) // {_SEQ_LEN} > start_offset // {_SEQ_LEN}
+           AS crosses_boundary
+FROM pfx
+""",
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: tokens laid end-to-end in doc_id order
+    and cut into fixed {_SEQ_LEN}-token sequences — per doc, the first and
+    last sequence it lands in and whether it straddles a cut (the numbers a
+    pretraining loader needs for attention-mask / doc-boundary bookkeeping).
+
+    Same scale shape as `token_shard_assignment_scalable`: per-range token
+    sums → broadcast exclusive prefix offsets → range-partitioned local
+    running totals (classic distributed prefix sum, no corpus-wide
+    single-partition window); integer DIV keeps offsets exact past 2^53
+    tokens. The oracle's global window certifies the decomposition
+    value-for-value."""
+    from pyspark.sql.window import Window
+
+    from ..config import SCALE
+
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id DIV {SCALE.pack_range_width}").alias("range_id"),
+    )
+    totals = d.groupBy("range_id").agg(F.sum("n_tokens").alias("range_tokens"))
+    w_pfx = Window.orderBy("range_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "range_id",
+        F.coalesce(F.sum("range_tokens").over(w_pfx), F.lit(0)).alias("range_offset"),
+    )
+    w_local = Window.partitionBy("range_id").orderBy("doc_id")
+    local_excl = F.coalesce(
+        F.sum("n_tokens").over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    start = (F.col("range_offset") + local_excl).alias("start_offset")
+    out = d.join(F.broadcast(offsets), "range_id").select(
+        "doc_id", "n_tokens", start
+    )
+    first_seq = F.expr(f"start_offset DIV {_SEQ_LEN}")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        (F.when(F.col("n_tokens") == 0, first_seq).otherwise(
+            F.expr(f"(start_offset + n_tokens - 1) DIV {_SEQ_LEN}")
+        )).alias("last_seq"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.expr(f"(start_offset + n_tokens - 1) DIV {_SEQ_LEN}")
+                > F.expr(f"start_offset DIV {_SEQ_LEN}")
+            )
+        ).alias("crosses_boundary"),
+    )
