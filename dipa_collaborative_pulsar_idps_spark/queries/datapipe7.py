@@ -341,3 +341,42 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("crosses_boundary"),
     )
+
+
+@query("bpe_token_stats", survey="ext-text,K-udf")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer over the corpus: train merge rules on a bounded
+    deterministic sample (`functions/bpe.py` — the Sennrich algorithm, not
+    the regex approximation of `bpeish_token_counts`), apply distributed
+    via Arrow with per-batch word caching, and report per-lang token
+    economics — total BPE tokens and the compression ratio vs whitespace
+    tokens that tokenizer-training runs optimize for. Rows-only by design
+    (iterative greedy merges aren't SQL-expressible); the algorithm is
+    golden-tested (known merge sequence, detokenize round-trip,
+    distributed ≡ local) in tests/test_dedup.py."""
+    from ..functions.bpe import bpe_encode, train_bpe
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "text")
+    # 24 merges on the fixture's ~31-word vocabulary leaves words PARTIALLY
+    # merged, so bpe_per_word is an informative (1, avg-word-len) ratio
+    # rather than saturating at 1.0; production dials n_merges into the
+    # tens of thousands.
+    merges = train_bpe(docs, n_merges=24, sample_cap=1024)
+    enc = bpe_encode(docs, merges)
+    ws = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("ws_tokens"),
+    )
+    return (
+        enc.join(ws, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.sum("ws_tokens").cast("double"), 4
+            ).alias("bpe_per_word"),
+        )
+    )

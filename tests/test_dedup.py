@@ -519,3 +519,49 @@ def test_pca_variance_ordering(spark, sf_dir):
 
     _, _, ratio = train_pca(_corpus(spark, sf_dir), dim=64, k=16)
     assert (np.diff(ratio) <= 1e-12).all(), ratio
+
+
+def test_bpe_train_apply_golden_and_roundtrip(spark):
+    """Classic BPE corpus: known first merges, exact detokenization, and
+    distributed encode ≡ local encode."""
+    from dipa_collaborative_pulsar_idps_spark.functions.bpe import (
+        EOW,
+        bpe_encode,
+        detokenize,
+        encode_word,
+        train_bpe,
+    )
+
+    rows = [(i, "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=10, sample_cap=100)
+    # Sennrich's worked example: 'es' then 'est' (+EOW variants) dominate
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t" + EOW)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # with only the first two merges applied, 'newest' -> n e w est</w>
+    ranks2 = {p: i for i, p in enumerate(merges[:2])}
+    assert encode_word("newest", ranks2) == ["n", "e", "w", "est" + EOW]
+    # round-trip: encoding never loses characters
+    for w in ("low", "lower", "newest", "widest", "unseenword"):
+        assert detokenize(encode_word(w, ranks)) == w
+    # distributed apply == local apply, and tokenizer is deterministic
+    enc = {r.doc_id: (list(r.tokens), r.n_tokens) for r in bpe_encode(df, merges).collect()}
+    local = []
+    for w in rows[0][1].split():
+        local.extend(encode_word(w, ranks))
+    assert all(toks == local and n == len(local) for toks, n in enc.values())
+    assert train_bpe(df, n_merges=10, sample_cap=100) == merges
+    # detokenize over a full doc restores the normalized text
+    assert detokenize(local) == " ".join(rows[0][1].split())
+
+
+def test_bpe_token_stats_query(spark):
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+
+    _load_all()
+    rows = REGISTRY["bpe_token_stats"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.total_bpe_tokens > 0 for r in rows)
+    # BPE over a trained corpus splits words into >= 1 unit each
+    assert all(r.bpe_per_word >= 1.0 for r in rows)
