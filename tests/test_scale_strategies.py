@@ -551,3 +551,28 @@ def test_zorder_layout_prunes_on_every_dimension(spark, tmp_path):
     z_cnt = spark.read.parquet(zor).where(F.col("y").between(100, 199)).count()
     l_cnt = spark.read.parquet(lin).where(F.col("y").between(100, 199)).count()
     assert z_cnt == l_cnt  # same answer, different I/O
+
+
+def test_observed_write_metrics_free_pass(spark, tmp_path):
+    """df.observe metrics accumulate inside the write job itself — row
+    accounting with NO second scan; values match an independent compute."""
+    from dipa_collaborative_pulsar_idps_spark.plans.observe import observed
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    docs = Tables(spark, "/root/testdata/sf0.001").documents
+    metered, obs = observed(
+        docs,
+        n_rows=F.count(F.lit(1)),
+        n_null_text=F.sum(F.col("text").isNull().cast("long")),
+        total_chars=F.sum("n_chars"),
+    )
+    metered.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum("n_chars").alias("total_chars"),
+    ).first()
+    assert got["n_rows"] == want["n_rows"] > 0
+    assert got["n_null_text"] == want["n_null_text"]
+    assert got["total_chars"] == want["total_chars"]
