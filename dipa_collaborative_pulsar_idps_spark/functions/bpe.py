@@ -75,7 +75,9 @@ def train_bpe(
         )
     else:
         sample = df.select(text_col)
-    texts = [r[0] or "" for r in sample.collect()]
+    # ≤ sample_cap rows by the filter/limit above (corpus-size-independent,
+    # the IVF k-means training pattern):
+    texts = [r[0] or "" for r in sample.collect()]  # bounded-collect: ≤ sample_cap
     wc = _word_counts(texts)
     vocab: dict[tuple[str, ...], int] = {_symbols(w): c for w, c in wc.items() if w}
 
