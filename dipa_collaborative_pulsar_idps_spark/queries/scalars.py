@@ -184,3 +184,38 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.groupBy("event_type").agg(
         F.avg(k).alias("avg_k"), F.max(k).alias("max_k"), F.count("*").alias("n")
     )
+
+
+@query(
+    "variant_props_metrics",
+    survey="ext-json,D1",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (
+           ORDER BY CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS p50_k
+FROM events
+GROUP BY event_type
+""",
+)
+def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metrics through Spark 4's VARIANT type: ``props``
+    is parsed ONCE into the binary variant encoding and every field
+    access is a typed offset read (`try_variant_get`) — the scale answer
+    to repeated `get_json_object`/`from_json` calls, each of which
+    re-parses the string per access (at 100 TB, per-access re-parsing of
+    a k-field struct multiplies scan CPU by the field count). Malformed
+    documents become NULL variants instead of task failures
+    (`try_parse_json`), mirroring the engine's ANSI-safe parsing stance
+    (I11). The oracle reads the same JSON with DuckDB's json_extract."""
+    t = Tables(spark, sf_dir)
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.percentile(k, F.lit(0.5)), 4).alias("p50_k"),
+    )
