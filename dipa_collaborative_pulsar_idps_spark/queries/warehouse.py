@@ -332,3 +332,97 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("freq") * F.count(F.lit(1)) / F.sum("freq").cast("double"), 4
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "profile_drift_orders",
+    survey="ext-warehouse,D4",
+    oracle="""
+WITH b AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 89 = 0
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_totalprice
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+pa AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd,
+           ROUND(AVG(o_totalprice), 4) AS mean_price FROM orders
+),
+pb AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd,
+           ROUND(AVG(o_totalprice), 4) AS mean_price FROM b
+)
+SELECT 'n_rows' AS metric, pa.n AS val_a, pb.n AS val_b, pb.n - pa.n AS drift
+FROM pa, pb
+UNION ALL
+SELECT 'n_distinct_keys', pa.nd, pb.nd, pb.nd - pa.nd FROM pa, pb
+UNION ALL
+SELECT 'mean_price_x10000',
+       CAST(ROUND(pa.mean_price * 10000) AS BIGINT),
+       CAST(ROUND(pb.mean_price * 10000) AS BIGINT),
+       CAST(ROUND(pb.mean_price * 10000) AS BIGINT)
+           - CAST(ROUND(pa.mean_price * 10000) AS BIGINT)
+FROM pa, pb
+""",
+)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot profile drift — the data-quality monitor that
+    catches schema-preserving corruption (dropped partitions, duplicate
+    loads, value shifts) BEFORE downstream jobs consume a snapshot: the
+    same derived snapshot B as `cdc_snapshot_diff`, profiled beside A,
+    one row per drifted metric (fixed-point mean so the drift column
+    stays integer-typed cross-engine). Each profile is one keyless
+    aggregate pass over its snapshot; the comparison is a 1-row×1-row
+    cross join — at 100 TB you keep yesterday's 1-row profile and pay
+    ONE pass, not two (the stored-partials pattern of
+    `operators/incremental.py`)."""
+    t = Tables(spark, sf_dir)
+    a = t.orders.select("o_orderkey", "o_totalprice")
+    b = a.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        a.where(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+
+    def prof(df, tag):
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.countDistinct("o_orderkey").alias(f"nd_{tag}"),
+            (F.round(F.round(F.avg("o_totalprice"), 4) * 10000)).cast("long").alias(
+                f"mp_{tag}"
+            ),
+        )
+
+    both = prof(a, "a").crossJoin(prof(b, "b"))
+    rows = F.array(
+        F.struct(
+            F.lit("n_rows").alias("metric"),
+            F.col("n_a").alias("val_a"),
+            F.col("n_b").alias("val_b"),
+            (F.col("n_b") - F.col("n_a")).alias("drift"),
+        ),
+        F.struct(
+            F.lit("n_distinct_keys").alias("metric"),
+            F.col("nd_a").alias("val_a"),
+            F.col("nd_b").alias("val_b"),
+            (F.col("nd_b") - F.col("nd_a")).alias("drift"),
+        ),
+        F.struct(
+            F.lit("mean_price_x10000").alias("metric"),
+            F.col("mp_a").alias("val_a"),
+            F.col("mp_b").alias("val_b"),
+            (F.col("mp_b") - F.col("mp_a")).alias("drift"),
+        ),
+    )
+    return both.select(F.explode(rows).alias("r")).select(
+        "r.metric", "r.val_a", "r.val_b", "r.drift"
+    )
