@@ -576,3 +576,40 @@ def test_observed_write_metrics_free_pass(spark, tmp_path):
     assert got["n_rows"] == want["n_rows"] > 0
     assert got["n_null_text"] == want["n_null_text"]
     assert got["total_chars"] == want["total_chars"]
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The engine's skew story is not only manual salting: with AQE on
+    (session default), a hot join key is detected from runtime shuffle
+    stats and split across tasks — certified by the skew markers in the
+    FINAL adaptive plan. Thresholds are lowered so test-scale data
+    qualifies; production uses the defaults."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 2 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), "id").alias("pad"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+        q = left.join(right, "k").groupBy().count()
+        # the action must run THROUGH this frame: a .write goes via a
+        # separate QueryExecution and this plan would never finalize
+        assert q.collect()[0][0] == 225_000  # 200k hot-key + 25k tail matches
+        plan = q._jdf.queryExecution().executedPlan().treeString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
