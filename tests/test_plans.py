@@ -264,3 +264,47 @@ def test_ts_correlation_topk_plan(spark, sf_dir):
     txt = plan_text(df)
     assert "TakeOrderedAndProject" in txt, txt
     assert_no_python_udf(df)
+
+
+def test_profile_distinct_branch_stays_hash_aggregate(spark, sf_dir):
+    """The multi-distinct Expand over orders must be all-HashAggregate:
+    folding string-buffered MIN/MAX into the same agg demotes the whole
+    6x-expanded row set to SortAggregate (the 3.3 s -> 0.67 s regression
+    this layout fixed). The only SortAggregates allowed are the keyless
+    min/max branch (partial+final = 2, no sort of grouped data)."""
+    df = REGISTRY["table_profile_orders"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "Expand" in txt  # countDistinct rewrite present
+    # string-buffered min/max: exactly the keyless partial+final pair may
+    # sort-aggregate; the expanded distinct branch must hash-aggregate
+    # formatted plans mention each node twice (tree + details): 2 nodes
+    assert txt.count("SortAggregate") <= 4, (
+        "distinct branch fell back to SortAggregate over expanded rows"
+    )
+    assert txt.count("HashAggregate") >= 8
+
+
+def test_sequence_packing_has_no_corpus_wide_serial_exchange(spark, sf_dir):
+    """The distributed prefix sum must keep corpus rows range-partitioned:
+    the only SinglePartition exchange allowed is over the tiny per-range
+    totals (the broadcast offsets), never over document rows."""
+    df = REGISTRY["sequence_packing_stats"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    # single-partition exchanges exist only downstream of the range-totals
+    # aggregation (input = grouped range_id rows, not documents)
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*)", txt):
+        following = txt[m.start() :]
+        assert "HashAggregate" in following.split("Scan")[0], (
+            "serial exchange directly over corpus rows"
+        )
+    assert "broadcast" in txt.lower()  # offsets join in as broadcast
+
+
+def test_contrastive_pairs_is_map_only_plus_broadcast(spark, sf_dir):
+    """Negative sampling must not shuffle the corpus: the draw is an
+    explode over the scan and both label lookups are broadcast joins."""
+    df = REGISTRY["contrastive_negative_pairs"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+    assert_no_python_udf(df)
