@@ -271,3 +271,64 @@ def grouping_sets_event_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "user_bucket", F.col("gid").cast("long"), "n", "total_value")
     )
+
+
+_EQD_BUCKETS = 8
+
+
+@query(
+    "equi_depth_price_histogram",
+    survey="ext-analytic,D4",
+    oracle=f"""
+WITH bounds AS (
+    SELECT [PERCENTILE_CONT(0.125) WITHIN GROUP (ORDER BY l_extendedprice),
+            PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice),
+            PERCENTILE_CONT(0.375) WITHIN GROUP (ORDER BY l_extendedprice),
+            PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice),
+            PERCENTILE_CONT(0.625) WITHIN GROUP (ORDER BY l_extendedprice),
+            PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice),
+            PERCENTILE_CONT(0.875) WITHIN GROUP (ORDER BY l_extendedprice)] AS bs
+    FROM lineitem
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(l_extendedprice), 4) AS lo,
+       ROUND(MAX(l_extendedprice), 4) AS hi
+FROM (
+    SELECT l_extendedprice,
+           CAST(LEN(LIST_FILTER(bounds.bs, b -> l_extendedprice > b)) AS BIGINT)
+               AS bucket
+    FROM lineitem, bounds
+)
+GROUP BY bucket
+""",
+)
+def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram WITHOUT the global sort NTILE would cost: the
+    7 interior boundaries come from one exact-percentile aggregate (a
+    1-row frame broadcast into the scan), bucket assignment is the
+    map-side count of boundaries below the value, and per-bucket stats
+    are one combined shuffle — the optimizer-statistics build shape
+    (equi-depth is what CBO histograms store). Boundary semantics
+    `value > bound` is engine-portable where NTILE's tie-splitting is
+    not; near-equal depths (not exact) on tied data are the standard
+    trade. At 100 TB the exact percentile swaps for the mergeable
+    approx sketch, same plan otherwise."""
+    t = Tables(spark, sf_dir)
+    qs = [i / 8 for i in range(1, _EQD_BUCKETS)]
+    bounds = t.lineitem.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    bucket = F.size(
+        F.filter("bs", lambda b: F.col("l_extendedprice") > b)
+    ).cast("long")
+    return (
+        t.lineitem.select("l_extendedprice")
+        .join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        )
+    )
