@@ -164,3 +164,20 @@ def bpe_encode(
 def detokenize(tokens: list[str]) -> str:
     """Exact inverse of encode over whitespace-pretokenized text."""
     return "".join(t for t in tokens).replace(EOW, " ").rstrip()
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table (rank-ordered) as parquet — the tokenizer
+    artifact of a 'train once, apply in every job' pipeline (the BPE
+    analogue of functions/ivf.save_ivf_index)."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, a string, b string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table; rank order restored explicitly (a
+    parquet read has no implicit order)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()  # bounded-collect: vocab-sized
+    return [(r.a, r.b) for r in rows]

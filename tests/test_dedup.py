@@ -565,3 +565,26 @@ def test_bpe_token_stats_query(spark):
     assert rows and all(r.total_bpe_tokens > 0 for r in rows)
     # BPE over a trained corpus splits words into >= 1 unit each
     assert all(r.bpe_per_word >= 1.0 for r in rows)
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """Persisted tokenizer: disk round-trip preserves merge order, so
+    encoding with the loaded table is identical."""
+    from dipa_collaborative_pulsar_idps_spark.functions.bpe import (
+        bpe_encode,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "pack my box with five dozen liquor jugs " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, n_merges=12, sample_cap=100)
+    save_bpe(spark, merges, str(tmp_path / "bpe"))
+    back = load_bpe(spark, str(tmp_path / "bpe"))
+    assert back == merges
+    a = {r.doc_id: list(r.tokens) for r in bpe_encode(df, merges).collect()}
+    b = {r.doc_id: list(r.tokens) for r in bpe_encode(df, back).collect()}
+    assert a == b
