@@ -212,31 +212,15 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine) and the min/max branch is a trivial keyless partial+final
     pass. At 100 TB the exact distinct counts are the dial to swap for
     approx_count_distinct (`approx_distinct_users` pattern) — exactness
-    here keeps the oracle bit-checkable."""
-    t = Tables(spark, sf_dir)
-    mm_aggs, nd_aggs = [], []
-    for c, sk, _ in _PROFILE_COLS:
-        mm_aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.expr(sk.format(v=f"MIN({c})")).alias(f"{c}__min"),
-            F.expr(sk.format(v=f"MAX({c})")).alias(f"{c}__max"),
-        ]
-        nd_aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
-    one = t.orders.agg(*mm_aggs).crossJoin(t.orders.agg(*nd_aggs))
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__nd").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_repr"),
-                F.col(f"{c}__max").alias("max_repr"),
-            )
-            for c, _, _ in _PROFILE_COLS
-        ]
-    )
-    return one.select(F.explode(rows).alias("p")).select(
-        "p.column_name", "p.n_nulls", "p.n_distinct", "p.min_repr", "p.max_repr"
+    here keeps the oracle bit-checkable.
+
+    Delegates to the generic `operators/profile.profile_table` (any
+    DataFrame, repr casts inferred from the schema); the oracle's
+    explicit per-column casts certify that inference."""
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        Tables(spark, sf_dir).orders, [c for c, _, _ in _PROFILE_COLS]
     )
 
 

@@ -421,3 +421,33 @@ def test_incremental_summary_merge_equals_direct(spark):
     merged_sk = {r.k: r.estimate for r in merge_distinct_sketches(*sk_parts).collect()}
     assert merged_sk == full  # sketch union is lossless vs single-pass sketch
     assert all(est == 17 for est in full.values())  # HLL exact at tiny cardinality
+
+
+def test_profile_table_generic(spark):
+    """Generic profiler on a mixed-type frame with nulls: exact counts and
+    portable min/max representations per column."""
+    import datetime as _dt
+
+    from dipa_collaborative_pulsar_idps_spark.operators.profile import profile_table
+
+    rows = [
+        (1, "a", 2.5, _dt.datetime(2024, 1, 2, 3)),
+        (2, None, 10.0, _dt.datetime(2024, 2, 2)),
+        (3, "b", None, None),
+        (4, "a", 9999.0, _dt.datetime(2023, 12, 31)),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, d double, ts timestamp")
+    out = {r.column_name: r for r in profile_table(df).collect()}
+    assert out["k"].n_nulls == 0 and out["k"].n_distinct == 4
+    assert out["k"].min_repr == "1" and out["k"].max_repr == "4"
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_repr == "a" and out["s"].max_repr == "b"
+    # double through DECIMAL(18,2): numeric extremes, not lexicographic
+    assert out["d"].min_repr == "2.50" and out["d"].max_repr == "9999.00"
+    assert out["ts"].min_repr == "2023-12-31" and out["ts"].max_repr == "2024-02-02"
+    # plan contract: distinct Expand stays hash-aggregated (2 sort nodes
+    # max = the keyless min/max pair; formatted plans print nodes twice)
+    from dipa_collaborative_pulsar_idps_spark.plans.explain import plan_text
+
+    txt = plan_text(profile_table(df))
+    assert txt.count("SortAggregate") <= 4 and "Expand" in txt
