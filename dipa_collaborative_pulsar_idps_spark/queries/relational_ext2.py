@@ -312,8 +312,12 @@ def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equi-depth is what CBO histograms store). Boundary semantics
     `value > bound` is engine-portable where NTILE's tie-splitting is
     not; near-equal depths (not exact) on tied data are the standard
-    trade. At 100 TB the exact percentile swaps for the mergeable
-    approx sketch, same plan otherwise."""
+    trade. Scale note: Spark's exact `percentile` concentrates every
+    value into one TypedImperative buffer — fine here, an OOM at 100 TB;
+    the drop-in scale path is `operators/selection.exact_quantiles`
+    (distributed selection via the engine's prefix-sum family, verified
+    identical to PERCENTILE_CONT), or the mergeable approx sketch when
+    exactness isn't contractual."""
     t = Tables(spark, sf_dir)
     qs = [i / 8 for i in range(1, _EQD_BUCKETS)]
     bounds = t.lineitem.agg(

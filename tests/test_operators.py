@@ -451,3 +451,29 @@ def test_profile_table_generic(spark):
 
     txt = plan_text(profile_table(df))
     assert txt.count("SortAggregate") <= 4 and "Expand" in txt
+
+
+def test_exact_quantiles_matches_percentile(spark):
+    """Distributed-selection quantiles == Spark's exact percentile
+    aggregate (PERCENTILE_CONT semantics), including ties and
+    interpolated positions."""
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    df = spark.range(10_001).select(
+        (F.pmod(F.xxhash64("id"), F.lit(997)) * 0.5).alias("v")
+    )
+    qs = [0.1, 0.25, 0.5, 0.9, 0.99]
+    got = exact_quantiles(df, "v", qs, n_parts=8)
+    want = df.agg(
+        F.percentile("v", F.array(*[F.lit(q) for q in qs]))
+    ).collect()[0][0]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+    # heavy ties: 3 distinct values only
+    df2 = spark.range(999).select(F.pmod("id", F.lit(3)).cast("double").alias("v"))
+    got2 = exact_quantiles(df2, "v", qs, n_parts=4)
+    want2 = df2.agg(
+        F.percentile("v", F.array(*[F.lit(q) for q in qs]))
+    ).collect()[0][0]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got2, want2))
