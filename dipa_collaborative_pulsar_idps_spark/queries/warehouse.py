@@ -152,26 +152,20 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
-#: (column, post-aggregate repr template) — min/max run on the NATIVE type
-#: (lexicographic string extremes would be wrong for numerics: '9999' >
-#: '60000'), and only the aggregated RESULT is cast to a representation both
-#: engines print identically: longs and strings as-is, the double through
-#: DECIMAL(18,2), the timestamp through DATE. {v} is the aggregate.
+#: (column, oracle repr template) — the DuckDB side of the per-column
+#: portable representation: min/max run on the NATIVE type (lexicographic
+#: string extremes would be wrong for numerics: '9999' > '60000'), and
+#: only the aggregated RESULT is cast — longs and strings as-is, the
+#: double through DECIMAL(18,2), the timestamp through DATE. {v} is the
+#: aggregate. The Spark side infers the same casts from the schema
+#: (operators/profile._repr_cast); oracle equality certifies the match.
 _PROFILE_COLS = (
-    ("o_orderkey", "CAST({v} AS STRING)", "CAST({v} AS VARCHAR)"),
-    ("o_custkey", "CAST({v} AS STRING)", "CAST({v} AS VARCHAR)"),
-    ("o_orderstatus", "{v}", "{v}"),
-    ("o_orderpriority", "{v}", "{v}"),
-    (
-        "o_totalprice",
-        "CAST(CAST({v} AS DECIMAL(18,2)) AS STRING)",
-        "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)",
-    ),
-    (
-        "o_orderdate",
-        "CAST(CAST({v} AS DATE) AS STRING)",
-        "CAST(CAST({v} AS DATE) AS VARCHAR)",
-    ),
+    ("o_orderkey", "CAST({v} AS VARCHAR)"),
+    ("o_custkey", "CAST({v} AS VARCHAR)"),
+    ("o_orderstatus", "{v}"),
+    ("o_orderpriority", "{v}"),
+    ("o_totalprice", "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "CAST(CAST({v} AS DATE) AS VARCHAR)"),
 )
 
 
@@ -186,7 +180,7 @@ _PROFILE_COLS = (
        {dk.format(v=f"MIN({c})")} AS min_repr,
        {dk.format(v=f"MAX({c})")} AS max_repr
 FROM orders"""
-        for c, _, dk in _PROFILE_COLS
+        for c, dk in _PROFILE_COLS
     )
     + "\n)",
 )
@@ -220,7 +214,7 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table
 
     return profile_table(
-        Tables(spark, sf_dir).orders, [c for c, _, _ in _PROFILE_COLS]
+        Tables(spark, sf_dir).orders, [c for c, _ in _PROFILE_COLS]
     )
 
 
