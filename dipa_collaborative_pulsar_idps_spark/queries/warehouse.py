@@ -404,3 +404,59 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(F.explode(rows).alias("r")).select(
         "r.metric", "r.val_a", "r.val_b", "r.drift"
     )
+
+
+@query(
+    "referential_integrity_report",
+    survey="ext-warehouse,F1,E-large",
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS fk,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE c.c_nationkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+""",
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan detection across the star schema — the third
+    leg of the data-quality family (profile, drift, and now RI): one row
+    per declared FK with its orphan count, so a bad load (parent
+    partition missing, fact loaded before dim) is caught before joins
+    silently drop rows. Each check is a left-anti join: dims broadcast
+    (customer/nation side), the fact-fact check (lineitem→orders)
+    shuffles on the key exactly like the production join it protects —
+    AQE turns it into a broadcast when the parent's filtered side is
+    small. NULL FKs are not orphans (SQL semantics: a null FK is
+    'unknown', flagged by the profile's null counts instead)."""
+    t = Tables(spark, sf_dir)
+
+    def check(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str):
+        orphans = (
+            fact.where(F.col(fk).isNotNull())
+            .join(dim.select(F.col(pk).alias(fk)), fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(label).alias("fk"), "n_orphans", "n_rows"
+        )
+
+    a = check(t.orders, "o_custkey", t.customer, "c_custkey", "orders.o_custkey->customer")
+    b = check(t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem.l_orderkey->orders")
+    c = check(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer.c_nationkey->nation")
+    return a.unionByName(b).unionByName(c)
