@@ -460,3 +460,78 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = check(t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem.l_orderkey->orders")
     c = check(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer.c_nationkey->nation")
     return a.unionByName(b).unionByName(c)
+
+
+@query(
+    "constraint_checks_report",
+    survey="ext-warehouse,D4,B14",
+    oracle="""
+SELECT 'pk_orders_o_orderkey' AS chk,
+       CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_violations
+FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey) WHERE cnt > 1
+UNION ALL
+SELECT 'pk_events_event_id',
+       CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY event_id) WHERE cnt > 1
+UNION ALL
+SELECT 'accepted_orders_o_orderstatus',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+                                OR o_orderstatus IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted_events_event_type',
+       CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+                ('click', 'error', 'purchase', 'signup', 'view')
+                OR event_type IS NULL) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'not_null_documents_text',
+       CAST(COUNT(*) - COUNT(text) AS BIGINT)
+FROM documents
+""",
+)
+def constraint_checks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-test quartet as one report (unique / accepted_values /
+    not_null here; relationships in `referential_integrity_report`): a
+    violation count per declared constraint, all-zero on healthy data —
+    the assertion layer a warehouse runs after every load. Uniqueness
+    counts EXTRA rows per duplicated key (sum of cnt-1, so one dupe pair
+    = 1 violation); accepted-values and not-null are map-side conditional
+    counts folded into each table's single pass. Scale: the PK checks
+    shuffle on the key (the same shuffle a MERGE would need); value
+    checks are free riders on the scan."""
+    t = Tables(spark, sf_dir)
+
+    def pk(df, key, label):
+        dup = (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_violations"))
+        )
+        return dup.select(F.lit(label).alias("chk"), "n_violations")
+
+    def accepted(df, col, allowed, label):
+        bad = (~F.col(col).isin(list(allowed))) | F.col(col).isNull()
+        return df.agg(
+            F.sum(bad.cast("long")).alias("n_violations")
+        ).select(F.lit(label).alias("chk"), "n_violations")
+
+    nn_docs = t.documents.agg(
+        (F.count(F.lit(1)) - F.count("text")).alias("n_violations")
+    ).select(F.lit("not_null_documents_text").alias("chk"), "n_violations")
+
+    return (
+        pk(t.orders, "o_orderkey", "pk_orders_o_orderkey")
+        .unionByName(pk(t.events, "event_id", "pk_events_event_id"))
+        .unionByName(
+            accepted(t.orders, "o_orderstatus", ("F", "O", "P"),
+                     "accepted_orders_o_orderstatus")
+        )
+        .unionByName(
+            accepted(t.events, "event_type",
+                     ("click", "error", "purchase", "signup", "view"),
+                     "accepted_events_event_type")
+        )
+        .unionByName(nn_docs)
+    )
