@@ -5,16 +5,28 @@ Spark's exact ``percentile`` aggregate is a TypedImperativeAggregate —
 every value lands in ONE final aggregation buffer, which at 100 TB is an
 executor-OOM, not a slow path. This operator computes the SAME
 PERCENTILE_CONT values (verified to 1e-9 against ``F.percentile`` in
-tests) with only scalable pieces: one range shuffle, per-partition
+tests) with only scalable pieces: a bounded boundary sketch, per-range
 counts, broadcast prefix offsets, and a lookup of the ≤ 2·|qs| rows
 sitting at the target sorted positions — the distributed-selection form
 of the engine's prefix-sum family (`token_shard_assignment_scalable`,
 `global_row_ids_scalable`).
 
-The count branch and the selection branch share one Exchange (Spark
-reuses the identical shuffle subtree), so the data is range-partitioned
-once. Ties are safe: row_number breaks them arbitrarily but the VALUE at
-any global sorted index is unique by definition.
+Correctness does NOT depend on physical partitioning: the range id
+(``pid``) is a pure *function of the value* — the count of explicit
+boundary values below it — so the count branch and the selection branch
+agree by construction no matter how Catalyst lays out the exchanges
+(earlier drafts leaned on ``spark.sql.exchange.reuse`` to keep two
+``repartitionByRange`` branches consistent; that was a silent-wrong-
+answer hazard with reuse disabled). Boundaries come from a distributed
+Greenwald–Khanna sketch (``approxQuantile``) and only need to be
+*balanced*, not exact — exactness comes from the counts and the final
+index lookup. Ties are safe: row_number breaks them arbitrarily but the
+VALUE at any global sorted index is unique by definition.
+
+Interpolation uses ``lo + frac·(hi − lo)`` with ``frac`` exactly
+representable (it is ((n−1)·q) − floor(·)), the same formula Spark's
+``Percentile`` and DuckDB's PERCENTILE_CONT evaluate, so results agree
+bit-for-bit with the oracle wherever the engines themselves agree.
 """
 
 from __future__ import annotations
@@ -26,6 +38,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _range_ids(df: DataFrame, col: str, n_parts: int):
+    """Attach a ``pid`` column: how many explicit boundary values sit
+    strictly below ``col``. Monotone non-decreasing in the value, so a
+    sort by (pid, value) IS the global sort — independent of physical
+    partitioning. Returns (tagged_df, n_ranges)."""
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(df.approxQuantile(col, probs, 0.01)))
+    if not bounds:
+        return df.withColumn("pid", F.lit(0)), 1
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    pid = F.size(F.filter(arr, lambda b: b < F.col(col)))
+    return df.withColumn("pid", pid), len(bounds) + 1
+
+
+def _interp(rs: list[float], at: dict[int, float]) -> list[float]:
+    out = []
+    for r in rs:
+        lo, hi = math.floor(r), math.ceil(r)
+        out.append(at[lo] + (r - lo) * (at[hi] - at[lo]))
+    return out
+
+
 def exact_quantiles(
     df: DataFrame, col: str, qs: list[float], n_parts: int = 64
 ) -> list[float]:
@@ -33,29 +67,93 @@ def exact_quantiles(
     (non-null values), returned as driver-side floats (|qs| numbers —
     this is an aggregate result, not a dataset)."""
     vals = df.select(F.col(col).alias("p")).where(F.col("p").isNotNull())
-    n = vals.count()
+    d, _ = _range_ids(vals, "p", n_parts)
+    counts = sorted(
+        (r.pid, r.c)
+        for r in d.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )  # bounded-collect: ≤ n_parts rows
+    n = sum(c for _, c in counts)
     if n == 0:
         return [float("nan")] * len(qs)
+    offs, acc = {}, 0
+    for pid, c in counts:
+        offs[pid] = acc
+        acc += c
     rs = [(n - 1) * q for q in qs]
     need = sorted({i for r in rs for i in (math.floor(r), math.ceil(r))})
-    d = vals.repartitionByRange(n_parts, "p").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("off")
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offs.items() for x in kv]
     )
     wl = Window.partitionBy("pid").orderBy("p")
     sel = (
-        d.join(F.broadcast(offsets), "pid")
+        d.withColumn("off", off_map[F.col("pid")])
         .withColumn("gidx", F.col("off") + F.row_number().over(wl) - 1)
         .where(F.col("gidx").isin([int(x) for x in need]))
         .select("gidx", "p")
     )
     at = {int(r.gidx): float(r.p) for r in sel.collect()}  # bounded-collect: ≤ 2·|qs| rows
-    out = []
-    for r in rs:
-        lo, hi = math.floor(r), math.ceil(r)
-        out.append(at[lo] + (r - lo) * (at[hi] - at[lo]))
-    return out
+    return _interp(rs, at)
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: list[float],
+    n_parts: int = 64,
+) -> dict[tuple, list[float]]:
+    """Per-group PERCENTILE_CONT via the same distributed-selection
+    machinery: global boundary ranges (pid stays monotone in the value
+    within every group), per-(group, pid) counts, per-group prefix
+    offsets, one index-lookup pass. Driver traffic is bounded by
+    |groups|·n_parts count rows + 2·|qs|·|groups| value rows — the
+    grouped-percentile *report* shape (low-cardinality reporting groups),
+    NOT a per-key analytic. Returns {group_tuple: [quantiles]}."""
+    vals = df.select(
+        *group_cols, F.col(col).alias("p")
+    ).where(F.col("p").isNotNull())
+    d, _ = _range_ids(vals, "p", n_parts)
+    counts = d.groupBy(*group_cols, "pid").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()  # bounded-collect: |groups|·n_parts rows
+    per_group: dict[tuple, list] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        per_group.setdefault(g, []).append((r.pid, r.c))
+    spark = df.sparkSession
+    need_rows, meta = [], {}
+    for g, pcs in per_group.items():
+        pcs.sort()
+        n_g = sum(c for _, c in pcs)
+        offs, acc = {}, 0
+        for pid, c in pcs:
+            offs[pid] = acc
+            acc += c
+        rs = [(n_g - 1) * q for q in qs]
+        need = sorted({i for r in rs for i in (math.floor(r), math.ceil(r))})
+        meta[g] = rs
+        for pid, c in pcs:
+            lo, hi = offs[pid], offs[pid] + c
+            wanted = [i for i in need if lo <= i < hi]
+            if wanted:
+                need_rows.append((*g, int(pid), int(lo), wanted))
+    schema_cols = d.select(*group_cols).schema
+    need_df = spark.createDataFrame(
+        need_rows,
+        schema=(
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_cols)
+            + ", pid int, off bigint, want array<bigint>"
+        ),
+    )
+    wl = Window.partitionBy(*group_cols, "pid").orderBy("p")
+    sel = (
+        d.join(F.broadcast(need_df), [*group_cols, "pid"])
+        .withColumn("gidx", F.col("off") + F.row_number().over(wl) - 1)
+        .where(F.array_contains("want", F.col("gidx")))
+        .select(*group_cols, "gidx", "p")
+    )
+    at: dict[tuple, dict[int, float]] = {}
+    for r in sel.collect():  # bounded-collect: ≤ 2·|qs|·|groups| rows
+        g = tuple(r[c] for c in group_cols)
+        at.setdefault(g, {})[int(r.gidx)] = float(r.p)
+    return {g: _interp(meta[g], at[g]) for g in per_group}

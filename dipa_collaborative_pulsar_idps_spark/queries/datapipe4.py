@@ -364,20 +364,31 @@ FROM lineitem GROUP BY l_returnflag
 )
 def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (the oracle-checkable twin of the
-    sketch path above): Spark ``percentile`` and DuckDB PERCENTILE_CONT
-    share the (n-1)·p linear-interpolation definition; ROUND(…,4) absorbs
-    last-ulp arithmetic differences."""
+    sketch path above), computed by distributed selection
+    (`operators/selection.grouped_exact_quantiles`): boundary ranges +
+    per-(group, range) counts + prefix offsets + a ≤ 2·|qs|·|groups|-row
+    index lookup. NO single-buffer ``F.percentile`` aggregate anywhere in
+    the plan — that TypedImperativeAggregate concentrates every value in
+    one final task and is an executor-OOM at 100 TB. The selection path
+    evaluates the same (n-1)·p linear interpolation as DuckDB's
+    PERCENTILE_CONT oracle; ROUND(…,4) absorbs last-ulp arithmetic
+    differences. The 3-row result frame is assembled from the driver-side
+    aggregate values (an aggregate *result*, not a dataset collect)."""
+    from ..operators.selection import grouped_exact_quantiles
+
     t = Tables(spark, sf_dir)
-    agg = t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias(
-            "pc"
-        )
+    res = grouped_exact_quantiles(
+        t.lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.95, 0.99]
     )
-    return agg.select(
+    rows = [(g[0], v[0], v[1], v[2]) for g, v in sorted(res.items())]
+    raw = spark.createDataFrame(
+        rows, "l_returnflag string, p50 double, p95 double, p99 double"
+    )
+    return raw.select(
         "l_returnflag",
-        F.round(F.col("pc")[0], 4).alias("p50"),
-        F.round(F.col("pc")[1], 4).alias("p95"),
-        F.round(F.col("pc")[2], 4).alias("p99"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
     )
 
 

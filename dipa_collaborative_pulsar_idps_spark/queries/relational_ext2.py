@@ -312,23 +312,25 @@ def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equi-depth is what CBO histograms store). Boundary semantics
     `value > bound` is engine-portable where NTILE's tie-splitting is
     not; near-equal depths (not exact) on tied data are the standard
-    trade. Scale note: Spark's exact `percentile` concentrates every
-    value into one TypedImperative buffer — fine here, an OOM at 100 TB;
-    the drop-in scale path is `operators/selection.exact_quantiles`
-    (distributed selection via the engine's prefix-sum family, verified
-    identical to PERCENTILE_CONT), or the mergeable approx sketch when
-    exactness isn't contractual."""
+    trade. The 7 boundaries come from
+    `operators/selection.exact_quantiles` — distributed selection via
+    the engine's prefix-sum family, verified identical to
+    PERCENTILE_CONT — NOT Spark's exact `percentile` aggregate, whose
+    single TypedImperative buffer concentrates every value into one
+    final task (an OOM at 100 TB). The boundaries land as a 7-float
+    literal array, so bucket assignment is pure map-side codegen with
+    no extra join; per-bucket stats are one combined shuffle."""
+    from ..operators.selection import exact_quantiles
+
     t = Tables(spark, sf_dir)
     qs = [i / 8 for i in range(1, _EQD_BUCKETS)]
-    bounds = t.lineitem.agg(
-        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias("bs")
-    )
+    bs = exact_quantiles(t.lineitem, "l_extendedprice", qs)
+    arr = F.array(*[F.lit(float(b)) for b in bs])
     bucket = F.size(
-        F.filter("bs", lambda b: F.col("l_extendedprice") > b)
+        F.filter(arr, lambda b: F.col("l_extendedprice") > b)
     ).cast("long")
     return (
         t.lineitem.select("l_extendedprice")
-        .join(F.broadcast(bounds))
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -477,3 +477,33 @@ def test_exact_quantiles_matches_percentile(spark):
         F.percentile("v", F.array(*[F.lit(q) for q in qs]))
     ).collect()[0][0]
     assert all(abs(a - b) < 1e-9 for a, b in zip(got2, want2))
+
+
+def test_grouped_exact_quantiles_matches_percentile(spark):
+    """Per-group distributed selection == per-group exact percentile
+    aggregate, including interpolated positions, ties, and a group whose
+    size is smaller than the range count."""
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.range(8_000).select(
+        F.pmod("id", F.lit(3)).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(991)) * 0.25).alias("v"),
+    ).union(
+        # tiny group: 2 rows (fewer than ranges)
+        spark.range(2).select(
+            F.lit("tiny").alias("g"), F.col("id").cast("double").alias("v")
+        )
+    )
+    qs = [0.05, 0.5, 0.95]
+    got = grouped_exact_quantiles(df, ["g"], "v", qs, n_parts=8)
+    want = {
+        r.g: r.pc
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("pc"))
+        .collect()
+    }
+    assert set(got) == {(g,) for g in want}
+    for g, vs in got.items():
+        assert all(abs(a - b) < 1e-9 for a, b in zip(vs, want[g[0]]))

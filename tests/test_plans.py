@@ -308,3 +308,16 @@ def test_contrastive_pairs_is_map_only_plus_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in txt
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
     assert_no_python_udf(df)
+
+
+def test_percentile_queries_have_no_single_buffer_aggregate(spark, sf_dir):
+    """The two declared exact-percentile queries must run the distributed-
+    selection path (`operators/selection`) — Spark's exact `percentile`
+    TypedImperativeAggregate buffers EVERY value in one final task, an
+    executor-OOM at 100 TB, and must not appear anywhere in either
+    declared plan. (`F.percentile` survives only in tests and in the
+    DuckDB oracle strings.)"""
+    for name in ("exact_price_percentiles", "equi_depth_price_histogram"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        txt = plan_text(df)
+        assert "percentile" not in txt.lower(), f"{name} still buffers:\n{txt}"
