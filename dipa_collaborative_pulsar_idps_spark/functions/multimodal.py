@@ -237,9 +237,18 @@ def video_features(payload: bytes) -> np.ndarray:
     between consecutive frames), 10-bin luminance histogram (density)].
     Luminance stats stream frame-by-frame (one decoded frame + its
     predecessor in memory — bounded regardless of clip length). Opaque
-    containers fall back to the marked stub."""
+    containers fall back to the marked stub, and so does a MALFORMED
+    PPM stream (truncated frame / garbage trailer): one corrupt blob in
+    100 TB of media must degrade that row, not fail the whole task."""
     if payload[:2] != b"P6":
         return _video_features_stub(payload)
+    try:
+        return _video_features_ppm(payload)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        return _video_features_stub(payload)
+
+
+def _video_features_ppm(payload: bytes) -> np.ndarray:
     lum_w = np.array([0.299, 0.587, 0.114])
     n = s = s2 = 0.0
     hist = np.zeros(10)
@@ -388,27 +397,35 @@ def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                 p = bytes(p)
                 if p[:2] != b"P6":
                     continue  # opaque container: no demuxer in this build
-                # count frames first (header walk is cheap vs pixel copy)
-                n_frames, i = 0, 0
-                while i < len(p):
-                    _, i = _decode_ppm_at(p, i)
-                    n_frames += 1
-                step_ms = (dur or 0) / max(n_frames, 1)
-                idx, i = 0, 0
-                while i < len(p):
-                    img, i = _decode_ppm_at(p, i)
-                    if idx % every_n == 0:
-                        rows.append(
-                            (
-                                mid,
-                                idx,
-                                int(idx * step_ms),
-                                encode_ppm(img),
-                                img.shape[1],
-                                img.shape[0],
+                # per-video staging + try/except: a malformed stream
+                # (truncated frame, garbage trailer) skips THAT video in
+                # full — no partial frame rows, no task failure.
+                vid_rows = []
+                try:
+                    # count frames first (header walk is cheap vs pixel copy)
+                    n_frames, i = 0, 0
+                    while i < len(p):
+                        _, i = _decode_ppm_at(p, i)
+                        n_frames += 1
+                    step_ms = (dur or 0) / max(n_frames, 1)
+                    idx, i = 0, 0
+                    while i < len(p):
+                        img, i = _decode_ppm_at(p, i)
+                        if idx % every_n == 0:
+                            vid_rows.append(
+                                (
+                                    mid,
+                                    idx,
+                                    int(idx * step_ms),
+                                    encode_ppm(img),
+                                    img.shape[1],
+                                    img.shape[0],
+                                )
                             )
-                        )
-                    idx += 1
+                        idx += 1
+                except (ValueError, NotImplementedError, struct.error, IndexError):
+                    continue
+                rows.extend(vid_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -213,12 +213,17 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     false negatives for loss masking downstream.
 
     100 TB shape: the draw is a map-only explode (K rows per anchor, no
-    shuffle); the two label lookups are joins on vec_id — broadcast-able
-    while the label dim fits, shuffle joins co-partitioned on vec_id past
-    that. Nothing depends on a global order or a driver-side RNG."""
+    shuffle); the two label lookups are joins on vec_id — broadcast while
+    the label dim fits (gated on the ALREADY-COUNTED corpus size, since
+    an unconditional broadcast hint overrides autoBroadcastJoinThreshold
+    and would force an executor-OOM build at scale), shuffle joins
+    co-partitioned on vec_id past that. Nothing depends on a global
+    order or a driver-side RNG."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "label")
     n_corpus = emb.count()
+    # (vec_id bigint, label string) ≈ 40 B/row → ≤ ~200 MB build side
+    hint = F.broadcast if n_corpus <= 5_000_000 else (lambda d: d)
     raw = emb.select(
         F.col("vec_id").alias("anchor_id"),
         F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("slot"),
@@ -246,8 +251,8 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label"))
     b = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("b_label"))
     return (
-        pairs.join(F.broadcast(a), "anchor_id")
-        .join(F.broadcast(b), "neg_id")
+        pairs.join(hint(a), "anchor_id")
+        .join(hint(b), "neg_id")
         .select(
             "anchor_id",
             "slot",

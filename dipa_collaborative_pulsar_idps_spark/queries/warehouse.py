@@ -256,8 +256,15 @@ def incremental_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
     split = F.lit("1997-07-01").cast("timestamp_ntz")
+    # NULL order dates satisfy neither `< split` nor `>= split`; route them
+    # into the base slice explicitly so no row vanishes from both partials
+    # (the oracle aggregates the FULL table).
     base = partial_summary(
-        orders.where(F.col("o_orderdate") < split), ["o_orderpriority"], "price"
+        orders.where(
+            (F.col("o_orderdate") < split) | F.col("o_orderdate").isNull()
+        ),
+        ["o_orderpriority"],
+        "price",
     )
     delta = partial_summary(
         orders.where(F.col("o_orderdate") >= split), ["o_orderpriority"], "price"

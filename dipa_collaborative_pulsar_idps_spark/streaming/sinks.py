@@ -177,6 +177,16 @@ class SummarySink:
     shuffle never touches stream history; versions older than ``retain``
     snapshots are pruned to bound storage.
 
+    Snapshot discovery and pruning go through the Hadoop FileSystem API
+    (whatever filesystem ``summary_path`` resolves to — HDFS/S3A/local),
+    matching MitigationSink's Spark-readable ledger; a plain os.listdir
+    would silently see nothing on a cluster store. Checkpoint-reset
+    safety: if any snapshot version EXCEEDS the incoming batch id, the
+    stream was restarted with a fresh checkpoint against a used
+    summary_path (batch ids restarted from 0) — merging would silently
+    serve/extend stale state, so the sink FAILS FAST and tells the
+    operator to clear the path or resume the original checkpoint.
+
     100 TB shape: per-batch work = O(batch) partial aggregation +
     O(summary) merge — the base "table" (all history) is never rescanned,
     which is the entire point of mergeable summaries.
@@ -194,14 +204,24 @@ class SummarySink:
         self.measure = measure
         self.retain = retain
 
-    def _versions(self) -> list[int]:
-        if not os.path.isdir(self.summary_path):
+    def _fs(self, spark):
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.summary_path)
+        return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
+
+    def _versions(self, spark) -> list[int]:
+        fs, path, _ = self._fs(spark)
+        if not fs.exists(path):
             return []
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.summary_path)
-            if d.startswith("v=")
-        )
+        out = []
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
 
     def _snapshot(self, spark, version: int) -> DataFrame:
         return spark.read.parquet(f"{self.summary_path}/v={version}")
@@ -210,7 +230,7 @@ class SummarySink:
         """Latest finalized summary (empty-schema None if nothing yet)."""
         from ..operators.incremental import finalize_summary
 
-        vs = self._versions()
+        vs = self._versions(spark)
         if not vs:
             raise FileNotFoundError(f"no summary snapshots under {self.summary_path}")
         return finalize_summary(self._snapshot(spark, vs[-1]))
@@ -219,14 +239,31 @@ class SummarySink:
         from ..operators.incremental import merge_summaries, partial_summary
 
         spark = batch_df.sparkSession
+        vs = self._versions(spark)
+        # checkpoint-reset guard: within one checkpoint lineage batch ids
+        # are monotone and only the LAST batch is ever replayed, so a
+        # snapshot version above the incoming id can only mean a fresh
+        # checkpoint pointed at a used summary_path. Merging would serve
+        # stale state until batch_id passed the old max — fail fast.
+        stale = [v for v in vs if v > batch_id]
+        if stale:
+            raise RuntimeError(
+                f"SummarySink at {self.summary_path}: snapshot versions "
+                f"{stale} exceed incoming batch id {batch_id} — the stream "
+                "was restarted with a fresh checkpoint against an existing "
+                "summary. Clear the summary path (or point the sink at a "
+                "new one), or resume from the original checkpoint."
+            )
         part = partial_summary(batch_df, self.keys, self.measure)
         # replay safety: ONLY versions strictly below this batch id are
         # eligible predecessors — a redelivered batch folds into the same
         # base it used the first time.
-        prior = [v for v in self._versions() if v < batch_id]
+        prior = [v for v in vs if v < batch_id]
         merged = merge_summaries(self._snapshot(spark, prior[-1]), part) if prior else part
         merged.write.mode("overwrite").parquet(f"{self.summary_path}/v={batch_id}")
-        for v in prior[: -self.retain] if len(prior) > self.retain else []:
-            import shutil
-
-            shutil.rmtree(f"{self.summary_path}/v={v}", ignore_errors=True)
+        if len(prior) > self.retain:
+            fs, _, jvm = self._fs(spark)
+            for v in prior[: -self.retain]:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{self.summary_path}/v={v}"), True
+                )

@@ -507,3 +507,39 @@ def test_grouped_exact_quantiles_matches_percentile(spark):
     assert set(got) == {(g,) for g in want}
     for g, vs in got.items():
         assert all(abs(a - b) < 1e-9 for a, b in zip(vs, want[g[0]]))
+
+
+def test_video_malformed_stream_degrades_not_fails(spark):
+    """A truncated/garbage-trailing 'P6' payload must degrade per-row
+    (features → deterministic stub; extract_frames → skip that video
+    entirely, no partial frames), never fail the task."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _video_features_stub,
+        encode_ppm_stream,
+        extract_frames,
+        video_features,
+    )
+
+    frames = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (5, 9)]
+    good = encode_ppm_stream(frames)
+    truncated = good[:-5]          # torn final frame
+    trailer = good + b"garbage!"   # valid frames + junk tail
+    for bad in (truncated, trailer, b"P6 nonsense"):
+        f = video_features(bad)
+        assert len(f) == 16
+        assert list(f) == list(_video_features_stub(bad))  # deterministic
+    media = spark.createDataFrame(
+        [
+            ("ok", "video", bytearray(good), 2, 2, 1000),
+            ("torn", "video", bytearray(truncated), 2, 2, 1000),
+            ("tail", "video", bytearray(trailer), 2, 2, 1000),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = extract_frames(media, every_n=1).collect()
+    # only the intact video yields frames; torn/tail contribute NO rows
+    assert sorted({r.media_id for r in out}) == ["ok"]
+    assert [r.frame_index for r in sorted(out, key=lambda r: r.frame_index)] == [0, 1]

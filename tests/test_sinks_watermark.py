@@ -326,3 +326,29 @@ def test_summary_sink_streaming_mv(spark, tmpdirs):
     got2 = {r.k: r for r in sink2.current(spark).collect()}
     for k in direct:
         assert got2[k].m_sum == direct[k].m_sum, k
+
+
+def test_summary_sink_fresh_checkpoint_fails_fast(spark, tmpdirs):
+    """A fresh checkpoint (batch ids reset to 0) pointed at a USED
+    summary_path must fail loudly, not silently serve the stale old
+    snapshot; replaying the true last batch (id == existing max) stays
+    legal; Hadoop-FS discovery sees the same versions os.listdir did."""
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.sinks import SummarySink
+
+    d, _, _ = tmpdirs
+    sink = SummarySink(f"{d}/summary_reset", keys=["k"], measure="price")
+    mk = lambda rows: spark.createDataFrame(rows, "k string, price decimal(18,2)")
+    for i in range(3):
+        sink(mk([("a", Decimal("1.00"))]), i)
+    assert sink._versions(spark) == [0, 1, 2]
+    # legal: at-least-once replay of the last batch
+    sink(mk([("a", Decimal("1.00"))]), 2)
+    # illegal: fresh checkpoint restarts ids at 0 against existing v=1,2
+    with _pytest.raises(RuntimeError, match="fresh checkpoint"):
+        sink(mk([("a", Decimal("9.99"))]), 0)
+    # retained summary still serves the correct (pre-reset) state
+    assert sink.current(spark).collect()[0].m_sum == Decimal("3.00")
