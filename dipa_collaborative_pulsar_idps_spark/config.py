@@ -74,6 +74,14 @@ class ScaleConfig:
     minhash_num_perm: int = 16
     minhash_bands: int = 8
     minhash_rows_per_band: int = 2
+    # n-gram near-dup production banding: recall at Jaccard t is
+    # 1-(1-t^4)^8 — ≈0.985 at t=0.8 (the near-dup regime), while the
+    # low-J collision tail that floods the r=1 exact-parity blocker is
+    # suppressed by the 4-row AND within each band.
+    ngram_num_perm: int = 32
+    ngram_bands: int = 8
+    ngram_rows_per_band: int = 4
+    ngram_near_dup_threshold: float = 0.8
     ann_n_planes: int = 8
     ann_probe_radius: int = 2
     pair_lsh_n_planes: int = 8

@@ -200,13 +200,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dial when exactness is not contractual. False positives are impossible
     (every candidate exact-verified, same-lang block applied); result
     matches the brute-force oracle at every checked SF."""
+    return _verified_jaccard_pairs(
+        spark, sf_dir, num_perm=32, bands=32, rows_per_band=1, threshold=0.2
+    )
+
+
+def _verified_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    num_perm: int,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared MinHash-block → cheap-gate → exact-verify pipeline behind
+    both the exact-parity (r=1) and production-banded (r>1) n-gram
+    near-dup queries. Output (doc_a, doc_b, jaccard ≥ threshold); every
+    emitted pair is exact-verified, so banding only affects RECALL."""
     from ..functions.dedup import lsh_candidate_pairs, minhash_signatures
 
     t = Tables(spark, sf_dir)
     docs = t.documents
     sh = _shingles(spark, sf_dir)
-    sigs = minhash_signatures(sh, num_perm=32)  # empty-shingle drop is internal now
-    cands = lsh_candidate_pairs(sigs, bands=32, rows_per_band=1)
+    sigs = minhash_signatures(sh, num_perm=num_perm)  # empty-shingle drop is internal
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     # Cheap gates BEFORE the array payload: join only (lang, shingle count)
     # per side — a few bytes vs whole shingle arrays — and drop pairs that
     # (a) cross the lang block (~(1-1/n_langs) of candidates on a mixed
@@ -238,7 +256,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .where(
             F.least("n_a", "n_b").cast("double") / F.greatest("n_a", "n_b")
-            >= F.lit(0.2)
+            >= F.lit(threshold)
         )
         .select("id_a", "id_b")
     )
@@ -255,7 +273,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").alias("doc_b"),
             jac.alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.2)
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@query("ngram_jaccard_banded", survey="ext-dedup")
+def ngram_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION n-gram near-dup: real LSH banding (b bands × r rows,
+    defaults 8×4 from `config.ScaleConfig`) over the same word-3-gram
+    MinHash signatures, exact-Jaccard verification at the near-dup
+    threshold (0.8). This is the dial a pretraining pipeline runs at
+    100 TB: the 4-row AND inside each band suppresses the low-J collision
+    tail that the exact-parity r=1 blocker must tolerate (its contract is
+    EXACT oracle equality down to J=0.2), so candidate mass collapses to
+    a sliver of the quadratic pair space while recall at J≥0.8 stays
+    1-(1-0.8⁴)⁸ ≈ 0.985. No SQL oracle BY DESIGN (banding is
+    probabilistic recall); its certifier is `ngram_jaccard_pairs` — every
+    emitted pair also appears there with the identical exact jaccard
+    (false positives are impossible: same verification), and the planted
+    recall ≥0.9 + candidate-mass < 20%-of-quadratic contracts are pinned
+    by tests/test_dedup.py at 20k docs."""
+    from ..config import SCALE
+
+    return _verified_jaccard_pairs(
+        spark,
+        sf_dir,
+        num_perm=SCALE.ngram_num_perm,
+        bands=SCALE.ngram_bands,
+        rows_per_band=SCALE.ngram_rows_per_band,
+        threshold=SCALE.ngram_near_dup_threshold,
     )
 
 

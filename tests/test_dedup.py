@@ -588,3 +588,27 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     a = {r.doc_id: list(r.tokens) for r in bpe_encode(df, merges).collect()}
     b = {r.doc_id: list(r.tokens) for r in bpe_encode(df, back).collect()}
     assert a == b
+
+
+def test_banded_ngram_is_verified_subset_of_exact(spark, sf_dir):
+    """Every pair the banded production query emits must appear in the
+    exact-parity twin with the IDENTICAL exact jaccard (banding can only
+    lose recall, never invent or mis-score a pair), and every emitted
+    jaccard clears the near-dup threshold."""
+    from dipa_collaborative_pulsar_idps_spark.config import SCALE
+    from dipa_collaborative_pulsar_idps_spark.queries import REGISTRY
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import _load_all
+
+    _load_all()
+    banded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["ngram_jaccard_banded"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert set(banded) <= set(exact)
+    for k, j in banded.items():
+        assert j >= SCALE.ngram_near_dup_threshold
+        assert abs(j - exact[k]) < 1e-12
