@@ -177,6 +177,27 @@ def pq_search_adc(
     )
 
 
+def pq_search_adc_chunked(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    chunk_size: int = _MAX_QUERY_BATCH,
+) -> DataFrame:
+    """ADC serving for query sets LARGER than ``_MAX_QUERY_BATCH``: the
+    chunking driver around :func:`pq_search_adc` (bounded batches through
+    ``similarity.chunked_search``, per-chunk top-k unioned — exact because
+    chunk query sets are disjoint). Each chunk rescans the code column
+    (m bytes/row); persist ``encoded`` before calling when serving many
+    chunks so the scan is a cache read."""
+    from .similarity import chunked_search
+
+    chunk_size = min(chunk_size, _MAX_QUERY_BATCH)
+    return chunked_search(
+        queries, lambda q: pq_search_adc(encoded, codebooks, q, k), chunk_size
+    )
+
+
 def ivfpq_search(
     assigned: DataFrame,
     centroids: DataFrame,

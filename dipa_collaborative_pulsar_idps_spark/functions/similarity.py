@@ -72,6 +72,41 @@ def cosine_scores(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
+def chunked_search(queries: DataFrame, search_fn, chunk_size: int = 4096) -> DataFrame:
+    """Serve an arbitrarily large query set through a bounded-batch search
+    function without caller-side plumbing: stream the query rows to the
+    driver (``toLocalIterator`` — one partition resident at a time), slice
+    into ≤ ``chunk_size`` batches, run ``search_fn(chunk_df)`` per batch,
+    and union the per-chunk results. Per-query top-k is chunk-local AND
+    globally exact because chunk query sets are disjoint — the union IS
+    the full answer, no re-ranking needed.
+
+    ``search_fn`` is any (queries: DataFrame) -> DataFrame search — the
+    PQ ADC scan (whose LUT is built from a driver-collected batch and
+    therefore needs the bound), or the LSH/IVF paths when their broadcast
+    query side should be kept small. Driver memory is O(chunk_size) query
+    rows plus each chunk's closure state; the corpus-side cost is one scan
+    per chunk, so persist the corpus/codes frame across chunks when
+    serving many."""
+    spark = queries.sparkSession
+    schema = queries.schema
+    out, buf = None, []
+
+    def flush(buf):
+        nonlocal out
+        res = search_fn(spark.createDataFrame(buf, schema))
+        out = res if out is None else out.unionByName(res)
+
+    for row in queries.toLocalIterator():  # bounded: ≤ chunk_size rows buffered
+        buf.append(row)
+        if len(buf) >= chunk_size:
+            flush(buf)
+            buf = []
+    if buf or out is None:
+        flush(buf)
+    return out
+
+
 def topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -612,3 +612,48 @@ def test_banded_ngram_is_verified_subset_of_exact(spark, sf_dir):
     for k, j in banded.items():
         assert j >= SCALE.ngram_near_dup_threshold
         assert abs(j - exact[k]) < 1e-12
+
+
+def test_pq_chunked_serving_matches_manual_chunks(spark, sf_dir):
+    """Serving 4× the ADC query-batch bound through the chunking driver
+    must return EXACTLY what 4 manual bounded calls return (disjoint
+    query sets ⇒ per-chunk top-k union is the global answer), while the
+    unchunked entry point still refuses the oversized batch loudly."""
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        _MAX_QUERY_BATCH,
+        pq_encode,
+        pq_search_adc,
+        pq_search_adc_chunked,
+        train_pq,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+    emb = _corpus(spark, sf_dir)
+    cb = train_pq(emb, dim=64, m=8, ksub=16)
+    enc = pq_encode(emb, cb).persist()
+    n_q = 4 * _MAX_QUERY_BATCH
+    queries = (
+        spark.range(n_q)
+        .select(F.col("id").alias("query_id"), F.pmod("id", F.lit(500)).alias("vec_id"))
+        .join(emb, "vec_id")
+        .select("query_id", F.col("e").alias("qe"))
+    ).persist()
+
+    with _pytest.raises(ValueError, match="chunk the serving batch"):
+        pq_search_adc(enc, cb, queries, k=3).collect()
+
+    def key(rows):
+        return {(r.query_id, r.rk): (r.neighbor_id, round(r.cosine, 12)) for r in rows}
+
+    got = key(pq_search_adc_chunked(enc, cb, queries, k=3).collect())
+    want = {}
+    for c in range(4):
+        lo, hi = c * _MAX_QUERY_BATCH, (c + 1) * _MAX_QUERY_BATCH
+        chunk = queries.where((F.col("query_id") >= lo) & (F.col("query_id") < hi))
+        want.update(key(pq_search_adc(enc, cb, chunk, k=3).collect()))
+    enc.unpersist()
+    queries.unpersist()
+    assert len(got) == n_q * 3
+    assert got == want
