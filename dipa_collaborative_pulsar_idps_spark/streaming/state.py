@@ -156,6 +156,7 @@ def alert_state_machine(
     cfg: DetectionConfig = DEFAULT,
     idle_timeout_ms: int | None = None,
     n_shards: int = 64,
+    emit_state_size: bool = False,
 ) -> DataFrame:
     """Per-source alert lifecycle: suspected → ALERT after
     ``cfg.sustained_count`` consecutive hot polls; ALERT → ESCALATE
@@ -174,6 +175,13 @@ def alert_state_machine(
     shard (entries idle past the horizon are pruned before processing) —
     never ProcessingTimeTimeout, which re-arms forever and hangs
     Trigger.AvailableNow harnesses.
+
+    ``emit_state_size=True`` adds one observability row per shard per
+    batch — (``__shard=<n>``, event=``STATE_SIZE``, batch max ts,
+    streak=tracked keys AFTER TTL pruning) — so soak tests/monitors can
+    assert the state stays bounded instead of trusting the TTL. The
+    sharded layout makes the engine-level ``numRowsTotal`` metric read
+    n_shards regardless of key count; this probe is the honest signal.
     """
     out_schema = f"{key_col} string, event string, event_ts timestamp, streak int"
     state_schema = (
@@ -229,6 +237,8 @@ def alert_state_machine(
                     events.append((k_, "CLEAR", ts_a[s + p - 1], calm + p))
                 calm, streak = calm + ln, 0
             smap[k_] = [int(streak), int(calm), bool(alerted), bool(escalated), int(us_a[s + ln - 1])]
+        if emit_state_size:
+            events.append((f"__shard={key[0]}", "STATE_SIZE", ts_a.max(), len(smap)))
         state.update(
             (
                 list(smap.keys()),

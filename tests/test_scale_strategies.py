@@ -613,3 +613,135 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rocksdb_soak_alert_lifecycle_state_stays_bounded(spark):
+    """SOAK: the I16 keyed alert lifecycle on the RocksDB state store
+    across 50 micro-batches and 108k cumulative keys with event-time TTL.
+    Contracts: (a) every key with >= sustained_count consecutive hot
+    polls ALERTs exactly once (100k ALERTs), (b) tracked state is
+    EVICTED, not monotone — the per-batch state-size probe peaks at the
+    active-window size (~22k keys: 10k live + <=6 poll-intervals of TTL
+    lag), a fraction of the 108k cumulative key space."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    import time
+
+    from dipa_collaborative_pulsar_idps_spark.session import enable_rocksdb_state
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import alert_state_machine
+
+    n_batches, window, step = 50, 10_000, 2_000
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    d = tempfile.mkdtemp(prefix="dipa_soak_")
+    try:
+        enable_rocksdb_state(spark)
+        t0 = dt.datetime(2024, 1, 1)
+        for b in range(n_batches):
+            (
+                spark.range(b * step, b * step + window)
+                .select(
+                    F.lit(t0 + dt.timedelta(seconds=2 * b)).alias("poll_ts"),
+                    F.concat(F.lit("k"), F.col("id")).alias("src"),
+                    F.lit(True).alias("hot"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(d)
+            )
+            time.sleep(0.03)  # distinct mtimes -> deterministic replay order
+        stream = replay_stream(
+            spark, d, "poll_ts timestamp, src string, hot boolean"
+        )
+        out = alert_state_machine(
+            stream,
+            idle_timeout_ms=12_000,  # 6 poll intervals
+            emit_state_size=True,
+        )
+        q = run_to_memory(out, "soak_alerts")
+        n_micro = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        rows = spark.table("soak_alerts").collect()
+        alerts = [r for r in rows if r.event == "ALERT"]
+        sizes = [r for r in rows if r.event == "STATE_SIZE"]
+        # (a) correctness at soak scale: keys 8000..99999 get exactly
+        # sustained_count=5 consecutive hot polls -> exactly one ALERT
+        # each (edge keys <8000 / >=100000 see <=4 polls: soak start/end)
+        assert len(alerts) == 92_000
+        assert len({r.src for r in alerts}) == 92_000
+        assert all(r.streak == 5 for r in alerts[:1000])
+        # (b) bounded state: sum probe sizes per batch timestamp
+        per_batch = {}
+        for r in sizes:
+            per_batch[r.event_ts] = per_batch.get(r.event_ts, 0) + r.streak
+        assert len(per_batch) >= 50, f"only {len(per_batch)} probed batches ({n_micro} micro-batches)"
+        series = [v for _, v in sorted(per_batch.items())]
+        assert max(series) <= 30_000, f"state not bounded: peak {max(series)}"
+        # eviction actually happened: by the end 108k distinct keys have
+        # entered the operator but <= 30k remain tracked — >= 78k TTL
+        # evictions; without the TTL the series would climb to 108k.
+        assert 108_000 - series[-1] >= 78_000
+        # steady state is a PLATEAU (arrivals == evictions per batch),
+        # not growth: the back half of the soak stays flat within noise
+        mid = len(series) // 2
+        assert max(series[mid:]) <= min(series[mid:]) + step, series[mid:]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_three_column_golden_and_pruning(spark, tmp_path):
+    """The Morton interleave is generic in k: golden bit positions for
+    k=3 (bit j of column c at position j*3+c), and a 3-dim layout gives
+    every file a tight box on ALL THREE columns — a 10% band predicate
+    on the 2nd or 3rd dimension skips most files where the linear
+    lead-column sort skips none."""
+    import pyarrow.parquet as pq
+
+    from dipa_collaborative_pulsar_idps_spark.storage import write_zordered, zorder_key
+
+    g = spark.createDataFrame([(0b10, 0b01, 0b11)], "x long, y long, z long").select(
+        zorder_key(["x", "y", "z"], bits=2).alias("m")
+    )
+    # x=10 -> bits {3}, y=01 -> bits {1}, z=11 -> bits {2,5} => 0b101110 = 46
+    assert g.first().m == 0b101110 == 46
+
+    n, files = 64_000, 64
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000))).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000))).alias("y"),
+        (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(1000))).alias("z"),
+    )
+    lin, zor = str(tmp_path / "linear3"), str(tmp_path / "zorder3")
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(lin)
+    write_zordered(df, zor, ["x", "y", "z"], n_files=files)
+
+    def hits(path, col, a, b):
+        out = 0
+        for f in (tmp_path / path).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                for ci in range(grp.num_columns):
+                    c = grp.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if not (hi < a or lo > b):
+                out += 1
+        return out
+
+    for band_col in ("y", "z"):
+        assert hits("linear3", band_col, 100, 199) == files  # lead sort: no skip
+        assert hits("zorder3", band_col, 100, 199) <= files // 2, band_col
+    # the lead column still prunes well under z-order too
+    assert hits("zorder3", "x", 100, 199) <= files // 2
