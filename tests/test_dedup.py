@@ -657,3 +657,48 @@ def test_pq_chunked_serving_matches_manual_chunks(spark, sf_dir):
     queries.unpersist()
     assert len(got) == n_q * 3
     assert got == want
+
+
+def test_chunked_search_generic_over_lsh_and_ivf(spark, sf_dir):
+    """chunked_search is search-function-agnostic: slicing the query set
+    through the hyperplane-LSH and IVF paths returns exactly the
+    one-shot result (disjoint chunks ⇒ union of per-chunk top-k is the
+    global answer for any per-query search)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        build_ivf_index,
+        ivf_search,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+        ann_topk_lsh,
+        chunked_search,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+    def key(rows):
+        return {(r.query_id, r.rk): r.neighbor_id for r in rows}
+
+    one = key(ann_topk_lsh(corpus, queries, dim=64, k=3).collect())
+    many = key(
+        chunked_search(
+            queries, lambda q: ann_topk_lsh(corpus, q, dim=64, k=3), chunk_size=16
+        ).collect()
+    )
+    assert one == many and len(one) >= 48
+
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=8)
+    assigned = assigned.persist()
+    one_ivf = key(ivf_search(assigned, centroids, queries, k=3).collect())
+    many_ivf = key(
+        chunked_search(
+            queries,
+            lambda q: ivf_search(assigned, centroids, q, k=3),
+            chunk_size=16,
+        ).collect()
+    )
+    assigned.unpersist()
+    assert one_ivf == many_ivf and len(one_ivf) >= 48
