@@ -582,3 +582,89 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(contrib), 6).alias("bm25"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2019): score each document
+# by a corpus language model, split the corpus into head/middle/tail
+# perplexity terciles, keep the head for pretraining. The published recipe
+# uses a KenLM 5-gram; the engine ships the unigram form (the model choice
+# is a plug — the pipeline shape is identical: model lookup join + per-doc
+# mean log-prob + global tercile boundaries).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    survey="ext-curation,D4",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS n FROM toks),
+doc AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(v.cnt / total.n)), 6) AS avg_logprob
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+    GROUP BY t.doc_id
+),
+b AS (
+    SELECT PERCENTILE_CONT(1.0/3) WITHIN GROUP (ORDER BY avg_logprob) AS b1,
+           PERCENTILE_CONT(2.0/3) WITHIN GROUP (ORDER BY avg_logprob) AS b2
+    FROM doc
+)
+SELECT doc_id, n_tokens, avg_logprob,
+       CASE WHEN avg_logprob >= b.b2 THEN 'head'
+            WHEN avg_logprob >= b.b1 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM doc, b
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-prob + head/middle/tail tercile buckets.
+
+    100 TB shape: the model is built from the corpus itself in two narrow
+    aggregations (per-(doc, token) tf — which also shrinks the model
+    lookup join to distinct doc-terms — and the global vocab counts);
+    the tercile boundaries come from `operators/selection.exact_quantiles`
+    over the per-doc score frame (distributed selection — NOT the
+    single-buffer percentile aggregate), landing as two literal doubles
+    so bucket assignment is map-side codegen. Scores are rounded to 6
+    decimals BEFORE the boundary computation on BOTH engines, so the
+    tercile inputs are bit-identical and the interpolated boundaries
+    (same (n-1)·q formula, certified in test_operators) cannot straddle
+    an engine ulp. The score frame is persisted: the selection pass and
+    the final projection share one computation of the tf⋈model join."""
+    from ..operators.selection import exact_quantiles
+
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    inst = t.documents.select("doc_id", F.explode(toks).alias("tok"))
+    tf = inst.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = inst.agg(F.count(F.lit(1)).alias("n"))
+    lnp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.ln(F.col("cnt") / F.col("n")).alias("lnp")
+    )
+    doc = (
+        tf.join(lnp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("lnp")) / F.sum("tf"), 6
+            ).alias("avg_logprob"),
+        )
+        .persist()
+    )
+    b1, b2 = exact_quantiles(doc, "avg_logprob", [1 / 3, 2 / 3])
+    bucket = (
+        F.when(F.col("avg_logprob") >= b2, "head")
+        .when(F.col("avg_logprob") >= b1, "middle")
+        .otherwise("tail")
+    )
+    return doc.select("doc_id", "n_tokens", "avg_logprob", bucket.alias("ppl_bucket"))
