@@ -317,7 +317,11 @@ def test_percentile_queries_have_no_single_buffer_aggregate(spark, sf_dir):
     executor-OOM at 100 TB, and must not appear anywhere in either
     declared plan. (`F.percentile` survives only in tests and in the
     DuckDB oracle strings.)"""
-    for name in ("exact_price_percentiles", "equi_depth_price_histogram"):
+    for name in (
+        "exact_price_percentiles",
+        "equi_depth_price_histogram",
+        "ccnet_perplexity_buckets",
+    ):
         df = REGISTRY[name].fn(spark, sf_dir)
         txt = plan_text(df)
         assert "percentile" not in txt.lower(), f"{name} still buffers:\n{txt}"
