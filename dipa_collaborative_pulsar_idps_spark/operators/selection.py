@@ -17,11 +17,11 @@ boundary values below it — so the count branch and the selection branch
 agree by construction no matter how Catalyst lays out the exchanges
 (earlier drafts leaned on ``spark.sql.exchange.reuse`` to keep two
 ``repartitionByRange`` branches consistent; that was a silent-wrong-
-answer hazard with reuse disabled). Boundaries come from a distributed
-Greenwald–Khanna sketch (``approxQuantile``) and only need to be
-*balanced*, not exact — exactness comes from the counts and the final
-index lookup. Ties are safe: row_number breaks them arbitrarily but the
-VALUE at any global sorted index is unique by definition.
+answer hazard with reuse disabled). Boundaries come from a bounded
+value-hash sample and only need to be *balanced*, not exact — exactness
+comes from the counts and the final index lookup. Ties are safe:
+row_number breaks them arbitrarily but the VALUE at any global sorted
+index is unique by definition.
 
 Interpolation uses ``lo + frac·(hi − lo)`` with ``frac`` exactly
 representable (it is ((n−1)·q) − floor(·)), the same formula Spark's
@@ -38,17 +38,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _range_ids(df: DataFrame, col: str, n_parts: int):
+def _range_ids(df: DataFrame, col: str, n_parts: int, seed: int = 42):
     """Attach a ``pid`` column: how many explicit boundary values sit
     strictly below ``col``. Monotone non-decreasing in the value, so a
     sort by (pid, value) IS the global sort — independent of physical
-    partitioning. Returns (tagged_df, n_ranges)."""
-    probs = [i / n_parts for i in range(1, n_parts)]
-    bounds = sorted(set(df.approxQuantile(col, probs, 0.01)))
+    partitioning. Returns (tagged_df, n_ranges).
+
+    Boundaries come from a value-hash TakeOrdered sample (~64 points per
+    boundary, one cheap heap job — no count needed, layout-independent,
+    and far cheaper than a full Greenwald–Khanna sketch pass); they only
+    need to BALANCE the ranges, exactness comes from the downstream
+    counts + index lookup. The pid expression is a sum of codegen'd
+    comparisons, NOT a higher-order array filter — HOFs are
+    CodegenFallback (interpreted per element), which made this the
+    dominant cost at n_parts=64 before."""
+    import functools
+
+    cap = 64 * n_parts
+    s = sorted(
+        r[0]
+        for r in df.select(col)
+        .orderBy(F.xxhash64(F.col(col), F.lit(seed)))
+        .limit(cap)
+        .collect()  # bounded-collect: ≤ cap sample values (TakeOrdered heap)
+    )
+    bounds = sorted({s[len(s) * i // n_parts] for i in range(1, n_parts)}) if s else []
     if not bounds:
         return df.withColumn("pid", F.lit(0)), 1
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    pid = F.size(F.filter(arr, lambda b: b < F.col(col)))
+    pid = functools.reduce(
+        lambda a, b: a + b,
+        [(F.col(col) > F.lit(float(b))).cast("int") for b in bounds],
+    )
     return df.withColumn("pid", pid), len(bounds) + 1
 
 
@@ -66,32 +86,52 @@ def exact_quantiles(
     """PERCENTILE_CONT(q) for each q in ``qs`` over ``df[col]``
     (non-null values), returned as driver-side floats (|qs| numbers —
     this is an aggregate result, not a dataset)."""
+    from pyspark import StorageLevel
+
     vals = df.select(F.col(col).alias("p")).where(F.col("p").isNotNull())
+    # The (value, pid) frame is persisted so (a) the count and selection
+    # passes share ONE materialization of the pid expression — its
+    # n_parts-term comparison chain is cheap evaluated once per row but
+    # poisonous re-derived inside join keys / window partitions — and
+    # (b) the source is scanned twice total (boundary sample + cache
+    # fill), never per pass. One projected column + an int: a sliver of
+    # the table; MEMORY_AND_DISK spills rather than fails at scale.
     d, _ = _range_ids(vals, "p", n_parts)
-    counts = sorted(
-        (r.pid, r.c)
-        for r in d.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    )  # bounded-collect: ≤ n_parts rows
-    n = sum(c for _, c in counts)
-    if n == 0:
-        return [float("nan")] * len(qs)
-    offs, acc = {}, 0
-    for pid, c in counts:
-        offs[pid] = acc
-        acc += c
-    rs = [(n - 1) * q for q in qs]
-    need = sorted({i for r in rs for i in (math.floor(r), math.ceil(r))})
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offs.items() for x in kv]
-    )
-    wl = Window.partitionBy("pid").orderBy("p")
-    sel = (
-        d.withColumn("off", off_map[F.col("pid")])
-        .withColumn("gidx", F.col("off") + F.row_number().over(wl) - 1)
-        .where(F.col("gidx").isin([int(x) for x in need]))
-        .select("gidx", "p")
-    )
-    at = {int(r.gidx): float(r.p) for r in sel.collect()}  # bounded-collect: ≤ 2·|qs| rows
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = sorted(
+            (r.pid, r.c)
+            for r in d.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        )  # bounded-collect: ≤ n_parts rows
+        n = sum(c for _, c in counts)
+        if n == 0:
+            return [float("nan")] * len(qs)
+        offs, acc = {}, 0
+        for pid, c in counts:
+            offs[pid] = acc
+            acc += c
+        rs = [(n - 1) * q for q in qs]
+        need = sorted({i for r in rs for i in (math.floor(r), math.ceil(r))})
+        # only ranges that CONTAIN a needed sorted position pay the sort:
+        # ≤ 2·|qs| of the n_parts ranges survive this filter, so the
+        # selection pass sorts ~|need|/n_parts of the rows, not all.
+        hit = [
+            pid
+            for pid, c in counts
+            if any(offs[pid] <= i < offs[pid] + c for i in need)
+        ]
+        off_map = F.create_map(*[F.lit(x) for p_ in hit for x in (p_, offs[p_])])
+        wl = Window.partitionBy("pid").orderBy("p")
+        sel = (
+            d.where(F.col("pid").isin(hit))
+            .withColumn("off", off_map[F.col("pid")])
+            .withColumn("gidx", F.col("off") + F.row_number().over(wl) - 1)
+            .where(F.col("gidx").isin([int(x) for x in need]))
+            .select("gidx", "p")
+        )
+        at = {int(r.gidx): float(r.p) for r in sel.collect()}  # bounded-collect: ≤ 2·|qs| rows
+    finally:
+        d.unpersist()
     return _interp(rs, at)
 
 
@@ -109,10 +149,13 @@ def grouped_exact_quantiles(
     |groups|·n_parts count rows + 2·|qs|·|groups| value rows — the
     grouped-percentile *report* shape (low-cardinality reporting groups),
     NOT a per-key analytic. Returns {group_tuple: [quantiles]}."""
-    vals = df.select(
-        *group_cols, F.col(col).alias("p")
-    ).where(F.col("p").isNotNull())
+    from pyspark import StorageLevel
+
+    vals = df.select(*group_cols, F.col(col).alias("p")).where(
+        F.col("p").isNotNull()
+    )
     d, _ = _range_ids(vals, "p", n_parts)
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)  # pid materialized once (see exact_quantiles)
     counts = d.groupBy(*group_cols, "pid").agg(
         F.count(F.lit(1)).alias("c")
     ).collect()  # bounded-collect: |groups|·n_parts rows
@@ -156,4 +199,5 @@ def grouped_exact_quantiles(
     for r in sel.collect():  # bounded-collect: ≤ 2·|qs|·|groups| rows
         g = tuple(r[c] for c in group_cols)
         at.setdefault(g, {})[int(r.gidx)] = float(r.p)
+    d.unpersist()
     return {g: _interp(meta[g], at[g]) for g in per_group}

@@ -322,12 +322,16 @@ def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra join; per-bucket stats are one combined shuffle."""
     from ..operators.selection import exact_quantiles
 
+    import functools
+
     t = Tables(spark, sf_dir)
     qs = [i / 8 for i in range(1, _EQD_BUCKETS)]
     bs = exact_quantiles(t.lineitem, "l_extendedprice", qs)
-    arr = F.array(*[F.lit(float(b)) for b in bs])
-    bucket = F.size(
-        F.filter(arr, lambda b: F.col("l_extendedprice") > b)
+    # sum of codegen'd comparisons, not an array HOF (HOF lambdas are
+    # CodegenFallback — interpreted per element on every scanned row)
+    bucket = functools.reduce(
+        lambda a, b: a + b,
+        [(F.col("l_extendedprice") > F.lit(float(b))).cast("long") for b in bs],
     ).cast("long")
     return (
         t.lineitem.select("l_extendedprice")
