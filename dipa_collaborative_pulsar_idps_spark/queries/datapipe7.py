@@ -385,3 +385,56 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bpe_per_word"),
         )
     )
+
+
+_WPS_TARGET = 200  # expected sample size (Poisson design, not exact-k)
+_POW2_60 = float(1 << 60)
+
+
+@query(
+    "weighted_doc_sample",
+    survey="ext-curation,J14",
+    oracle=f"""
+WITH w AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS tot FROM documents)
+SELECT doc_id, n_chars,
+       ROUND(LEAST(1.0, {_WPS_TARGET} * CAST(n_chars AS DOUBLE) / w.tot), 9)
+           AS incl_p
+FROM documents, w
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS DOUBLE) / {1 << 60}
+      < LEAST(1.0, {_WPS_TARGET} * CAST(n_chars AS DOUBLE) / w.tot)
+""",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted Poisson corpus subsample with Horvitz-Thompson
+    inclusion probabilities: each document enters with
+    p = min(1, target·w/W) (w = n_chars, W = corpus total), the standard
+    importance-weighted thinning for training-mixture construction
+    (downstream estimates reweight by 1/p). Deterministic and
+    ENGINE-PORTABLE without an RNG: the uniform draw is an md5-derived
+    60-bit integer divided by 2^60 — and every arithmetic op in both the
+    draw and the threshold is IEEE-correctly-rounded (int→double cast,
+    *, /, a power-of-two divisor), so Spark and DuckDB evaluate the
+    inclusion predicate bit-identically (the same J14 seeded-hash move
+    as `contrastive_negative_pairs`, which needs only % — this one
+    certifies the double-precision path).
+
+    100 TB shape: one broadcast 1-row total + a map-side filter — no
+    shuffle, no driver data, no RNG state; the scan prunes to
+    (doc_id, n_chars)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "n_chars")
+    tot = docs.agg(F.sum("n_chars").cast("double").alias("tot"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = h.cast("double") / F.lit(_POW2_60)
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(_WPS_TARGET)) * F.col("n_chars").cast("double") / F.col("tot"),
+    )
+    return (
+        docs.join(F.broadcast(tot))
+        .where(u < p)
+        .select("doc_id", "n_chars", F.round(p, 9).alias("incl_p"))
+    )
