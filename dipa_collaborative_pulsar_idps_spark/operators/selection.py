@@ -141,6 +141,7 @@ def grouped_exact_quantiles(
     col: str,
     qs: list[float],
     n_parts: int = 64,
+    max_count_rows: int = 65_536,
 ) -> dict[tuple, list[float]]:
     """Per-group PERCENTILE_CONT via the same distributed-selection
     machinery: global boundary ranges (pid stays monotone in the value
@@ -148,7 +149,10 @@ def grouped_exact_quantiles(
     offsets, one index-lookup pass. Driver traffic is bounded by
     |groups|·n_parts count rows + 2·|qs|·|groups| value rows — the
     grouped-percentile *report* shape (low-cardinality reporting groups),
-    NOT a per-key analytic. Returns {group_tuple: [quantiles]}."""
+    NOT a per-key analytic; ``max_count_rows`` enforces that contract
+    LOUDLY (a high-cardinality key would otherwise flood the driver —
+    reach for percentile_approx per key instead).
+    Returns {group_tuple: [quantiles]}."""
     from pyspark import StorageLevel
 
     vals = df.select(*group_cols, F.col(col).alias("p")).where(
@@ -156,9 +160,19 @@ def grouped_exact_quantiles(
     )
     d, _ = _range_ids(vals, "p", n_parts)
     d = d.persist(StorageLevel.MEMORY_AND_DISK)  # pid materialized once (see exact_quantiles)
-    counts = d.groupBy(*group_cols, "pid").agg(
-        F.count(F.lit(1)).alias("c")
-    ).collect()  # bounded-collect: |groups|·n_parts rows
+    counts = (
+        d.groupBy(*group_cols, "pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(max_count_rows + 1)
+        .collect()
+    )  # bounded-collect: ≤ max_count_rows + 1, enforced below
+    if len(counts) > max_count_rows:
+        d.unpersist()
+        raise ValueError(
+            f"grouped_exact_quantiles saw > {max_count_rows} (group, range) "
+            "count rows — this operator is for low-cardinality reporting "
+            "groups; use percentile_approx for per-key quantiles"
+        )
     per_group: dict[tuple, list] = {}
     for r in counts:
         g = tuple(r[c] for c in group_cols)

@@ -85,8 +85,21 @@ class MitigationSink:
         return os.path.join(self.ledger_path, f"bucket={b}")
 
     def _ledger_buckets(self, spark, buckets: list[int]):
-        """Read only the touched buckets (pruned by the hive layout)."""
-        present = [b for b in buckets if os.path.isdir(self._bucket_dir(b))]
+        """Read only the touched buckets (pruned by the hive layout).
+
+        Existence goes through the Hadoop FileSystem API: an os.path
+        check sees nothing on HDFS/S3A, which would silently treat the
+        whole ledger as absent and REPLAY already-applied side effects —
+        the exactly-once contract's worst failure mode.
+        """
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.ledger_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        present = [
+            b
+            for b in buckets
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(self._bucket_dir(b)))
+        ]
         if not present:
             return None
         return spark.read.option("basePath", self.ledger_path).parquet(

@@ -543,3 +543,21 @@ def test_video_malformed_stream_degrades_not_fails(spark):
     # only the intact video yields frames; torn/tail contribute NO rows
     assert sorted({r.media_id for r in out}) == ["ok"]
     assert [r.frame_index for r in sorted(out, key=lambda r: r.frame_index)] == [0, 1]
+
+
+def test_grouped_exact_quantiles_rejects_high_cardinality(spark):
+    """The grouped selection is a low-cardinality REPORT aggregate: a
+    per-key-sized group column must fail loudly before flooding the
+    driver, not collect |keys|x|ranges| count rows."""
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.range(5_000).select(
+        F.col("id").cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with _pytest.raises(ValueError, match="low-cardinality"):
+        grouped_exact_quantiles(df, ["g"], "v", [0.5], max_count_rows=1_000)
