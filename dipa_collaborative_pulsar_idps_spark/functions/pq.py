@@ -126,6 +126,10 @@ def pq_search_adc(
         raise ValueError(
             f"query batch exceeds {_MAX_QUERY_BATCH}; chunk the serving batch"
         )
+    if not q_rows:  # empty serving batch (e.g. chunked_search on an empty set)
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int"
+        )
     q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.qe for r in q_rows], dtype=np.float64)  # (Q, d)
     q_norm = np.sqrt((q_mat**2).sum(1))

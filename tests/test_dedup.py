@@ -702,3 +702,26 @@ def test_chunked_search_generic_over_lsh_and_ivf(spark, sf_dir):
     )
     assigned.unpersist()
     assert one_ivf == many_ivf and len(one_ivf) >= 48
+
+
+def test_pq_and_chunked_search_handle_empty_query_set(spark, sf_dir):
+    """An empty serving batch returns an empty, correctly-typed result —
+    both directly and through the chunked driver's empty flush."""
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        pq_encode,
+        pq_search_adc,
+        pq_search_adc_chunked,
+        train_pq,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+    emb = _corpus(spark, sf_dir)
+    cb = train_pq(emb, dim=64, m=8, ksub=16)
+    enc = pq_encode(emb, cb)
+    empty = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    for fn in (pq_search_adc, pq_search_adc_chunked):
+        out = fn(enc, cb, empty, 3)
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rk"]
+        assert out.count() == 0
