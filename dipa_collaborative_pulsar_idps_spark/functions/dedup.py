@@ -139,6 +139,7 @@ def minhash_near_dup_pairs(
     num_perm: int = 16,
     bands: int = 8,
     rows_per_band: int = 2,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates + exact-Jaccard verification ≥ *threshold*.
 
@@ -149,8 +150,11 @@ def minhash_near_dup_pairs(
 
     The shingle sets feed three consumers (signatures + both verify sides)
     — persisted so the tokenize/shingle stage runs once, not three times.
-    MEMORY_AND_DISK: spills rather than recomputes at large scale."""
-    sh = shingle_sets(docs, id_col, text_col).persist()
+    MEMORY_AND_DISK: spills rather than recomputes at large scale. Pass an
+    already-persisted ``shingled`` frame to share one shingle build across
+    repeated calls / sibling queries (queries/datapipe2._shingles is the
+    session-memoized one for the documents table)."""
+    sh = shingled if shingled is not None else shingle_sets(docs, id_col, text_col).persist()
     sigs = minhash_signatures(sh, num_perm)  # empty-shingle drop is internal now
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))

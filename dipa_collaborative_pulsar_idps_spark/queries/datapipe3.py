@@ -42,9 +42,15 @@ WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) → LSH(16 bands × 2 rows) → exact-Jaccard ≥ 0.8.
     The oracle is the brute-force all-pairs scan; LSH replaces the O(n²)
-    join with a bucket join + verification at scale."""
+    join with a bucket join + verification at scale. The shingle frame is
+    the session-memoized one shared with the n-gram queries, so repeated
+    invocations skip the tokenize/shingle build."""
+    from .datapipe2 import _shingles
+
     t = Tables(spark, sf_dir)
-    return minhash_near_dup_pairs(t.documents, threshold=0.8)
+    return minhash_near_dup_pairs(
+        t.documents, threshold=0.8, shingled=_shingles(spark, sf_dir)
+    )
 
 
 @query(
