@@ -282,6 +282,21 @@ def _video_features_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+def _safe_features(kernel, payload: bytes) -> np.ndarray:
+    """Run a per-modality feature kernel with the malformed-payload
+    contract every modality shares (the video path's rule, applied
+    uniformly): a truncated/corrupt blob degrades THAT row to the
+    deterministic payload-derived stub instead of failing the whole
+    mapInPandas task — at 100 TB of scraped media, corrupt blobs are a
+    certainty, task-retry storms are the failure mode. Capability gates
+    (NotImplementedError: PIL-less JPEG, exotic WAV fmt) degrade the same
+    way here; callers wanting loud failures call the kernels directly."""
+    try:
+        return kernel(payload)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        return _video_features_stub(payload)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     """payload → fixed-dim feature vector via Arrow-batched mapInPandas.
 
@@ -296,7 +311,8 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                kernels[t](p).tolist() for p, t in zip(pdf["payload"], pdf["media_type"])
+                _safe_features(kernels[t], p).tolist()
+                for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
@@ -332,9 +348,15 @@ def media_feature_pipeline(media: DataFrame, width: int, height: int) -> DataFra
             feats, sizes = [], []
             for p, t in zip(pdf["payload"], pdf["media_type"]):
                 if t == "image":
-                    f, n = fused_image(p)
+                    # same degradation as resize_images ∘ extract_features:
+                    # a malformed image passes resize untouched and stubs,
+                    # so fused ≡ composed holds on corrupt blobs too
+                    try:
+                        f, n = fused_image(p)
+                    except (ValueError, NotImplementedError, struct.error, IndexError):
+                        f, n = _video_features_stub(p), len(p)
                 else:
-                    f, n = plain[t](p), len(p)
+                    f, n = _safe_features(plain[t], p), len(p)
                 feats.append(f.tolist())
                 sizes.append(n)
             yield pd.DataFrame(
@@ -352,21 +374,31 @@ def media_feature_pipeline(media: DataFrame, width: int, height: int) -> DataFra
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL image resize: decode → nearest-neighbor resample → PPM
     re-encode, inside the same bounded-memory mapInPandas shape. Non-image
-    rows pass through untouched."""
+    rows — and images whose payloads fail to decode (corrupt blob,
+    PIL-gated format) — pass through untouched: one bad blob must not
+    fail the task, and downstream feature extraction applies the same
+    stub degradation to it."""
     out_schema = MEDIA_SCHEMA
+
+    def _resize_or_keep(p: bytes) -> tuple[bytes, bool]:
+        try:
+            return encode_ppm(resize_nearest(decode_image(p), width, height)), True
+        except (ValueError, NotImplementedError, struct.error, IndexError):
+            return p, False
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             is_img = out["media_type"] == "image"
             if is_img.any():
-                resized = [
-                    encode_ppm(resize_nearest(decode_image(p), width, height))
-                    for p in out.loc[is_img, "payload"]
-                ]
-                out.loc[is_img, "payload"] = pd.Series(resized, index=out.index[is_img])
-                out.loc[is_img, "width"] = width
-                out.loc[is_img, "height"] = height
+                pairs = [_resize_or_keep(p) for p in out.loc[is_img, "payload"]]
+                idx = out.index[is_img]
+                out.loc[is_img, "payload"] = pd.Series(
+                    [p for p, _ in pairs], index=idx
+                )
+                ok = pd.Series([o for _, o in pairs], index=idx)
+                out.loc[idx[ok], "width"] = width
+                out.loc[idx[ok], "height"] = height
             yield out
 
     return media.mapInPandas(fn, out_schema)

@@ -561,3 +561,41 @@ def test_grouped_exact_quantiles_rejects_high_cardinality(spark):
     )
     with _pytest.raises(ValueError, match="low-cardinality"):
         grouped_exact_quantiles(df, ["g"], "v", [0.5], max_count_rows=1_000)
+
+
+def test_media_ops_degrade_on_corrupt_blobs(spark):
+    """One corrupt blob of ANY modality degrades its own row (stub
+    features / pass-through resize), never the task — and the fused
+    pipeline stays equivalent to resize ∘ extract on corrupt input."""
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _video_features_stub,
+        media_feature_pipeline,
+        resize_images,
+    )
+
+    rows = [
+        ("good", "image", bytearray(b"P6\n2 2\n255\n" + bytes(12)), 2, 2, None),
+        ("torn", "image", bytearray(b"P6\n9 9\n255\nxx"), 9, 9, None),  # truncated
+        ("png", "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\0" * 16), 4, 4, None),
+        ("wav", "audio", bytearray(b"RIFFxxxxWAVE"), None, None, 100),  # no fmt/data
+    ]
+    m = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(m).collect()}
+    assert len(feats) == 4  # no task failure, every row present
+    for bad in ("torn", "png", "wav"):
+        payload = bytes(dict((r[0], r[2]) for r in rows)[bad])
+        assert feats[bad].feature == list(_video_features_stub(payload))
+    assert feats["good"].feature[0] == 2.0  # real decode still real
+
+    resized = {r.media_id: r for r in resize_images(m, 4, 4).collect()}
+    assert bytes(resized["torn"].payload) == bytes(rows[1][2])  # untouched
+    assert resized["good"].width == 4 and resized["torn"].width == 9
+
+    fused = {r.media_id: r for r in media_feature_pipeline(m, 4, 4).collect()}
+    composed = {
+        r.media_id: r for r in extract_features(resize_images(m, 4, 4)).collect()
+    }
+    for mid in fused:
+        assert fused[mid].feature == composed[mid].feature, mid
+        assert fused[mid].n_bytes == composed[mid].n_bytes, mid
