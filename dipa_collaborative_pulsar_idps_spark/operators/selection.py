@@ -48,12 +48,13 @@ def _range_ids(df: DataFrame, col: str, n_parts: int, seed: int = 42):
     boundary, one cheap heap job — no count needed, layout-independent,
     and far cheaper than a full Greenwald–Khanna sketch pass); they only
     need to BALANCE the ranges, exactness comes from the downstream
-    counts + index lookup. The pid expression is a sum of codegen'd
-    comparisons, NOT a higher-order array filter — HOFs are
-    CodegenFallback (interpreted per element), which made this the
-    dominant cost at n_parts=64 before."""
-    import functools
-
+    counts + index lookup. The pid expression is a balanced BINARY-SEARCH
+    WHEN tree over the sorted boundaries: O(log n_parts) codegen'd
+    comparisons per row and an O(n_parts)-node expression — NOT a
+    higher-order array filter (HOFs are CodegenFallback: interpreted per
+    element, the dominant cost in an earlier draft) and NOT a linear
+    comparison chain (O(n_parts) per row, codegen-hostile past a few
+    hundred boundaries)."""
     cap = 64 * n_parts
     s = sorted(
         r[0]
@@ -65,11 +66,17 @@ def _range_ids(df: DataFrame, col: str, n_parts: int, seed: int = 42):
     bounds = sorted({s[len(s) * i // n_parts] for i in range(1, n_parts)}) if s else []
     if not bounds:
         return df.withColumn("pid", F.lit(0)), 1
-    pid = functools.reduce(
-        lambda a, b: a + b,
-        [(F.col(col) > F.lit(float(b))).cast("int") for b in bounds],
-    )
-    return df.withColumn("pid", pid), len(bounds) + 1
+
+    def search(lo: int, hi: int):
+        # pid candidates in [lo, hi]; pid(v) = #{j: bounds[j] < v}
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.col(col) > F.lit(float(bounds[mid])), search(mid + 1, hi)
+        ).otherwise(search(lo, mid))
+
+    return df.withColumn("pid", search(0, len(bounds))), len(bounds) + 1
 
 
 def _interp(rs: list[float], at: dict[int, float]) -> list[float]:

@@ -378,7 +378,8 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     res = grouped_exact_quantiles(
-        t.lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.95, 0.99]
+        t.lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.95, 0.99],
+        n_parts=32,  # right-sized for the bench corpus; raise with data scale
     )
     rows = [(g[0], v[0], v[1], v[2]) for g, v in sorted(res.items())]
     raw = spark.createDataFrame(

@@ -326,7 +326,7 @@ def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     qs = [i / 8 for i in range(1, _EQD_BUCKETS)]
-    bs = exact_quantiles(t.lineitem, "l_extendedprice", qs)
+    bs = exact_quantiles(t.lineitem, "l_extendedprice", qs, n_parts=32)
     # sum of codegen'd comparisons, not an array HOF (HOF lambdas are
     # CodegenFallback — interpreted per element on every scanned row)
     bucket = functools.reduce(
