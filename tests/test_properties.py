@@ -157,3 +157,36 @@ def test_shard_packing_invariant_to_range_width(spark, sf_dir, monkeypatch):
     }
     for width in (1, 7, 50_000):
         assert run(width) == baseline, f"width={width} changed shard packing"
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-1000, max_value=1000).map(float),
+            st.sampled_from([0.0, 1.0, 1.0, 2.5]),  # force heavy ties
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    qs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+    n_parts=st.sampled_from([2, 7, 16]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_quantiles_property_equals_percentile(spark, vals, qs, n_parts):
+    """Distributed selection ≡ Spark's exact percentile aggregate on
+    randomized data: arbitrary duplicates/ties, arbitrary quantile
+    positions, and range counts that don't divide the data evenly."""
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = exact_quantiles(df, "v", qs, n_parts=n_parts)
+    want = df.agg(
+        F.percentile("v", F.array(*[F.lit(q) for q in qs]))
+    ).collect()[0][0]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), (got, want)
