@@ -115,12 +115,28 @@ GROUP BY p_brand
 """,
 )
 def price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand exact percentiles via distributed selection
+    (`operators/selection.grouped_exact_quantiles`) — a few-group exact
+    `percentile` aggregate concentrates each group's ENTIRE value set in
+    one task buffer (n/|brands| rows: the same 100 TB OOM class as the
+    global form), so no declared plan runs it. min/max stay a plain
+    hash aggregate; the ≤|brands|-row quantile frame broadcasts back."""
+    from ..operators.selection import grouped_exact_quantiles
+
     t = Tables(spark, sf_dir)
-    return t.part.groupBy("p_brand").agg(
-        F.percentile("p_retailprice", 0.5).alias("median_price"),
-        F.percentile("p_retailprice", 0.9).alias("p90_price"),
+    base = t.part.groupBy("p_brand").agg(
         F.min("p_retailprice").alias("min_price"),
         F.max("p_retailprice").alias("max_price"),
+    )
+    qs = grouped_exact_quantiles(
+        t.part, ["p_brand"], "p_retailprice", [0.5, 0.9], n_parts=32
+    )
+    qdf = spark.createDataFrame(
+        [(g[0], v[0], v[1]) for g, v in qs.items()],
+        "p_brand string, median_price double, p90_price double",
+    )
+    return base.join(F.broadcast(qdf), "p_brand", "left").select(
+        "p_brand", "median_price", "p90_price", "min_price", "max_price"
     )
 
 

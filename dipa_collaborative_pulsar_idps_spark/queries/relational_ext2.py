@@ -181,11 +181,15 @@ def grouped_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would be flaky cross-engine AND cross-run, so the mode is a
     max_by over per-value counts instead).
 
-    100 TB note: exact median requires a per-group sort of distinct
-    values — Spark's percentile aggregation buffers per group; for
-    heavy groups the sketch twin (`approx_price_percentiles`) is the
-    production dial. Mode via counted max_by is two map-side-combined
+    100 TB note: the exact median runs through distributed selection
+    (`operators/selection.grouped_exact_quantiles`) — `F.median` is
+    sugar for the exact percentile aggregate, whose few-group buffers
+    hold n/|groups| values in ONE task each; the mergeable sketch
+    (`approx_price_percentiles`) stays the dial when exactness isn't
+    contractual. Mode via counted max_by is two map-side-combined
     aggregations, scale-safe."""
+    from ..operators.selection import grouped_exact_quantiles
+
     t = Tables(spark, sf_dir)
     counted = t.events.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
     modes = counted.groupBy("event_type").agg(
@@ -193,10 +197,22 @@ def grouped_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.struct(F.col("cnt"), (-F.col("value")).alias("nv"))
         ).alias("mode_value")
     )
-    med = t.events.groupBy("event_type").agg(
-        F.round(F.median("value"), 6).alias("median_value")
+    qs = grouped_exact_quantiles(
+        t.events, ["event_type"], "value", [0.5], n_parts=32
     )
-    return med.join(modes, "event_type")
+    med = spark.createDataFrame(
+        [(g[0], v[0]) for g, v in qs.items()],
+        "event_type string, median_raw double",
+    )
+    return (
+        F.broadcast(med)
+        .join(modes, "event_type")
+        .select(
+            "event_type",
+            F.round("median_raw", 6).alias("median_value"),
+            "mode_value",
+        )
+    )
 
 
 @query(

@@ -209,13 +209,32 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     a k-field struct multiplies scan CPU by the field count). Malformed
     documents become NULL variants instead of task failures
     (`try_parse_json`), mirroring the engine's ANSI-safe parsing stance
-    (I11). The oracle reads the same JSON with DuckDB's json_extract."""
+    (I11). The oracle reads the same JSON with DuckDB's json_extract.
+    The median of the extracted field runs through distributed selection
+    (grouped form — a few-group exact `percentile` buffers n/|groups|
+    values in one task at scale); a group whose documents all lack `k`
+    keeps its NULL median via the left join, matching PERCENTILE_CONT
+    over zero rows."""
+    from ..operators.selection import grouped_exact_quantiles
+
     t = Tables(spark, sf_dir)
     v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
-    return t.events.groupBy("event_type").agg(
+    base = t.events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count(k).alias("n_with_k"),
         F.sum(k).cast("long").alias("sum_k"),
-        F.round(F.percentile(k, F.lit(0.5)), 4).alias("p50_k"),
+    )
+    kd = t.events.select("event_type", k.cast("double").alias("kv"))
+    qs = grouped_exact_quantiles(kd, ["event_type"], "kv", [0.5], n_parts=32)
+    qdf = spark.createDataFrame(
+        [(g[0], vv[0]) for g, vv in qs.items()],
+        "event_type string, p50_raw double",
+    )
+    return base.join(F.broadcast(qdf), "event_type", "left").select(
+        "event_type",
+        "n",
+        "n_with_k",
+        "sum_k",
+        F.round("p50_raw", 4).alias("p50_k"),
     )

@@ -301,20 +301,37 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean; >> 1 says salt it / let AQE split it). Costs exactly the shuffle
     the join itself would pay (groupBy key) plus a key-count-sized reduce,
     so it's the cheap scouting pass before committing a 100 TB join plan.
-    The exact percentile over per-key frequencies is a single reduce over
-    n_keys rows — fine up to ~1e8 keys; past that swap in the mergeable
-    percentile_approx sketch (`approx_price_percentiles` pattern)."""
+    Frequency percentiles run through distributed selection
+    (`operators/selection.exact_quantiles`) — not the single-buffer
+    `percentile` aggregate, which would reduce EVERY per-key frequency
+    into one task (n_keys rows: exactly the blow-up this report exists
+    to detect). The one-row summary is assembled from the driver-side
+    aggregate values."""
+    from ..operators.selection import exact_quantiles
+
     t = Tables(spark, sf_dir)
     freqs = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq"))
-    return freqs.agg(
+    base = freqs.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("freq").alias("n_rows"),
         F.max("freq").alias("max_freq"),
-        F.round(F.percentile("freq", F.lit(0.5)), 4).alias("p50_freq"),
-        F.round(F.percentile("freq", F.lit(0.99)), 4).alias("p99_freq"),
-        F.round(F.avg("freq"), 4).alias("avg_freq"),
+        F.avg("freq").alias("avg_freq"),
+    ).first()
+    p50, p99 = exact_quantiles(freqs, "freq", [0.5, 0.99], n_parts=32)
+    raw = spark.createDataFrame(
+        [(base.n_keys, base.n_rows, base.max_freq, p50, p99, base.avg_freq)],
+        "n_keys bigint, n_rows bigint, max_freq bigint, "
+        "p50_raw double, p99_raw double, avg_raw double",
+    )
+    return raw.select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        F.round("p50_raw", 4).alias("p50_freq"),
+        F.round("p99_raw", 4).alias("p99_freq"),
+        F.round("avg_raw", 4).alias("avg_freq"),
         F.round(
-            F.max("freq") * F.count(F.lit(1)) / F.sum("freq").cast("double"), 4
+            F.col("max_freq") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
         ).alias("skew_ratio"),
     )
 

@@ -310,18 +310,21 @@ def test_contrastive_pairs_is_map_only_plus_broadcast(spark, sf_dir):
     assert_no_python_udf(df)
 
 
-def test_percentile_queries_have_no_single_buffer_aggregate(spark, sf_dir):
-    """The two declared exact-percentile queries must run the distributed-
-    selection path (`operators/selection`) — Spark's exact `percentile`
-    TypedImperativeAggregate buffers EVERY value in one final task, an
-    executor-OOM at 100 TB, and must not appear anywhere in either
-    declared plan. (`F.percentile` survives only in tests and in the
-    DuckDB oracle strings.)"""
-    for name in (
-        "exact_price_percentiles",
-        "equi_depth_price_histogram",
-        "ccnet_perplexity_buckets",
-    ):
-        df = REGISTRY[name].fn(spark, sf_dir)
-        txt = plan_text(df)
-        assert "percentile" not in txt.lower(), f"{name} still buffers:\n{txt}"
+def test_no_declared_plan_runs_single_buffer_percentile(spark, sf_dir):
+    """NO declared query may run Spark's exact `percentile` aggregate —
+    a TypedImperativeAggregate whose buffer holds every value of its
+    group (or of the whole column) in ONE task: an executor-OOM at
+    100 TB in both the global and the few-group form. Every exact
+    quantile in the surface goes through `operators/selection`
+    (distributed selection); `F.percentile` survives only in tests and
+    in the DuckDB oracle strings. The mergeable `percentile_approx`
+    sketch and the per-VALUE-group `median` of grouped_median_mode
+    (buffer bounded by group size, sketch twin documented) stay legal.
+    This is a full-surface sweep so a future query can't reintroduce
+    the pattern."""
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        txt = plan_text(spec.fn(spark, sf_dir))
+        if "percentile(" in txt:
+            offenders.append(name)
+    assert not offenders, f"single-buffer percentile in: {offenders}"
