@@ -225,8 +225,16 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(k).alias("n_with_k"),
         F.sum(k).cast("long").alias("sum_k"),
     )
-    kd = t.events.select("event_type", k.cast("double").alias("kv"))
-    qs = grouped_exact_quantiles(kd, ["event_type"], "kv", [0.5], n_parts=32)
+    # persist the projected (group, value) frame around the selection
+    # call: the variant parse is the expensive part of this query, and
+    # the boundary-sample + range-count passes would otherwise re-parse
+    # the JSON column once each (the selection result is a driver dict,
+    # so the cache can be released immediately after)
+    kd = t.events.select("event_type", k.cast("double").alias("kv")).persist()
+    try:
+        qs = grouped_exact_quantiles(kd, ["event_type"], "kv", [0.5], n_parts=32)
+    finally:
+        kd.unpersist()
     qdf = spark.createDataFrame(
         [(g[0], vv[0]) for g, vv in qs.items()],
         "event_type string, p50_raw double",
