@@ -328,3 +328,16 @@ def test_no_declared_plan_runs_single_buffer_percentile(spark, sf_dir):
         if "percentile(" in txt:
             offenders.append(name)
     assert not offenders, f"single-buffer percentile in: {offenders}"
+
+
+def test_weighted_sample_is_map_side_filter(spark, sf_dir):
+    """weighted_doc_sample must stay one broadcast 1-row total + a
+    map-side filter: no shuffle join, and the scan prunes to the two
+    columns the predicate needs."""
+    df = REGISTRY["weighted_doc_sample"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt, txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+    sched = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert sched and all("text" not in ln for ln in sched), sched  # pruned scans
+    assert_no_python_udf(df)
