@@ -180,3 +180,24 @@ def test_sql_twin_bm25(spark, sf_dir):
     )
     df = REGISTRY["bm25_retrieval"].fn(spark, sf_dir)
     assert _rows(sql.select(df.columns)) == _rows(df)
+
+
+def test_sql_twin_weighted_doc_sample(spark, sf_dir):
+    """The weighted Poisson subsample is plain Spark SQL too (md5/conv/
+    least are SQL functions) — and the IEEE-exact predicate means the SQL
+    string matches the DataFrame form row-for-row, not just statistically."""
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        WITH w AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS tot FROM documents)
+        SELECT doc_id, n_chars,
+               ROUND(LEAST(1.0D, 200 * CAST(n_chars AS DOUBLE) / w.tot), 9)
+                   AS incl_p
+        FROM documents, w
+        WHERE CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 15), 16, 10)
+                   AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)
+              < LEAST(1.0D, 200 * CAST(n_chars AS DOUBLE) / w.tot)
+        """
+    )
+    df = REGISTRY["weighted_doc_sample"].fn(spark, sf_dir)
+    assert _rows(sql.select(df.columns)) == _rows(df)
