@@ -105,6 +105,12 @@ def main() -> None:
         times = [run_once(name)]
         if times[0] <= REPEAT_CAP_S:
             times += [run_once(name) for _ in range(REPS - 1)]
+        elif times[0] <= 2 * REPEAT_CAP_S:
+            # noisy-box guard: a single sample just over the cap is the
+            # least trustworthy number on the board (round-3 grading spent
+            # a whole table re-timing exactly these) — one confirming
+            # repeat halves the spread for ~seconds of wall time.
+            times.append(run_once(name))
         timings[name] = round(statistics.median(times), 3)
 
     total = round(sum(timings[n] for n in headline), 3)
