@@ -56,10 +56,120 @@ HEADLINE = [
     "spend_last_30d_range_frame",
 ]
 
+#: Headline v2 (round 5): the legacy set PLUS one representative per
+#: heavy operator family added in r3/r4 (distributed selection, VARIANT,
+#: banded LSH, IVF-PQ ANN, perplexity bucketing, per-key quantiles) so a
+#: regression in the newest families moves a tracked total. The legacy
+#: HEADLINE total keeps printing unchanged for cross-round comparability.
+HEADLINE_V2_EXTRA = [
+    "variant_props_metrics",
+    "price_percentiles_by_brand",
+    "per_customer_spend_quantiles",
+    "exact_price_percentiles",
+    "ngram_jaccard_banded",
+    "ann_topk_ivfpq_neighbors",
+    "ccnet_perplexity_buckets",
+]
+
 #: A first run longer than this isn't repeated — its runtime is far above
 #: the ~0.1 s noise floor, and repeating would triple the bench wall time.
 REPEAT_CAP_S = 3.0
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def run_streaming_bench(spark) -> dict:
+    """One fixed-volume streaming measurement per round so BENCH_r* carries
+    a round-over-round streaming record, not just the pytest pass/fail.
+
+    Volumes match the tests/test_throughput.py contracts exactly (spine:
+    4 micro-batches × 50k rows over 8k flow keys; alert machine: 6 polls ×
+    100k keys), so the JSON numbers and the 2 s-poll-budget assertions
+    describe the same workload. First batch is warmup (state-store open,
+    codegen) and is excluded, as in the tests."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import replay_stream
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        alert_state_machine,
+        counter_delta_stream,
+    )
+
+    def steady(progress):
+        ps = [p for p in progress if p["numInputRows"] > 0]
+        return ps[1:] if len(ps) > 1 else ps
+
+    out: dict[str, float] = {}
+    d = tempfile.mkdtemp(prefix="dipa_bench_spine_")
+    try:
+        for b in range(4):
+            batch = spark.range(50_000).select(
+                (F.col("id") % 8_000).cast("string").alias("src"),
+                F.timestamp_micros(
+                    F.lit(1704067200000000) + F.lit(b * 2_000_000) + F.col("id")
+                ).alias("poll_ts"),
+                (F.lit(b) * 100 + F.col("id") % 7).alias("packet_count"),
+            )
+            batch.coalesce(4).write.mode("append").parquet(d)
+        stream = replay_stream(
+            spark, d, "src string, poll_ts timestamp, packet_count long"
+        )
+        deltas = counter_delta_stream(stream, ["src"], "packet_count", "poll_ts")
+        rates = deltas.select(
+            "src", "poll_ts", (F.col("delta") / 2.0).alias("pkt_rate")
+        ).where(F.col("pkt_rate") > 25.0)
+        q = (
+            rates.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        st = steady(q.recentProgress)
+        rows = sum(p["numInputRows"] for p in st)
+        ms = sum(p["batchDuration"] for p in st)
+        durs = sorted(p["batchDuration"] for p in st)
+        out["spine_rows_per_sec"] = round(rows / (ms / 1000.0), 1) if ms else 0.0
+        out["spine_p95_batch_ms"] = durs[min(len(durs) - 1, int(0.95 * len(durs)))]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    d = tempfile.mkdtemp(prefix="dipa_bench_asm_")
+    try:
+        n_keys = 100_000
+        for b in range(6):
+            batch = spark.range(n_keys).select(
+                F.col("id").cast("string").alias("src"),
+                F.timestamp_micros(
+                    F.lit(1704067200000000) + F.lit(b * 2_000_000) + F.col("id")
+                ).alias("poll_ts"),
+                (F.col("id") % 10 == 0).alias("hot"),
+            )
+            batch.coalesce(4).write.mode("append").parquet(d)
+        stream = replay_stream(spark, d, "src string, poll_ts timestamp, hot boolean")
+        events = alert_state_machine(stream, "src", "hot", "poll_ts")
+        q = (
+            events.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        st = steady(q.recentProgress)
+        keys = sum(p["numInputRows"] for p in st)  # one row per key per poll
+        ms = sum(p["batchDuration"] for p in st)
+        durs = sorted(p["batchDuration"] for p in st)
+        out["alert_machine_keys_per_sec"] = (
+            round(keys / (ms / 1000.0), 1) if ms else 0.0
+        )
+        out["alert_machine_p95_batch_ms"] = durs[
+            min(len(durs) - 1, int(0.95 * len(durs)))
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -68,6 +178,7 @@ def main() -> None:
     spark = get_spark("dipa-bench")
     qs = all_queries()
     headline = [n for n in HEADLINE if n in qs]
+    headline_v2 = headline + [n for n in HEADLINE_V2_EXTRA if n in qs]
     others = sorted(n for n in qs if n not in HEADLINE)
 
     def run_once(name: str) -> float:
@@ -114,6 +225,8 @@ def main() -> None:
         timings[name] = round(statistics.median(times), 3)
 
     total = round(sum(timings[n] for n in headline), 3)
+    total_v2 = round(sum(timings[n] for n in headline_v2), 3)
+    streaming = run_streaming_bench(spark)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Two lines, detail FIRST: the driver archives only the tail of stdout,
     # so the compact headline summary must come LAST to survive truncation
@@ -135,8 +248,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "headline_n": len(headline),
+                "headline_v2_total": total_v2,
+                "headline_v2_n": len(headline_v2),
                 "all_queries_total": round(sum(timings.values()), 3),
                 "n_queries": len(timings),
+                "streaming": streaming,
                 "sf": sf_val,
             }
         )

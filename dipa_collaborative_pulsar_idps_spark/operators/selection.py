@@ -167,58 +167,198 @@ def grouped_exact_quantiles(
     )
     d, _ = _range_ids(vals, "p", n_parts)
     d = d.persist(StorageLevel.MEMORY_AND_DISK)  # pid materialized once (see exact_quantiles)
-    counts = (
-        d.groupBy(*group_cols, "pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .limit(max_count_rows + 1)
-        .collect()
-    )  # bounded-collect: ≤ max_count_rows + 1, enforced below
-    if len(counts) > max_count_rows:
-        d.unpersist()
-        raise ValueError(
-            f"grouped_exact_quantiles saw > {max_count_rows} (group, range) "
-            "count rows — this operator is for low-cardinality reporting "
-            "groups; use percentile_approx for per-key quantiles"
+    try:
+        counts = (
+            d.groupBy(*group_cols, "pid")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .limit(max_count_rows + 1)
+            .collect()
+        )  # bounded-collect: ≤ max_count_rows + 1, enforced below
+        if len(counts) > max_count_rows:
+            raise ValueError(
+                f"grouped_exact_quantiles saw > {max_count_rows} (group, range) "
+                "count rows — this operator is for low-cardinality reporting "
+                "groups; use percentile_approx for per-key quantiles"
+            )
+        per_group: dict[tuple, list] = {}
+        for r in counts:
+            g = tuple(r[c] for c in group_cols)
+            per_group.setdefault(g, []).append((r.pid, r.c))
+        spark = df.sparkSession
+        need_rows, meta = [], {}
+        for g, pcs in per_group.items():
+            pcs.sort(key=lambda pc: pc[0])
+            n_g = sum(c for _, c in pcs)
+            offs, acc = {}, 0
+            for pid, c in pcs:
+                offs[pid] = acc
+                acc += c
+            rs = [(n_g - 1) * q for q in qs]
+            need = sorted({i for r in rs for i in (math.floor(r), math.ceil(r))})
+            meta[g] = rs
+            for pid, c in pcs:
+                lo, hi = offs[pid], offs[pid] + c
+                wanted = [i for i in need if lo <= i < hi]
+                if wanted:
+                    need_rows.append((*g, int(pid), int(lo), wanted))
+        schema_cols = d.select(*group_cols).schema
+        need_df = spark.createDataFrame(
+            need_rows,
+            schema=(
+                ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_cols)
+                + ", pid int, off bigint, want array<bigint>"
+            ),
         )
-    per_group: dict[tuple, list] = {}
-    for r in counts:
-        g = tuple(r[c] for c in group_cols)
-        per_group.setdefault(g, []).append((r.pid, r.c))
-    spark = df.sparkSession
-    need_rows, meta = [], {}
-    for g, pcs in per_group.items():
-        pcs.sort()
-        n_g = sum(c for _, c in pcs)
-        offs, acc = {}, 0
-        for pid, c in pcs:
-            offs[pid] = acc
-            acc += c
-        rs = [(n_g - 1) * q for q in qs]
-        need = sorted({i for r in rs for i in (math.floor(r), math.ceil(r))})
-        meta[g] = rs
-        for pid, c in pcs:
-            lo, hi = offs[pid], offs[pid] + c
-            wanted = [i for i in need if lo <= i < hi]
-            if wanted:
-                need_rows.append((*g, int(pid), int(lo), wanted))
-    schema_cols = d.select(*group_cols).schema
-    need_df = spark.createDataFrame(
-        need_rows,
-        schema=(
-            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_cols)
-            + ", pid int, off bigint, want array<bigint>"
-        ),
-    )
-    wl = Window.partitionBy(*group_cols, "pid").orderBy("p")
-    sel = (
-        d.join(F.broadcast(need_df), [*group_cols, "pid"])
-        .withColumn("gidx", F.col("off") + F.row_number().over(wl) - 1)
-        .where(F.array_contains("want", F.col("gidx")))
-        .select(*group_cols, "gidx", "p")
-    )
-    at: dict[tuple, dict[int, float]] = {}
-    for r in sel.collect():  # bounded-collect: ≤ 2·|qs|·|groups| rows
-        g = tuple(r[c] for c in group_cols)
-        at.setdefault(g, {})[int(r.gidx)] = float(r.p)
-    d.unpersist()
-    return {g: _interp(meta[g], at[g]) for g in per_group}
+        # NULL-safe equi-join: groupBy keeps NULL group keys, so the
+        # lookup join must match them too (a plain equi-join would drop
+        # null-keyed need rows and the final interp would KeyError).
+        nd = need_df.alias("nd")
+        dd = d.alias("dd")
+        cond = [F.col(f"dd.{c}").eqNullSafe(F.col(f"nd.{c}")) for c in group_cols]
+        cond.append(F.col("dd.pid") == F.col("nd.pid"))
+        wl = Window.partitionBy(
+            *[F.col(f"dd.{c}") for c in group_cols], F.col("dd.pid")
+        ).orderBy("dd.p")
+        sel = (
+            dd.join(F.broadcast(nd), cond)
+            .withColumn("gidx", F.col("nd.off") + F.row_number().over(wl) - 1)
+            .where(F.array_contains(F.col("nd.want"), F.col("gidx")))
+            .select(
+                *[F.col(f"dd.{c}").alias(c) for c in group_cols], "gidx", "dd.p"
+            )
+        )
+        at: dict[tuple, dict[int, float]] = {}
+        for r in sel.collect():  # bounded-collect: ≤ 2·|qs|·|groups| rows
+            g = tuple(r[c] for c in group_cols)
+            at.setdefault(g, {})[int(r.gidx)] = float(r.p)
+        return {g: _interp(meta[g], at[g]) for g in per_group}
+    finally:
+        d.unpersist()
+
+
+def grouped_exact_quantiles_df(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: list[float],
+    n_parts: int = 64,
+) -> DataFrame:
+    """Fully-distributed per-group PERCENTILE_CONT — NO driver fan-in.
+
+    Same decomposition as :func:`grouped_exact_quantiles` (global value
+    ranges via a bounded boundary sample, per-(group, range) counts,
+    per-group prefix offsets, one index-lookup pass, linear
+    interpolation) but every step stays a DataFrame:
+
+    - per-group prefix offsets come from a window over the small
+      (group × range) count frame — ``sum(c) rows between unbounded
+      preceding and 1 preceding`` ordered by range id, the same
+      distributed prefix-sum the engine uses for
+      ``token_shard_assignment_scalable``;
+    - the needed sorted positions (floor/ceil of ``(n_g − 1)·q``) are a
+      derived frame joined back to the count ranges to find which
+      (group, range) slices must pay a sort;
+    - the big frame is semi-joined to those hit slices, ranked inside
+      (group, range) only, and the ≤ 2·|qs| rows per group at target
+      positions are joined to the target frame for interpolation.
+
+    Unlike the dict API there is NO cardinality ceiling: 10M groups work
+    (driver holds nothing), which makes this the per-key analytic form —
+    per-customer spend percentiles, per-document-shard medians — while
+    the dict API stays the low-cardinality *reporting* convenience.
+
+    NULL group keys are first-class: group columns are packed into a
+    single struct key for every groupBy/join/window, and struct
+    equality matches null fields (SQL GROUP BY semantics), so null-keyed
+    groups flow through instead of being dropped by join conditions.
+
+    Returns a long-format DataFrame ``(*group_cols, q double,
+    value double)`` with one row per (group, quantile); groups whose
+    values are entirely NULL are absent (same as the dict API — callers
+    needing PERCENTILE_CONT's NULL-for-empty semantics left-join this
+    result to their group universe).
+
+    Interpolation arithmetic is the same IEEE sequence as the dict API
+    and Spark/DuckDB PERCENTILE_CONT (``lo + ((n−1)·q − floor)·(hi −
+    lo)`` in doubles), so values agree bit-for-bit wherever the engines
+    themselves do.
+    """
+    from pyspark import StorageLevel
+
+    vals = df.select(
+        F.struct(*[F.col(c) for c in group_cols]).alias("gk"),
+        F.col(col).alias("p"),
+    ).where(F.col("p").isNotNull())
+    d, _ = _range_ids(vals, "p", n_parts)
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = d.groupBy("gk", "pid").agg(F.count(F.lit(1)).alias("c"))
+        w_off = (
+            Window.partitionBy("gk")
+            .orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranges = counts.withColumn(
+            "off", F.coalesce(F.sum("c").over(w_off), F.lit(0).cast("long"))
+        ).withColumn("n_g", F.sum("c").over(Window.partitionBy("gk")))
+        # (group, q) targets: rank r = (n_g − 1)·q, bracketing indices.
+        qarr = F.array(*[F.lit(float(q)) for q in qs])
+        targets = (
+            ranges.groupBy("gk")
+            .agg(F.first("n_g").alias("n_g"))
+            .select("gk", "n_g", F.explode(qarr).alias("q"))
+            .withColumn("r", (F.col("n_g") - 1) * F.col("q"))
+            .withColumn("lo_idx", F.floor("r"))
+            .withColumn("hi_idx", F.ceil("r"))
+        )
+        need = targets.select(
+            "gk", F.explode(F.array("lo_idx", "hi_idx")).alias("idx")
+        ).distinct()
+        # which (group, range) slices contain a needed index — both sides
+        # are |groups|-scale metadata frames, not data.
+        hits = (
+            ranges.join(need, "gk")
+            .where(
+                (F.col("idx") >= F.col("off"))
+                & (F.col("idx") < F.col("off") + F.col("c"))
+            )
+            .select("gk", "pid", "off", "idx")
+        )
+        hit_ranges = hits.select("gk", "pid", "off").distinct()
+        wl = Window.partitionBy("gk", "pid").orderBy("p")
+        picked = (
+            d.join(hit_ranges, ["gk", "pid"])
+            .withColumn("gidx", F.col("off") + F.row_number().over(wl) - 1)
+            .join(
+                hits.select("gk", F.col("idx").alias("gidx")).distinct(),
+                ["gk", "gidx"],
+            )
+            .select("gk", "gidx", "p")
+        )
+        lo = picked.select(
+            "gk", F.col("gidx").alias("lo_idx"), F.col("p").alias("lo_val")
+        )
+        hi = picked.select(
+            "gk", F.col("gidx").alias("hi_idx"), F.col("p").alias("hi_val")
+        )
+        out = (
+            targets.join(lo, ["gk", "lo_idx"])
+            .join(hi, ["gk", "hi_idx"])
+            .select(
+                "gk",
+                "q",
+                (
+                    F.col("lo_val")
+                    + (F.col("r") - F.col("lo_idx"))
+                    * (F.col("hi_val") - F.col("lo_val"))
+                ).alias("value"),
+            )
+            .select(*[F.col(f"gk.{c}").alias(c) for c in group_cols], "q", "value")
+        )
+        # materialize before unpersisting d: the result is |groups|·|qs|
+        # rows — metadata-scale next to the input — and pinning it lets
+        # the caller compose further plans without re-running selection.
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        d.unpersist()

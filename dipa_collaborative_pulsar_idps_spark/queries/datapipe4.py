@@ -372,24 +372,20 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one final task and is an executor-OOM at 100 TB. The selection path
     evaluates the same (n-1)·p linear interpolation as DuckDB's
     PERCENTILE_CONT oracle; ROUND(…,4) absorbs last-ulp arithmetic
-    differences. The 3-row result frame is assembled from the driver-side
-    aggregate values (an aggregate *result*, not a dataset collect)."""
-    from ..operators.selection import grouped_exact_quantiles
+    differences. Since r5 this runs the fully-distributed DF form — no
+    driver dict, the per-group offsets are a window over the
+    (group × range) count frame."""
+    from ..operators.selection import grouped_exact_quantiles_df
 
     t = Tables(spark, sf_dir)
-    res = grouped_exact_quantiles(
+    qdf = grouped_exact_quantiles_df(
         t.lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.95, 0.99],
         n_parts=32,  # right-sized for the bench corpus; raise with data scale
     )
-    rows = [(g[0], v[0], v[1], v[2]) for g, v in sorted(res.items())]
-    raw = spark.createDataFrame(
-        rows, "l_returnflag string, p50 double, p95 double, p99 double"
-    )
-    return raw.select(
-        "l_returnflag",
-        F.round("p50", 4).alias("p50"),
-        F.round("p95", 4).alias("p95"),
-        F.round("p99", 4).alias("p99"),
+    return qdf.groupBy("l_returnflag").agg(
+        F.round(F.max(F.when(F.col("q") == 0.5, F.col("value"))), 4).alias("p50"),
+        F.round(F.max(F.when(F.col("q") == 0.95, F.col("value"))), 4).alias("p95"),
+        F.round(F.max(F.when(F.col("q") == 0.99, F.col("value"))), 4).alias("p99"),
     )
 
 

@@ -115,28 +115,73 @@ GROUP BY p_brand
 """,
 )
 def price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand exact percentiles via distributed selection
-    (`operators/selection.grouped_exact_quantiles`) — a few-group exact
-    `percentile` aggregate concentrates each group's ENTIRE value set in
-    one task buffer (n/|brands| rows: the same 100 TB OOM class as the
-    global form), so no declared plan runs it. min/max stay a plain
-    hash aggregate; the ≤|brands|-row quantile frame broadcasts back."""
-    from ..operators.selection import grouped_exact_quantiles
+    """Per-brand exact percentiles via FULLY-distributed selection
+    (`operators/selection.grouped_exact_quantiles_df`) — a few-group
+    exact `percentile` aggregate concentrates each group's ENTIRE value
+    set in one task buffer (n/|brands| rows: the same 100 TB OOM class
+    as the global form), so no declared plan runs it; and since r5 no
+    driver fan-in either — per-group prefix offsets are a window over
+    the (group × range) count frame, not a collected dict. min/max stay
+    a plain hash aggregate; the ≤|brands|·2-row long-format quantile
+    frame pivots wide and broadcasts back."""
+    from ..operators.selection import grouped_exact_quantiles_df
 
     t = Tables(spark, sf_dir)
     base = t.part.groupBy("p_brand").agg(
         F.min("p_retailprice").alias("min_price"),
         F.max("p_retailprice").alias("max_price"),
     )
-    qs = grouped_exact_quantiles(
+    qdf = grouped_exact_quantiles_df(
         t.part, ["p_brand"], "p_retailprice", [0.5, 0.9], n_parts=32
     )
-    qdf = spark.createDataFrame(
-        [(g[0], v[0], v[1]) for g, v in qs.items()],
-        "p_brand string, median_price double, p90_price double",
+    wide = qdf.groupBy("p_brand").agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("median_price"),
+        F.max(F.when(F.col("q") == 0.9, F.col("value"))).alias("p90_price"),
     )
-    return base.join(F.broadcast(qdf), "p_brand", "left").select(
+    return base.join(F.broadcast(wide), "p_brand", "left").select(
         "p_brand", "median_price", "p90_price", "min_price", "max_price"
+    )
+
+
+@query(
+    "per_customer_spend_quantiles",
+    survey="D-ext",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+           AS p50_spend,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6)
+           AS p90_spend
+FROM orders GROUP BY o_custkey
+""",
+)
+def per_customer_spend_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGH-cardinality per-key exact quantiles — the shape the dict API
+    refuses (its driver fan-in guard) and the reason
+    `grouped_exact_quantiles_df` exists: every step is a DataFrame, so
+    1k keys here and 10M keys at 100 TB run the same plan — per-(key,
+    range) counts, windowed prefix offsets over that metadata frame,
+    one ranked index-lookup pass partitioned by (key, range), no driver
+    dict anywhere. ROUND(…,6) on both sides absorbs last-ulp
+    interpolation-order differences between engines."""
+    from ..operators.selection import grouped_exact_quantiles_df
+
+    t = Tables(spark, sf_dir)
+    counts = t.orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    qdf = grouped_exact_quantiles_df(
+        t.orders, ["o_custkey"], "o_totalprice", [0.5, 0.9], n_parts=32
+    )
+    wide = qdf.groupBy("o_custkey").agg(
+        F.round(F.max(F.when(F.col("q") == 0.5, F.col("value"))), 6).alias(
+            "p50_spend"
+        ),
+        F.round(F.max(F.when(F.col("q") == 0.9, F.col("value"))), 6).alias(
+            "p90_spend"
+        ),
+    )
+    return counts.join(wide, "o_custkey").select(
+        "o_custkey", "n_orders", "p50_spend", "p90_spend"
     )
 
 

@@ -181,14 +181,18 @@ def grouped_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would be flaky cross-engine AND cross-run, so the mode is a
     max_by over per-value counts instead).
 
-    100 TB note: the exact median runs through distributed selection
-    (`operators/selection.grouped_exact_quantiles`) — `F.median` is
-    sugar for the exact percentile aggregate, whose few-group buffers
-    hold n/|groups| values in ONE task each; the mergeable sketch
-    (`approx_price_percentiles`) stays the dial when exactness isn't
-    contractual. Mode via counted max_by is two map-side-combined
-    aggregations, scale-safe."""
-    from ..operators.selection import grouped_exact_quantiles
+    100 TB note: the exact median runs through FULLY-distributed
+    selection (`operators/selection.grouped_exact_quantiles_df`, no
+    driver dict) — `F.median` is sugar for the exact percentile
+    aggregate, whose few-group buffers hold n/|groups| values in ONE
+    task each; the mergeable sketch (`approx_price_percentiles`) stays
+    the dial when exactness isn't contractual. Mode via counted max_by
+    is two map-side-combined aggregations, scale-safe. Modes LEFT-join
+    the median frame so a group whose values are entirely NULL keeps a
+    NULL median (PERCENTILE_CONT-over-zero-rows semantics) instead of
+    being dropped — the selection output only has groups with ≥1
+    non-null value."""
+    from ..operators.selection import grouped_exact_quantiles_df
 
     t = Tables(spark, sf_dir)
     counted = t.events.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
@@ -197,16 +201,11 @@ def grouped_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.struct(F.col("cnt"), (-F.col("value")).alias("nv"))
         ).alias("mode_value")
     )
-    qs = grouped_exact_quantiles(
+    med = grouped_exact_quantiles_df(
         t.events, ["event_type"], "value", [0.5], n_parts=32
-    )
-    med = spark.createDataFrame(
-        [(g[0], v[0]) for g, v in qs.items()],
-        "event_type string, median_raw double",
-    )
+    ).select("event_type", F.col("value").alias("median_raw"))
     return (
-        F.broadcast(med)
-        .join(modes, "event_type")
+        modes.join(F.broadcast(med), "event_type", "left")
         .select(
             "event_type",
             F.round("median_raw", 6).alias("median_value"),

@@ -210,12 +210,13 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents become NULL variants instead of task failures
     (`try_parse_json`), mirroring the engine's ANSI-safe parsing stance
     (I11). The oracle reads the same JSON with DuckDB's json_extract.
-    The median of the extracted field runs through distributed selection
-    (grouped form — a few-group exact `percentile` buffers n/|groups|
-    values in one task at scale); a group whose documents all lack `k`
-    keeps its NULL median via the left join, matching PERCENTILE_CONT
-    over zero rows."""
-    from ..operators.selection import grouped_exact_quantiles
+    The median of the extracted field runs through FULLY-distributed
+    selection (`grouped_exact_quantiles_df` — a few-group exact
+    `percentile` buffers n/|groups| values in one task at scale, and
+    since r5 there is no driver dict either); a group whose documents
+    all lack `k` keeps its NULL median via the left join, matching
+    PERCENTILE_CONT over zero rows."""
+    from ..operators.selection import grouped_exact_quantiles_df
 
     t = Tables(spark, sf_dir)
     v = F.try_parse_json("props")
@@ -228,18 +229,19 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the projected (group, value) frame around the selection
     # call: the variant parse is the expensive part of this query, and
     # the boundary-sample + range-count passes would otherwise re-parse
-    # the JSON column once each (the selection result is a driver dict,
-    # so the cache can be released immediately after)
+    # the JSON column once each (the selection result materializes
+    # eagerly at |groups|·|qs| rows, so the cache releases immediately)
     kd = t.events.select("event_type", k.cast("double").alias("kv")).persist()
     try:
-        qs = grouped_exact_quantiles(kd, ["event_type"], "kv", [0.5], n_parts=32)
+        qdf = grouped_exact_quantiles_df(
+            kd, ["event_type"], "kv", [0.5], n_parts=32
+        )
     finally:
         kd.unpersist()
-    qdf = spark.createDataFrame(
-        [(g[0], vv[0]) for g, vv in qs.items()],
-        "event_type string, p50_raw double",
+    p50 = qdf.groupBy("event_type").agg(
+        F.max(F.col("value")).alias("p50_raw")  # single q=0.5 row per group
     )
-    return base.join(F.broadcast(qdf), "event_type", "left").select(
+    return base.join(F.broadcast(p50), "event_type", "left").select(
         "event_type",
         "n",
         "n_with_k",

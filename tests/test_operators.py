@@ -563,6 +563,89 @@ def test_grouped_exact_quantiles_rejects_high_cardinality(spark):
         grouped_exact_quantiles(df, ["g"], "v", [0.5], max_count_rows=1_000)
 
 
+def test_grouped_exact_quantiles_null_group_keys(spark):
+    """groupBy keeps NULL group keys, so the selection lookup must be
+    null-safe end-to-end: a NULL-keyed group gets its quantiles like any
+    other group (regression: the need-row join used to drop them and the
+    final interp raised KeyError (None,))."""
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, 40.0)],
+        "g string, v double",
+    )
+    got = grouped_exact_quantiles(df, ["g"], "v", [0.5], n_parts=4)
+    assert got[("a",)] == [2.0]
+    assert got[(None,)] == [20.0]
+
+
+def test_grouped_exact_quantiles_df_matches_percentile(spark):
+    """The fully-distributed (no driver fan-in) per-group selection ==
+    per-group exact percentile aggregate — including interpolated
+    positions, heavy ties, a group smaller than the range count, a NULL
+    group key, and a HIGH-cardinality key the dict API refuses."""
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        grouped_exact_quantiles_df,
+    )
+
+    qs = [0.05, 0.5, 0.95]
+    df = (
+        spark.range(8_000)
+        .select(
+            F.pmod("id", F.lit(3)).cast("string").alias("g"),
+            (F.pmod(F.xxhash64("id"), F.lit(991)) * 0.25).alias("v"),
+        )
+        .union(
+            spark.range(2).select(
+                F.lit("tiny").alias("g"), F.col("id").cast("double").alias("v")
+            )
+        )
+        .union(
+            spark.range(7).select(
+                F.lit(None).cast("string").alias("g"),
+                (F.col("id") * 3.0).alias("v"),
+            )
+        )
+    )
+    got = {
+        (r.g, r.q): r.value
+        for r in grouped_exact_quantiles_df(df, ["g"], "v", qs, n_parts=8).collect()
+    }
+    want = {
+        r.g: r.pc
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("pc"))
+        .collect()
+    }
+    assert {g for g, _ in got} == set(want)
+    for g, pcs in want.items():
+        for q, w in zip(qs, pcs):
+            assert abs(got[(g, q)] - w) < 1e-9, (g, q)
+
+    # high-cardinality per-key shape (the whole point of the DF form):
+    # 2,000 distinct keys, a handful of rows each — driver holds nothing.
+    hk = spark.range(10_000).select(
+        F.pmod("id", F.lit(2_000)).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(509)) * 0.5).alias("v"),
+    )
+    got_hk = {
+        (r.g, r.q): r.value
+        for r in grouped_exact_quantiles_df(hk, ["g"], "v", [0.5, 0.9]).collect()
+    }
+    want_hk = {
+        r.g: r.pc
+        for r in hk.groupBy("g")
+        .agg(F.percentile("v", F.array(F.lit(0.5), F.lit(0.9))).alias("pc"))
+        .collect()
+    }
+    assert len(want_hk) == 2_000 and len(got_hk) == 4_000
+    for g, (w50, w90) in want_hk.items():
+        assert abs(got_hk[(g, 0.5)] - w50) < 1e-9
+        assert abs(got_hk[(g, 0.9)] - w90) < 1e-9
+
+
 def test_media_ops_degrade_on_corrupt_blobs(spark):
     """One corrupt blob of ANY modality degrades its own row (stub
     features / pass-through resize), never the task — and the fused
