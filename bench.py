@@ -27,7 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dipa_collaborative_pulsar_idps_spark.queries import all_queries  # noqa: E402
+from dipa_collaborative_pulsar_idps_spark.queries import (  # noqa: E402
+    all_queries,
+    clear_all_caches,
+)
 from dipa_collaborative_pulsar_idps_spark.session import get_spark  # noqa: E402
 
 #: Headline set: the detection spine + one representative per operator family.
@@ -257,6 +260,7 @@ def main() -> None:
             }
         )
     )
+    clear_all_caches()
     spark.stop()
 
 

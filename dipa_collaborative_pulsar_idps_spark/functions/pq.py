@@ -92,6 +92,40 @@ def pq_encode(
     return corpus.select("vec_id", *keep, enc(F.col("e")).alias("codes"))
 
 
+def save_pq(spark, codebooks: np.ndarray, path: str) -> None:
+    """Persist trained codebooks so a serving restart reloads the SAME
+    quantization instead of retraining (at 100 TB a retrain means a new,
+    slightly different encoding of the whole corpus — every stored code
+    column would need rebuilding). Same build-once/serve-many contract as
+    ``ivf.save_ivf_index`` and the BPE merge tables: written through
+    Spark so the path can be any cluster filesystem, not driver-local
+    disk. The table is tiny — m·ksub rows of dsub doubles — and parquet
+    doubles round-trip bit-exactly."""
+    m, ksub, dsub = codebooks.shape
+    rows = [
+        (int(j), int(c), [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(rows, "j int, c int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_pq(spark, path: str) -> np.ndarray:
+    """Load codebooks persisted by :func:`save_pq` — returns the exact
+    ``(m, ksub, dsub)`` float64 array ``train_pq`` produced (disk ≡
+    memory, pinned in tests), directly usable by ``pq_encode`` /
+    ``pq_search_adc`` / ``ivfpq_search``."""
+    rows = spark.read.parquet(path).collect()  # bounded-collect: m·ksub codebook rows
+    m = max(r.j for r in rows) + 1
+    ksub = max(r.c for r in rows) + 1
+    cb = np.empty((m, ksub, len(rows[0].centroid)), dtype=np.float64)
+    for r in rows:
+        cb[r.j, r.c] = r.centroid
+    return cb
+
+
 def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
     """Decode code rows back to approximate vectors (test/debug helper)."""
     m, ksub, dsub = codebooks.shape

@@ -1,3 +1,27 @@
 from .registry import REGISTRY, QuerySpec, all_oracles, all_queries, query
 
-__all__ = ["REGISTRY", "QuerySpec", "all_oracles", "all_queries", "query"]
+
+def clear_all_caches() -> None:
+    """Release every session-memoized persisted frame (shingles, ANN
+    corpus, n-gram profiles, CCNet scores) in one call — the lifecycle
+    hook for long-lived sessions that sweep many sf_dirs (parity/bench
+    harnesses), so per-(appId, sf_dir) caches can't accumulate persisted
+    frames across sweeps. Safe on a stopped session (each per-module
+    clear swallows unpersist errors) and when query modules were never
+    imported (lazy imports)."""
+    from . import datapipe2, datapipe3, datapipe5, datapipe6
+
+    datapipe2.clear_shingle_cache()
+    datapipe3.clear_corpus_cache()
+    datapipe5.clear_gram_cache()
+    datapipe6.clear_score_cache()
+
+
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "all_oracles",
+    "all_queries",
+    "clear_all_caches",
+    "query",
+]

@@ -652,11 +652,14 @@ WITH toks AS (
 ),
 vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
 total AS (SELECT COUNT(*) AS n FROM toks),
+tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+),
 doc AS (
     SELECT t.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(LN(v.cnt / total.n)), 6) AS avg_logprob
-    FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+           CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(t.tf * LN(v.cnt / total.n)) / SUM(t.tf), 6) AS avg_logprob
+    FROM tf t JOIN vocab v USING (tok) CROSS JOIN total
     GROUP BY t.doc_id
 ),
 b AS (
@@ -680,11 +683,16 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tercile boundaries come from `operators/selection.exact_quantiles`
     over the per-doc score frame (distributed selection — NOT the
     single-buffer percentile aggregate), landing as two literal doubles
-    so bucket assignment is map-side codegen. Scores are rounded to 6
-    decimals BEFORE the boundary computation on BOTH engines, so the
-    tercile inputs are bit-identical and the interpolated boundaries
-    (same (n-1)·q formula, certified in test_operators) cannot straddle
-    an engine ulp. The score frame is session-memoized (`_doc_scores`):
+    so bucket assignment is map-side codegen. Both engines accumulate
+    the score in the SAME algebraic form — SUM(tf·ln p)/SUM(tf) over
+    per-(doc, token) tf rows — and round to 6 decimals BEFORE the
+    boundary computation, so the tercile inputs agree wherever the
+    engines' own `ln` and float-sum ordering do. Residual risk is
+    honest-but-tiny: libm `ln` ulps and partition-order summation can in
+    principle flip a 6th decimal for a score sitting exactly at a
+    rounding boundary (data-dependent, not observed at sf0.01/0.1; NOT
+    a bit-identity guarantee). The score frame is session-memoized
+    (`_doc_scores`):
     the selection pass, the final projection, and repeated invocations
     share one computation of the tf⋈model join."""
     from ..operators.selection import exact_quantiles

@@ -75,6 +75,9 @@ def main() -> int:
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"\n{n_ok}/{len(out)} pass, {n_fail} fail -> {path}")
+    from dipa_collaborative_pulsar_idps_spark.queries import clear_all_caches
+
+    clear_all_caches()  # release memoized persisted frames for this sf_dir
     return 1 if n_fail else 0
 
 

@@ -247,6 +247,76 @@ def test_ivf_index_persists_and_prunes(spark, sf_dir, tmp_path):
     assert files and all("list_id=0" in f or "list_id=3" in f for f in files)
 
 
+def test_pq_codebooks_persist_disk_equals_memory(spark, sf_dir, tmp_path):
+    """save_pq/load_pq round-trips codebooks BIT-exactly (parquet doubles),
+    so a serving restart reloads the identical quantization — encode and
+    IVF-PQ search from the loaded codebooks equal the in-memory results
+    row-for-row (the retrain-drift failure mode is impossible)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_search,
+        load_pq,
+        pq_encode,
+        save_pq,
+        train_pq,
+    )
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cb = train_pq(corpus, dim=64, m=8, ksub=16)
+    path = str(tmp_path / "pq")
+    save_pq(spark, cb, path)
+    loaded = load_pq(spark, path)
+    assert loaded.shape == cb.shape and loaded.dtype == np.float64
+    assert np.array_equal(loaded, cb)  # bit-exact, not just close
+
+    enc_mem = {tuple(r.codes) for r in pq_encode(corpus, cb).collect()}
+    enc_disk = {tuple(r.codes) for r in pq_encode(corpus, loaded).collect()}
+    assert enc_mem == enc_disk
+
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=8)
+    mem = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in ivfpq_search(assigned, centroids, cb, queries, k=5).collect()
+    }
+    disk = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in ivfpq_search(assigned, centroids, loaded, queries, k=5).collect()
+    }
+    assert disk == mem and len(mem) == 25
+
+
+def test_clear_all_caches_releases_every_memoized_frame(spark):
+    """The registry-level lifecycle hook: after warming the per-module
+    memoization caches, ONE clear_all_caches() call unpersists and empties
+    them all (the long-lived multi-sf_dir session hygiene contract)."""
+    from dipa_collaborative_pulsar_idps_spark.queries import clear_all_caches
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import (
+        _CORPUS_CACHE,
+        _corpus,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe6 import (
+        _SCORE_CACHE,
+        _doc_scores,
+    )
+
+    a = _corpus(spark, "/root/testdata/sf0.001")
+    b = _doc_scores(spark, "/root/testdata/sf0.001")
+    assert _CORPUS_CACHE and _SCORE_CACHE
+    clear_all_caches()
+    assert not _CORPUS_CACHE and not _SCORE_CACHE
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+
+
 def test_ann_corpus_cache_lifecycle(spark):
     """_corpus memoizes per (session, sf_dir) — repeated query invocations
     must reuse ONE persisted DataFrame, and clear_corpus_cache unpersists."""
