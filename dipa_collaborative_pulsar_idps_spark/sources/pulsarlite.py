@@ -32,7 +32,15 @@ Broker model (one directory = one broker):
   effective-exactly-once contract of I12);
 - ``compressionType: zlib`` is honored for real (payloads stored
   zlib-deflated, inflated on read) — parity with the reference's
-  ZLib producers.
+  ZLib producers;
+- partitioned topics (r5): ``create_partitioned_topic`` writes broker
+  metadata + N internal ``<topic>-partition-<i>`` logs (Pulsar's exact
+  naming); producers run the ``RoundRobinPartition`` router the
+  reference configures (DIPA_Controller.py:74-80) — keyless messages
+  round-robin, keyed messages hash to a fixed partition,
+  ``SinglePartition`` pins the producer to one — and the consumer's
+  pattern matches BASE names then fans in every partition topic,
+  preserving per-partition order (one input slice per partition log).
 
 Scale note: this is deliberately a LOOPBACK transport (local filesystem,
 single broker dir) — the air-gapped stand-in for the reference's
@@ -86,6 +94,12 @@ SCHEMA = StructType(
 )
 
 _LOG_EXT = ".jsonl"
+_PARTITIONS_EXT = ".partitions"
+
+#: Pulsar's partitioned-topic naming convention: partition i of topic T is
+#: the internal topic "T-partition-i" (what __topic reports and what a
+#: multi-topic consumer fans in — same as the real broker).
+_PARTITION_FMT = "{topic}-partition-{i}"
 
 
 def broker_dir(service_url: str) -> str:
@@ -111,6 +125,38 @@ def _list_topics(root: str) -> list[str]:
         for f in os.listdir(root)
         if f.endswith(_LOG_EXT)
     )
+
+
+def _partitions_meta(root: str, topic: str) -> str:
+    return os.path.join(root, quote(topic, safe="") + _PARTITIONS_EXT)
+
+
+def create_partitioned_topic(root: str, topic: str, n_partitions: int) -> None:
+    """Create a partitioned topic: broker metadata (partition count) plus
+    empty partition logs — the pulsarlite twin of
+    ``pulsar-admin topics create-partitioned-topic -p N``. Producers that
+    target ``topic`` route across the N internal ``topic-partition-i``
+    logs; consumers subscribing to ``topic`` fan them all in."""
+    if n_partitions < 1:
+        raise ValueError("n_partitions must be >= 1")
+    os.makedirs(root, exist_ok=True)
+    with open(_partitions_meta(root, topic), "w", encoding="ascii") as f:
+        f.write(str(int(n_partitions)))
+    for i in range(n_partitions):
+        path = _topic_log(root, _PARTITION_FMT.format(topic=topic, i=i))
+        if not os.path.exists(path):
+            open(path, "a").close()
+
+
+def topic_partitions(root: str, topic: str) -> int:
+    """Partition count of ``topic``: N for a partitioned topic, 0 for a
+    plain (non-partitioned) one — mirroring the broker metadata lookup the
+    Pulsar client does before choosing a message router."""
+    try:
+        with open(_partitions_meta(root, topic), encoding="ascii") as f:
+            return int(f.read().strip())
+    except OSError:
+        return 0
 
 
 def _complete_size(path: str) -> int:
@@ -215,7 +261,23 @@ class PulsarLiteStreamReader(DataSourceStreamReader):
         self._watermarks: dict[str, int] = {}
 
     def _topics(self) -> list[str]:
-        return [t for t in _list_topics(self.root) if self.pattern.fullmatch(t)]
+        """Subscribed topics: the pattern (or literal name) matches BASE
+        topic names, exactly like Pulsar's regex consumer — a matched
+        partitioned topic fans in to all its internal ``-partition-i``
+        topics (whose names then surface in ``__topic``). A pattern may
+        also address one specific partition topic directly."""
+        out = {t for t in _list_topics(self.root) if self.pattern.fullmatch(t)}
+        if os.path.isdir(self.root):
+            for f in os.listdir(self.root):
+                if not f.endswith(_PARTITIONS_EXT):
+                    continue
+                base = unquote(f[: -len(_PARTITIONS_EXT)])
+                if self.pattern.fullmatch(base):
+                    n = topic_partitions(self.root, base)
+                    out.update(
+                        _PARTITION_FMT.format(topic=base, i=i) for i in range(n)
+                    )
+        return sorted(out)
 
     def _snapshot(self) -> dict[str, int]:
         snap = {}
@@ -276,18 +338,33 @@ class PulsarLiteBatchReader(DataSourceReader):
 
 @dataclasses.dataclass
 class StagedPart(WriterCommitMessage):
-    part_path: str
-    n_rows: int
+    """One task's staged parts: ``parts`` is a tuple of
+    (part_path, n_rows, dest_topic) — one entry per routed destination
+    (exactly one for a plain topic; up to n_partitions for a partitioned
+    topic's round-robin router)."""
+
+    parts: tuple = ()
 
 
 class PulsarLiteStreamWriter(DataSourceStreamWriter):
     """Producer with staged parts + atomic driver-side commit.
 
-    Executors append encoded rows to a per-partition part file (no broker
-    contention); ``commit`` concatenates the parts into the topic log in one
-    write and records the epoch id in ``<topic>.commits`` — a replayed epoch
-    (restart between commit and checkpoint advance) is detected there and
-    skipped, so delivery is effectively exactly-once end-to-end.
+    Executors append encoded rows to per-task part files (no broker
+    contention); ``commit`` concatenates the parts into the topic log(s)
+    in one pass and records the epoch id in ``<topic>.commits`` — a
+    replayed epoch (restart between commit and checkpoint advance) is
+    detected there and skipped, so delivery is effectively exactly-once.
+
+    Partitioned topics (DIPA_Controller.py:74-80 — SURVEY A7): when the
+    target topic has partition metadata, each task runs Pulsar's
+    ``RoundRobinPartition`` message router — keyless messages round-robin
+    across the N internal partition topics; keyed messages hash their key
+    to a fixed partition (so per-key order is per-partition order, as on
+    the real broker). ``SinglePartition`` mode sends every keyless
+    message of this producer to one partition. One staged part per
+    (task, routed partition); the epoch commit appends each to its own
+    partition log under the ONE base-topic marker, so replay idempotence
+    covers all partitions atomically.
     """
 
     def __init__(self, options: dict):
@@ -302,20 +379,61 @@ class PulsarLiteStreamWriter(DataSourceStreamWriter):
         ).lower()
         if self.codec not in ("none", "zlib"):
             raise ValueError(f"unsupported compressionType {self.codec!r}")
+        self.routing = (
+            options.get("pulsar.producer.messageroutingmode")
+            or "roundrobinpartition"
+        ).lower()
+        if self.routing not in ("roundrobinpartition", "singlepartition"):
+            raise ValueError(f"unsupported messageRoutingMode {self.routing!r}")
+        # Partition metadata is resolved ONCE at producer build (driver),
+        # like the Pulsar client's partitioned-metadata lookup.
+        self.n_partitions = topic_partitions(self.root, topic)
         self.staging = os.path.join(self.root, "_staging")
+
+    def _route(self, key: str | None, rr: int) -> str:
+        """Destination topic for one message — Pulsar router semantics."""
+        if self.n_partitions <= 0:
+            return self.topic
+        if key is not None:
+            # keyed: stable hash → fixed partition (per-key ordering)
+            i = zlib.crc32(key.encode("utf-8")) % self.n_partitions
+        elif self.routing == "singlepartition":
+            # one partition per producer; derived from the topic so the
+            # loopback broker stays deterministic (a real client picks
+            # randomly per producer instance)
+            i = zlib.crc32(self.topic.encode("utf-8")) % self.n_partitions
+        else:
+            i = rr % self.n_partitions
+        return _PARTITION_FMT.format(topic=self.topic, i=i)
 
     def write(self, iterator) -> StagedPart:
         os.makedirs(self.staging, exist_ok=True)
-        part = os.path.join(self.staging, f"{uuid.uuid4().hex}.part")
+        files: dict[str, object] = {}
+        counts: dict[str, int] = {}
+        paths: dict[str, str] = {}
         n = 0
         now_us = int(time.time() * 1_000_000)
-        with open(part, "w", encoding="ascii") as f:
+        try:
             for row in iterator:
                 value = row["value"]
                 key = row["__key"] if "__key" in row else None
-                f.write(encode_message(bytes(value), key, self.codec, now_us + n) + "\n")
+                dest = self._route(key, n)
+                f = files.get(dest)
+                if f is None:
+                    paths[dest] = os.path.join(
+                        self.staging, f"{uuid.uuid4().hex}.part"
+                    )
+                    f = files[dest] = open(paths[dest], "w", encoding="ascii")
+                    counts[dest] = 0
+                f.write(
+                    encode_message(bytes(value), key, self.codec, now_us + n) + "\n"
+                )
+                counts[dest] += 1
                 n += 1
-        return StagedPart(part, n)
+        finally:
+            for f in files.values():
+                f.close()
+        return StagedPart(tuple((paths[d], counts[d], d) for d in paths))
 
     def _commits_marker(self) -> str:
         return _topic_log(self.root, self.topic) + ".commits"
@@ -328,30 +446,37 @@ class PulsarLiteStreamWriter(DataSourceStreamWriter):
             return set()
 
     def commit(self, messages, batchId: int) -> None:
-        parts = [m for m in messages if m is not None and m.n_rows > 0]
+        parts = [
+            (path, n, topic)
+            for m in messages
+            if m is not None
+            for (path, n, topic) in m.parts
+            if n > 0
+        ]
         if batchId not in self._committed():
-            blob = []
-            for m in parts:
-                with open(m.part_path, encoding="ascii") as f:
-                    blob.append(f.read())
-            if blob:
-                with open(_topic_log(self.root, self.topic), "a", encoding="ascii") as f:
-                    f.write("".join(blob))
+            by_topic: dict[str, list[str]] = {}
+            for path, _, topic in parts:
+                with open(path, encoding="ascii") as f:
+                    by_topic.setdefault(topic or self.topic, []).append(f.read())
+            for topic, blobs in sorted(by_topic.items()):
+                with open(_topic_log(self.root, topic), "a", encoding="ascii") as f:
+                    f.write("".join(blobs))
             with open(self._commits_marker(), "a", encoding="ascii") as f:
                 f.write(f"{batchId}\n")
-        for m in parts:
+        for path, _, _ in parts:
             try:
-                os.remove(m.part_path)
+                os.remove(path)
             except OSError:
                 pass
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None:
-                try:
-                    os.remove(m.part_path)
-                except OSError:
-                    pass
+                for path, _, _ in m.parts:
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
 
 
 class PulsarLiteDataSource(DataSource):

@@ -381,3 +381,119 @@ def test_literal_topic_option_is_not_a_regex(tmp_path):
         {"service.url": root, "topicspattern": "persistent://t/ns.prod/.*"}
     )
     assert set(rx._topics()) == {literal, lookalike}  # regex semantics intact
+
+
+class _Row(dict):
+    """pyspark Row-ish access used by PulsarLiteStreamWriter.write()."""
+
+    def __getitem__(self, k):
+        return dict.__getitem__(self, k)
+
+    def __contains__(self, k):
+        return dict.__contains__(self, k)
+
+
+def test_partitioned_topic_round_robin_end_to_end(spark, broker, tmp_path):
+    """A7 partitioned topics (DIPA_Controller.py:74-80): a producer
+    targeting a 3-partition topic round-robins keyless messages across the
+    internal `-partition-i` logs, each partition preserves publish order,
+    and a consumer subscribing to the BASE name fans all partitions in."""
+    pulsarlite.create_partitioned_topic(broker, "alerts", 3)
+    src = tmp_path / "outbox"
+    src.mkdir()
+    (src / "a.txt").write_text("".join(f"m{i:03d}\n" for i in range(300)))
+    alerts = spark.readStream.text(str(src))
+    q = (
+        pulsar_sink_writer(
+            alerts, f"pulsarlite://{broker}", "alerts",
+            str(tmp_path / "ckpt_part"), fmt="pulsarlite", compression="none",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # round-robin distribution: one source file = one task, so the split
+    # is exact; per-partition wire order must equal publish order
+    for i in range(3):
+        log = os.path.join(broker, f"alerts-partition-{i}.jsonl")
+        vals = [
+            pulsarlite.decode_message(line)[2].decode()
+            for line in open(log, encoding="ascii").read().splitlines()
+        ]
+        assert len(vals) == 100, f"partition {i} not balanced: {len(vals)}"
+        assert vals == sorted(vals), f"partition {i} order broken"
+        assert all(int(v[1:]) % 3 == i for v in vals)
+
+    # consumer fan-in on the BASE topic name
+    stream = pulsar_source_reader(
+        spark, f"pulsarlite://{broker}", "alerts",
+        fmt="pulsarlite", starting_offsets="earliest",
+    )
+    rows = _drain(stream, tmp_path, "t_part_fanin")
+    assert len(rows) == 300
+    assert {r["topic"] for r in rows} == {
+        f"alerts-partition-{i}" for i in range(3)
+    }
+
+
+def test_partitioned_topic_keyed_and_single_routing(spark, broker, tmp_path):
+    """Pulsar router semantics beyond round-robin: keyed messages hash to a
+    FIXED partition (per-key order = per-partition order), SinglePartition
+    sends every keyless message of the producer to one partition, and the
+    epoch commit marker stays idempotent across ALL partition logs."""
+    pulsarlite.create_partitioned_topic(broker, "keyed", 4)
+    w = pulsarlite.PulsarLiteStreamWriter(
+        {"service.url": f"pulsarlite://{broker}", "topic": "keyed"}
+    )
+    rows = [_Row(value=f"k{i % 5}:{i}".encode(), __key=f"k{i % 5}") for i in range(40)]
+    msg = w.write(iter(rows))
+    w.commit([msg], batchId=1)
+
+    key_part: dict[str, set[int]] = {}
+    for i in range(4):
+        log = os.path.join(broker, f"keyed-partition-{i}.jsonl")
+        for line in open(log, encoding="ascii").read().splitlines():
+            key, _, value = pulsarlite.decode_message(line)
+            key_part.setdefault(key, set()).add(i)
+    assert set(key_part) == {f"k{j}" for j in range(5)}
+    assert all(len(ps) == 1 for ps in key_part.values()), key_part
+
+    # replayed epoch: no partition log grows
+    sizes = [
+        os.path.getsize(os.path.join(broker, f"keyed-partition-{i}.jsonl"))
+        for i in range(4)
+    ]
+    msg2 = w.write(iter(rows))
+    w.commit([msg2], batchId=1)
+    assert sizes == [
+        os.path.getsize(os.path.join(broker, f"keyed-partition-{i}.jsonl"))
+        for i in range(4)
+    ]
+
+    pulsarlite.create_partitioned_topic(broker, "single", 4)
+    ws = pulsarlite.PulsarLiteStreamWriter(
+        {
+            "service.url": f"pulsarlite://{broker}",
+            "topic": "single",
+            "pulsar.producer.messageroutingmode": "SinglePartition".lower(),
+        }
+    )
+    ws.commit([ws.write(iter(_Row(value=f"m{i}".encode(), __key=None) for i in range(12)))], batchId=1)
+    occupied = [
+        i
+        for i in range(4)
+        if os.path.getsize(os.path.join(broker, f"single-partition-{i}.jsonl")) > 0
+    ]
+    assert len(occupied) == 1
+
+
+def test_plain_topic_unaffected_by_partition_machinery(spark, broker, tmp_path):
+    """A topic WITHOUT partition metadata keeps the single-log behavior:
+    producer writes one log, consumer subscribes to the literal name."""
+    w = pulsarlite.PulsarLiteStreamWriter(
+        {"service.url": f"pulsarlite://{broker}", "topic": "plain"}
+    )
+    w.commit([w.write(iter([_Row(value=b"x", __key=None)]))], batchId=0)
+    assert os.path.exists(os.path.join(broker, "plain.jsonl"))
+    assert not os.path.exists(os.path.join(broker, "plain-partition-0.jsonl"))
