@@ -250,14 +250,57 @@ def ivfpq_search(
     fraction ≈ n_probe/n_list AND every scanned row is m bytes, not d
     floats.
 
-    assigned: (vec_id, e, list_id) from ivf.build_ivf_index — encoded here
-    (one extra Arrow pass; persist the encode output partitioned by
-    list_id via ivf.save_ivf_index-style layout to amortize).
-    Cogroups on list_id like ivf_search, but the kernel gathers from the
-    PQ lookup table instead of BLAS-ing raw vectors.
+    assigned: (vec_id, e, list_id) from ivf.build_ivf_index — encoded
+    here (one extra Arrow pass). Serving many batches? Build the code
+    column ONCE with :func:`save_ivfpq_index` and search the loaded
+    index through :func:`ivfpq_search_encoded` instead — re-encoding
+    the corpus per query batch is the build step leaking into serving.
     """
-    m, ksub, dsub = codebooks.shape
     enc = pq_encode(assigned, codebooks, keep=("list_id",))
+    return ivfpq_search_encoded(enc, centroids, codebooks, queries, k, n_probe)
+
+
+def save_ivfpq_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+) -> None:
+    """Persist the full IVF-PQ serving layout: codes (m small ints per
+    vector — the 32× compression is ON DISK too) hive-partitioned by
+    ``list_id`` so a probe is a partition-pruned scan, plus the tiny
+    centroid table and the PQ codebooks. Encode-once/serve-many: the
+    corpus never needs its raw vectors again at serving time."""
+    enc = pq_encode(assigned, codebooks, keep=("list_id",))
+    enc.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    save_pq(centroids.sparkSession, codebooks, f"{path}/pq")
+
+
+def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """Load a persisted IVF-PQ index → (encoded, centroids, codebooks),
+    ready for :func:`ivfpq_search_encoded`."""
+    enc = spark.read.parquet(f"{path}/codes").select("vec_id", "codes", "list_id")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return enc, centroids, load_pq(spark, f"{path}/pq")
+
+
+def ivfpq_search_encoded(
+    enc: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ ADC scan over a PRE-encoded corpus (vec_id, codes, list_id)
+    — the serving half of the index: no raw-vector column anywhere, no
+    per-batch encode pass. Cogroups on list_id like ivf_search, but the
+    kernel gathers from the per-query PQ lookup table instead of
+    BLAS-ing raw vectors."""
+    m, ksub, dsub = codebooks.shape
 
     from pyspark.sql.window import Window
 

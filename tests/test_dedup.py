@@ -295,6 +295,55 @@ def test_pq_codebooks_persist_disk_equals_memory(spark, sf_dir, tmp_path):
     assert disk == mem and len(mem) == 25
 
 
+def test_ivfpq_index_persists_prunes_and_serves_without_vectors(spark, sf_dir, tmp_path):
+    """The full IVF-PQ serving layout: save_ivfpq_index writes codes
+    hive-partitioned by list_id + centroids + codebooks; the loaded index
+    serves through ivfpq_search_encoded with NO raw-vector column and NO
+    re-encode pass, equal to the in-memory search row-for-row; a list
+    filter on the code table prunes the scan to the probed directories."""
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_search,
+        ivfpq_search_encoded,
+        load_ivfpq_index,
+        save_ivfpq_index,
+        train_pq,
+    )
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cb = train_pq(corpus, dim=64, m=8, ksub=16)
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=8)
+    mem = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in ivfpq_search(assigned, centroids, cb, queries, k=5, n_probe=3).collect()
+    }
+
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(assigned, centroids, cb, path)
+    enc, l_cent, l_cb = load_ivfpq_index(spark, path)
+    assert "e" not in enc.columns  # codes only: the 32x compression is on disk
+    disk = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in ivfpq_search_encoded(
+            enc, l_cent, l_cb, queries, k=5, n_probe=3
+        ).collect()
+    }
+    assert disk == mem and len(mem) == 25
+
+    pruned = enc.where(F.col("list_id").isin(1, 4))
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all("list_id=1" in f or "list_id=4" in f for f in files)
+
+
 def test_clear_all_caches_releases_every_memoized_frame(spark):
     """The registry-level lifecycle hook: after warming the per-module
     memoization caches, ONE clear_all_caches() call unpersists and empties
