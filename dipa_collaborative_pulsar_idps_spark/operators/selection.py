@@ -236,6 +236,72 @@ def grouped_exact_quantiles(
         d.unpersist()
 
 
+def grouped_exact_quantiles_window(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Per-group PERCENTILE_CONT for the HIGH-cardinality/small-group
+    regime — one key-partitioned window pass, fully distributed.
+
+    When no single group outgrows a task (per-customer, per-document
+    shapes: millions of keys, each small), the optimal plan is simply:
+    shuffle once on the group key, sort within key, pick the ≤ 2·|qs|
+    bracketing rows per group by row_number, interpolate in a tiny
+    follow-up aggregate. No boundary sample, no range metadata, ~2 jobs.
+    The range-decomposition form (:func:`grouped_exact_quantiles_df`)
+    exists for the OPPOSITE regime — few giant groups, where partitioning
+    by key alone would sort n/|groups| rows in ONE task (straggler/OOM).
+    Pick by group shape; both return the same long format and the same
+    IEEE interpolation (``lo + (r − floor r)·(hi − lo)``).
+
+    NULL group keys flow through (struct-packed key, SQL GROUP BY
+    semantics); all-NULL-value groups are absent, as in the other forms.
+    """
+    vals = df.select(
+        F.struct(*[F.col(c) for c in group_cols]).alias("gk"),
+        F.col(col).alias("p"),
+    ).where(F.col("p").isNotNull())
+    w = Window.partitionBy("gk").orderBy("p")
+    wc = Window.partitionBy("gk")
+    d = vals.select(
+        "gk",
+        "p",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_g"),
+    )
+    # keep only rows bracketing SOME target rank — map-side codegen OR
+    # chain over the |qs| targets, evaluated on the windowed pass output
+    hit = None
+    for q in qs:
+        r = (F.col("n_g") - 1) * F.lit(float(q))
+        c = (F.col("rn") == F.floor(r)) | (F.col("rn") == F.ceil(r))
+        hit = c if hit is None else (hit | c)
+    e = (
+        d.where(hit)
+        .select("gk", "p", "rn", "n_g", F.explode(
+            F.array(*[F.lit(float(q)) for q in qs])
+        ).alias("q"))
+        .withColumn("r", (F.col("n_g") - 1) * F.col("q"))
+        .where((F.col("rn") == F.floor("r")) | (F.col("rn") == F.ceil("r")))
+    )
+    lo_val = F.max(F.when(F.col("rn") == F.floor("r"), F.col("p")))
+    hi_val = F.max(F.when(F.col("rn") == F.ceil("r"), F.col("p")))
+    return (
+        e.groupBy("gk", "q")
+        .agg(F.max("r").alias("r"), lo_val.alias("lo"), hi_val.alias("hi"))
+        .select(
+            *[F.col(f"gk.{c}").alias(c) for c in group_cols],
+            "q",
+            (
+                F.col("lo")
+                + (F.col("r") - F.floor("r")) * (F.col("hi") - F.col("lo"))
+            ).alias("value"),
+        )
+    )
+
+
 def grouped_exact_quantiles_df(
     df: DataFrame,
     group_cols: list[str],

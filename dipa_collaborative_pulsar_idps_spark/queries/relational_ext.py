@@ -158,19 +158,21 @@ FROM orders GROUP BY o_custkey
 )
 def per_customer_spend_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HIGH-cardinality per-key exact quantiles — the shape the dict API
-    refuses (its driver fan-in guard) and the reason
-    `grouped_exact_quantiles_df` exists: every step is a DataFrame, so
-    1k keys here and 10M keys at 100 TB run the same plan — per-(key,
-    range) counts, windowed prefix offsets over that metadata frame,
-    one ranked index-lookup pass partitioned by (key, range), no driver
-    dict anywhere. ROUND(…,6) on both sides absorbs last-ulp
+    refuses (its driver fan-in guard). Runs the WINDOW strategy
+    (`operators/selection.grouped_exact_quantiles_window`): millions of
+    small groups partition cleanly by key, so the optimal plan is ONE
+    key-partitioned sort picking the ≤ 2·|qs| bracketing rows per group
+    — no driver dict, no boundary metadata, same plan at 1k keys and
+    10M keys. (The range-decomposition form stays the dial for few-
+    giant-group reporting shapes, where a per-key sort would be a
+    single-task straggler.) ROUND(…,6) on both sides absorbs last-ulp
     interpolation-order differences between engines."""
-    from ..operators.selection import grouped_exact_quantiles_df
+    from ..operators.selection import grouped_exact_quantiles_window
 
     t = Tables(spark, sf_dir)
     counts = t.orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
-    qdf = grouped_exact_quantiles_df(
-        t.orders, ["o_custkey"], "o_totalprice", [0.5, 0.9], n_parts=32
+    qdf = grouped_exact_quantiles_window(
+        t.orders, ["o_custkey"], "o_totalprice", [0.5, 0.9]
     )
     wide = qdf.groupBy("o_custkey").agg(
         F.round(F.max(F.when(F.col("q") == 0.5, F.col("value"))), 6).alias(

@@ -646,6 +646,62 @@ def test_grouped_exact_quantiles_df_matches_percentile(spark):
         assert abs(got_hk[(g, 0.9)] - w90) < 1e-9
 
 
+def test_grouped_exact_quantiles_window_matches_percentile(spark):
+    """The WINDOW strategy (high-cardinality/small-group regime: one
+    key-partitioned sort, no range metadata) == per-group exact
+    percentile — interpolated positions, ties, single-row groups, NULL
+    keys, and a 2,000-key sweep; and it agrees with the range strategy
+    exactly on a shared case."""
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        grouped_exact_quantiles_df,
+        grouped_exact_quantiles_window,
+    )
+
+    qs = [0.05, 0.5, 0.95]
+    df = (
+        spark.range(6_000)
+        .select(
+            F.pmod("id", F.lit(2_000)).cast("string").alias("g"),
+            (F.pmod(F.xxhash64("id"), F.lit(509)) * 0.5).alias("v"),
+        )
+        .union(
+            spark.range(1).select(
+                F.lit(None).cast("string").alias("g"),
+                (F.col("id") + 7.0).alias("v"),
+            )
+        )
+    )
+    got = {
+        (r.g, r.q): r.value
+        for r in grouped_exact_quantiles_window(df, ["g"], "v", qs).collect()
+    }
+    want = {
+        r.g: r.pc
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("pc"))
+        .collect()
+    }
+    assert len(want) == 2_001 and len(got) == 3 * 2_001
+    for g, pcs in want.items():
+        for q, w in zip(qs, pcs):
+            assert abs(got[(g, q)] - w) < 1e-9, (g, q)
+
+    # strategy equivalence: identical values (same IEEE interpolation)
+    small = spark.range(999).select(
+        F.pmod("id", F.lit(3)).cast("string").alias("g"),
+        F.pmod("id", F.lit(7)).cast("double").alias("v"),
+    )
+    a = {
+        (r.g, r.q): r.value
+        for r in grouped_exact_quantiles_window(small, ["g"], "v", qs).collect()
+    }
+    b = {
+        (r.g, r.q): r.value
+        for r in grouped_exact_quantiles_df(small, ["g"], "v", qs, n_parts=4).collect()
+    }
+    assert a == b
+
+
 def test_media_ops_degrade_on_corrupt_blobs(spark):
     """One corrupt blob of ANY modality degrades its own row (stub
     features / pass-through resize), never the task — and the fused
