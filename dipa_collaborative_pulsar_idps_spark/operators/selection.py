@@ -95,16 +95,22 @@ def exact_quantiles(
     this is an aggregate result, not a dataset)."""
     from pyspark import StorageLevel
 
-    vals = df.select(F.col(col).alias("p")).where(F.col("p").isNotNull())
-    # The (value, pid) frame is persisted so (a) the count and selection
-    # passes share ONE materialization of the pid expression — its
-    # n_parts-term comparison chain is cheap evaluated once per row but
-    # poisonous re-derived inside join keys / window partitions — and
-    # (b) the source is scanned twice total (boundary sample + cache
-    # fill), never per pass. One projected column + an int: a sliver of
-    # the table; MEMORY_AND_DISK spills rather than fails at scale.
+    # The projected value frame is persisted BEFORE the boundary sample,
+    # so the sample's TakeOrdered pass is also the cache fill: the
+    # source is scanned exactly ONCE however many passes follow (the
+    # r4 layout persisted (value, pid) after sampling — two source
+    # scans, and on the bench corpus every table is a single file, so
+    # each extra scan is a serial single-task read). The pid column is
+    # re-evaluated per pass off the cache — a codegen'd O(log n_parts)
+    # WHEN tree projected map-side, NOT re-derived inside join keys.
+    # One projected column: a sliver of the table; MEMORY_AND_DISK
+    # spills rather than fails at scale.
+    vals = (
+        df.select(F.col(col).alias("p"))
+        .where(F.col("p").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     d, _ = _range_ids(vals, "p", n_parts)
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         counts = sorted(
             (r.pid, r.c)
@@ -138,7 +144,7 @@ def exact_quantiles(
         )
         at = {int(r.gidx): float(r.p) for r in sel.collect()}  # bounded-collect: ≤ 2·|qs| rows
     finally:
-        d.unpersist()
+        vals.unpersist()
     return _interp(rs, at)
 
 
@@ -162,11 +168,12 @@ def grouped_exact_quantiles(
     Returns {group_tuple: [quantiles]}."""
     from pyspark import StorageLevel
 
-    vals = df.select(*group_cols, F.col(col).alias("p")).where(
-        F.col("p").isNotNull()
-    )
+    vals = (
+        df.select(*group_cols, F.col(col).alias("p"))
+        .where(F.col("p").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # persist-before-sample: ONE source scan total (see exact_quantiles)
     d, _ = _range_ids(vals, "p", n_parts)
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)  # pid materialized once (see exact_quantiles)
     try:
         counts = (
             d.groupBy(*group_cols, "pid")
@@ -233,7 +240,7 @@ def grouped_exact_quantiles(
             at.setdefault(g, {})[int(r.gidx)] = float(r.p)
         return {g: _interp(meta[g], at[g]) for g in per_group}
     finally:
-        d.unpersist()
+        vals.unpersist()
 
 
 def grouped_exact_quantiles_window(
@@ -351,12 +358,15 @@ def grouped_exact_quantiles_df(
     """
     from pyspark import StorageLevel
 
-    vals = df.select(
-        F.struct(*[F.col(c) for c in group_cols]).alias("gk"),
-        F.col(col).alias("p"),
-    ).where(F.col("p").isNotNull())
+    vals = (
+        df.select(
+            F.struct(*[F.col(c) for c in group_cols]).alias("gk"),
+            F.col(col).alias("p"),
+        )
+        .where(F.col("p").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # persist-before-sample: ONE source scan total (see exact_quantiles)
     d, _ = _range_ids(vals, "p", n_parts)
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         counts = d.groupBy("gk", "pid").agg(F.count(F.lit(1)).alias("c"))
         w_off = (
@@ -368,10 +378,11 @@ def grouped_exact_quantiles_df(
             "off", F.coalesce(F.sum("c").over(w_off), F.lit(0).cast("long"))
         ).withColumn("n_g", F.sum("c").over(Window.partitionBy("gk")))
         # (group, q) targets: rank r = (n_g − 1)·q, bracketing indices.
+        # One row per group comes FREE off the windowed count frame (the
+        # off==0 row is unique per group) — no extra groupBy/shuffle.
         qarr = F.array(*[F.lit(float(q)) for q in qs])
         targets = (
-            ranges.groupBy("gk")
-            .agg(F.first("n_g").alias("n_g"))
+            ranges.where(F.col("off") == 0)
             .select("gk", "n_g", F.explode(qarr).alias("q"))
             .withColumn("r", (F.col("n_g") - 1) * F.col("q"))
             .withColumn("lo_idx", F.floor("r"))
@@ -427,4 +438,4 @@ def grouped_exact_quantiles_df(
         out = out.localCheckpoint(eager=True)
         return out
     finally:
-        d.unpersist()
+        vals.unpersist()

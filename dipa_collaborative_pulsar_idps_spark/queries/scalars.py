@@ -221,20 +221,28 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
-    base = t.events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(k).alias("n_with_k"),
-        F.sum(k).cast("long").alias("sum_k"),
-    )
-    # persist the projected (group, value) frame around the selection
-    # call: the variant parse is the expensive part of this query, and
-    # the boundary-sample + range-count passes would otherwise re-parse
-    # the JSON column once each (the selection result materializes
-    # eagerly at |groups|·|qs| rows, so the cache releases immediately)
-    kd = t.events.select("event_type", k.cast("double").alias("kv")).persist()
+    # ONE variant parse serves everything: the projected (group, k)
+    # frame is persisted and feeds the base aggregates AND the selection
+    # passes (boundary sample + range counts) — re-deriving the parse in
+    # each consumer would multiply the dominant cost of this query. The
+    # int sum is exact through the double projection (|k| ≪ 2^53); the
+    # selection result materializes eagerly at |groups|·|qs| rows, so
+    # the cache releases immediately after.
+    kd = t.events.select("event_type", k.alias("ki")).persist()
     try:
+        # |groups|-row aggregate, pinned eagerly while the cache is hot so
+        # the deferred execution of the returned join can't re-parse
+        base = kd.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ki").alias("n_with_k"),
+            F.sum("ki").cast("long").alias("sum_k"),
+        ).localCheckpoint(eager=True)
         qdf = grouped_exact_quantiles_df(
-            kd, ["event_type"], "kv", [0.5], n_parts=32
+            kd.select("event_type", F.col("ki").cast("double").alias("kv")),
+            ["event_type"],
+            "kv",
+            [0.5],
+            n_parts=32,
         )
     finally:
         kd.unpersist()
