@@ -438,3 +438,102 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u < p)
         .select("doc_id", "n_chars", F.round(p, 9).alias("incl_p"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): duplicated token SPANS across documents —
+# the finer-grained family member beside whole-doc exact/MinHash/SimHash
+# dedup. A span duplicated across documents is the unit that gets trimmed in
+# the published recipe; this query reports the per-doc duplication profile
+# the trim decision consumes.
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 8  # tokens per span (the paper trims 50-token spans; the corpus
+#              here is ~50-token docs, so 8 keeps multiple spans per doc)
+
+
+@query(
+    "duplicate_substring_spans",
+    survey="ext-dedup,F4",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk
+    FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - {_SPAN_L} + 2),
+                                 i -> ARRAY_TO_STRING(tk[i:i+{_SPAN_L - 1}], ' ')))
+               AS gram
+    FROM toks WHERE LEN(tk) >= {_SPAN_L}
+),
+dup AS (
+    SELECT gram FROM spans GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT d.doc_id,
+       CAST(COUNT(s.gram) AS BIGINT) AS n_spans,
+       CAST(COUNT(dup.gram) AS BIGINT) AS n_dup_spans,
+       ROUND(COALESCE(COUNT(dup.gram) * 1.0 / NULLIF(COUNT(s.gram), 0), 0.0), 6)
+           AS dup_frac
+FROM documents d
+LEFT JOIN spans s ON d.doc_id = s.doc_id
+LEFT JOIN dup ON s.gram = dup.gram
+GROUP BY d.doc_id
+""",
+)
+def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile of token spans duplicated ACROSS documents:
+    every length-{L} sliding token window, flagged when the identical
+    span occurs in >= 2 distinct docs (the Lee-et-al. trim unit).
+
+    100 TB shape: spans explode to ~tokens-per-doc rows per document
+    (the same fan-out class as the n-gram shingle family) and the ONE
+    wide shuffle groups them; everything else is metadata. The declared
+    form groups by the raw span string so the DuckDB oracle can verify
+    it exactly; the production dial at petabyte scale is grouping by
+    `xxhash64(gram)` instead — 8 shuffle bytes per span instead of the
+    string, with the same span set modulo 2^-64 collisions (the
+    MinHash/banded family already certifies that hash-blocking layout).
+    HOF lambdas here run per element of per-row ~50-token arrays (the
+    acceptable HOF regime — not a large broadcast literal in a hot
+    loop)."""
+    t = Tables(spark, sf_dir)
+    L = _SPAN_L
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= L,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - L),
+            lambda i: F.array_join(F.slice(toks, i + 1, L), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = t.documents.select("doc_id", F.explode(grams).alias("gram"))
+    dup = (
+        spans.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    flagged = spans.join(dup.withColumn("is_dup", F.lit(1)), "gram", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("gram").alias("n_spans"),
+        F.count("is_dup").alias("n_dup_spans"),
+    )
+    return (
+        t.documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_spans")
+                    / F.nullif(F.col("n_spans").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -844,3 +844,33 @@ def test_pq_and_chunked_search_handle_empty_query_set(spark, sf_dir):
         out = fn(enc, cb, empty, 3)
         assert out.columns == ["query_id", "neighbor_id", "cosine", "rk"]
         assert out.count() == 0
+
+
+def test_duplicate_substring_spans_planted(spark, tmp_path):
+    """Lee-et-al. substring dedup on planted truth: two docs sharing an
+    8+-token run are flagged on exactly the shared spans; a unique doc and
+    a too-short doc report zero (and the short doc still appears)."""
+    import os
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, shared + " unique-tail-one extra words here now", "en", "s", 0),
+        (2, "prefix-two words " + shared, "en", "s", 0),
+        (3, "entirely different content with no overlap at all whatsoever ok", "en", "s", 0),
+        (4, "too short", "en", "s", 0),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe7 import (
+        duplicate_substring_spans,
+    )
+
+    out = {r.doc_id: r for r in duplicate_substring_spans(spark, d).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the shared run is 10 tokens -> 3 shared 8-gram spans in each doc
+    assert out[1].n_dup_spans == 3 and out[2].n_dup_spans == 3
+    assert out[3].n_dup_spans == 0 and out[3].n_spans > 0
+    assert out[4].n_spans == 0 and out[4].n_dup_spans == 0 and out[4].dup_frac == 0.0
+    assert abs(out[1].dup_frac - round(3 / out[1].n_spans, 6)) < 1e-12
