@@ -115,15 +115,25 @@ def pulsar_sink_writer(
     *,
     fmt: str = "pulsar",
     compression: str = "zlib",
+    routing_mode: str = "RoundRobinPartition",
+    max_pending: int = 500_000,
 ):
-    """writeStream builder for an alert topic (A7). The reference's async
-    batching/ZLib/pending-cap are connector options; exactly-once-effective
-    delivery comes from checkpointing + broker idempotence."""
+    """writeStream builder for an alert topic (A7), configured like the
+    reference producer (DIPA_Controller.py:74-80): round-robin partition
+    routing over partitioned topics and a 500k pending-message cap.
+    Routing is BEHAVIOR-tested against the loopback broker (pulsarlite
+    runs the RoundRobinPartition/key-hash/SinglePartition routers for
+    real); the pending cap stays a connector option — it shapes the
+    real client's async queue, a loopback staged-part writer has no
+    queue to bound. Exactly-once-effective delivery comes from
+    checkpointing + broker idempotence."""
     return (
         df.select(F.col("value").cast("binary").alias("value"))
         .writeStream.format(fmt)
         .option("service.url", service_url)
         .option("topic", topic)
         .option("pulsar.producer.compressionType", compression)
+        .option("pulsar.producer.messageRoutingMode", routing_mode)
+        .option("pulsar.producer.maxPendingMessages", str(max_pending))
         .option("checkpointLocation", checkpoint)
     )
