@@ -72,6 +72,7 @@ HEADLINE_V2_EXTRA = [
     "ngram_jaccard_banded",
     "ann_topk_ivfpq_neighbors",
     "ccnet_perplexity_buckets",
+    "duplicate_substring_spans",
 ]
 
 #: A first run longer than this isn't repeated — its runtime is far above

@@ -190,3 +190,60 @@ def test_exact_quantiles_property_equals_percentile(spark, vals, qs, n_parts):
         F.percentile("v", F.array(*[F.lit(q) for q in qs]))
     ).collect()[0][0]
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), (got, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # nullable key
+            st.one_of(
+                st.integers(min_value=-1000, max_value=1000).map(float),
+                st.sampled_from([0.0, 1.0, 1.0, 2.5]),  # heavy ties
+            ),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    qs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    ),
+    n_parts=st.sampled_from([2, 7]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_quantile_strategies_property_equal_percentile(
+    spark, rows, qs, n_parts
+):
+    """BOTH grouped strategies (range decomposition / window) ≡ per-group
+    exact percentile on randomized data — nullable group keys, heavy
+    ties, arbitrary quantile positions, uneven ranges — and they equal
+    EACH OTHER exactly (same IEEE interpolation)."""
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        grouped_exact_quantiles_df,
+        grouped_exact_quantiles_window,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    want = {
+        r.g: r.pc
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("pc"))
+        .collect()
+    }
+    a = {
+        (r.g, i): r.value
+        for r in grouped_exact_quantiles_df(df, ["g"], "v", qs, n_parts=n_parts).collect()
+        for i, q in enumerate(qs)
+        if r.q == q
+    }
+    b = {
+        (r.g, i): r.value
+        for r in grouped_exact_quantiles_window(df, ["g"], "v", qs).collect()
+        for i, q in enumerate(qs)
+        if r.q == q
+    }
+    for g, pcs in want.items():
+        for i, w in enumerate(pcs):
+            assert abs(a[(g, i)] - w) < 1e-9, ("range", g, qs[i], a[(g, i)], w)
+            assert b[(g, i)] == a[(g, i)], ("window≠range", g, qs[i])
