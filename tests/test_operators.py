@@ -702,6 +702,38 @@ def test_grouped_exact_quantiles_window_matches_percentile(spark):
     assert a == b
 
 
+def test_grouped_quantiles_multi_column_keys(spark):
+    """Composite group keys (incl. a NULL component) work through both
+    strategies — the struct-packed key preserves every column and SQL
+    GROUP BY null semantics."""
+    from dipa_collaborative_pulsar_idps_spark.operators.selection import (
+        grouped_exact_quantiles_df,
+        grouped_exact_quantiles_window,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("x", 1, 1.0), ("x", 1, 3.0), ("x", 2, 10.0),
+            (None, 1, 5.0), (None, 1, 9.0), ("y", None, 2.0),
+        ],
+        "a string, b int, v double",
+    )
+    want = {
+        (r.a, r.b): r.pc[0]
+        for r in df.groupBy("a", "b")
+        .agg(F.percentile("v", F.array(F.lit(0.5))).alias("pc"))
+        .collect()
+    }
+    for fn in (
+        lambda: grouped_exact_quantiles_window(df, ["a", "b"], "v", [0.5]),
+        lambda: grouped_exact_quantiles_df(df, ["a", "b"], "v", [0.5], n_parts=2),
+    ):
+        got = {(r.a, r.b): r.value for r in fn().collect()}
+        assert set(got) == set(want)
+        for k, w in want.items():
+            assert abs(got[k] - w) < 1e-12, k
+
+
 def test_media_ops_degrade_on_corrupt_blobs(spark):
     """One corrupt blob of ANY modality degrades its own row (stub
     features / pass-through resize), never the task — and the fused

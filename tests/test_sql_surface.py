@@ -201,3 +201,44 @@ def test_sql_twin_weighted_doc_sample(spark, sf_dir):
     )
     df = REGISTRY["weighted_doc_sample"].fn(spark, sf_dir)
     assert _rows(sql.select(df.columns)) == _rows(df)
+
+
+def test_sql_twin_per_key_quantiles(spark, sf_dir):
+    """The window-strategy per-key exact quantiles are plain Spark SQL —
+    the same one-keyed-window plan, written as a query: row_number +
+    per-key count, pick the bracketing rows, interpolate. Twin must match
+    the declared per_customer_spend_quantiles row-for-row."""
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        WITH ranked AS (
+            SELECT o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY o_custkey) AS n_g
+            FROM orders
+        ), picked AS (
+            SELECT o_custkey, q, r,
+                   MAX(CASE WHEN rn = FLOOR(r) THEN o_totalprice END) AS lo,
+                   MAX(CASE WHEN rn = CEIL(r)  THEN o_totalprice END) AS hi
+            FROM (
+                SELECT *, (n_g - 1) * q AS r
+                FROM ranked LATERAL VIEW EXPLODE(ARRAY(0.5D, 0.9D)) AS q
+            )
+            WHERE rn = FLOOR(r) OR rn = CEIL(r)
+            GROUP BY o_custkey, q, r
+        ), wide AS (
+            SELECT o_custkey,
+                   ROUND(MAX(CASE WHEN q = 0.5 THEN lo + (r - FLOOR(r)) * (hi - lo) END), 6)
+                       AS p50_spend,
+                   ROUND(MAX(CASE WHEN q = 0.9 THEN lo + (r - FLOOR(r)) * (hi - lo) END), 6)
+                       AS p90_spend
+            FROM picked GROUP BY o_custkey
+        )
+        SELECT c.o_custkey, c.n_orders, w.p50_spend, w.p90_spend
+        FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) c
+        JOIN wide w USING (o_custkey)
+        """
+    )
+    df = REGISTRY["per_customer_spend_quantiles"].fn(spark, sf_dir)
+    assert _rows(sql.select(df.columns)) == _rows(df)
