@@ -497,3 +497,48 @@ def test_plain_topic_unaffected_by_partition_machinery(spark, broker, tmp_path):
     w.commit([w.write(iter([_Row(value=b"x", __key=None)]))], batchId=0)
     assert os.path.exists(os.path.join(broker, "plain.jsonl"))
     assert not os.path.exists(os.path.join(broker, "plain-partition-0.jsonl"))
+
+
+def test_partitioned_sink_checkpoint_restart_no_duplicates(spark, broker, tmp_path):
+    """I12 × A7: a partitioned-topic producer resumed from its checkpoint
+    processes ONLY new input — across a stop/start cycle no partition log
+    gains a duplicate, and the base-name consumer sees exactly the union."""
+    pulsarlite.create_partitioned_topic(broker, "alerts", 3)
+    src = tmp_path / "outbox"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def run_once():
+        q = (
+            pulsar_sink_writer(
+                spark.readStream.text(str(src)), f"pulsarlite://{broker}",
+                "alerts", ckpt, fmt="pulsarlite", compression="none",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "a.txt").write_text("".join(f"a{i:03d}\n" for i in range(90)))
+    run_once()
+    (src / "b.txt").write_text("".join(f"b{i:03d}\n" for i in range(60)))
+    run_once()  # restart from checkpoint: must append ONLY b*
+
+    seen = []
+    for i in range(3):
+        log = os.path.join(broker, f"alerts-partition-{i}.jsonl")
+        seen += [
+            pulsarlite.decode_message(line)[2].decode()
+            for line in open(log, encoding="ascii").read().splitlines()
+        ]
+    assert len(seen) == 150 and len(set(seen)) == 150  # no dups anywhere
+    assert sorted(seen) == sorted(
+        [f"a{i:03d}" for i in range(90)] + [f"b{i:03d}" for i in range(60)]
+    )
+
+    stream = pulsar_source_reader(
+        spark, f"pulsarlite://{broker}", "alerts",
+        fmt="pulsarlite", starting_offsets="earliest",
+    )
+    rows = _drain(stream, tmp_path, "t_part_restart")
+    assert len(rows) == 150
