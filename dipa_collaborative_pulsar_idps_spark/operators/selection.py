@@ -390,37 +390,46 @@ def grouped_exact_quantiles_df(
         )
         need = targets.select(
             "gk", F.explode(F.array("lo_idx", "hi_idx")).alias("idx")
-        ).distinct()
+        )  # duplicates (lo==hi, shared indices across q's) fold into the
+        #    collect_set below — a distinct here would only add a shuffle
         # which (group, range) slices contain a needed index — both sides
-        # are |groups|-scale metadata frames, not data.
+        # are |groups|-scale metadata frames, not data. The wanted indices
+        # of each slice fold into ONE array row (the distributed twin of
+        # the dict API's `want` column), so the big frame pays a single
+        # join + an array_contains filter instead of two joins.
         hits = (
             ranges.join(need, "gk")
             .where(
                 (F.col("idx") >= F.col("off"))
                 & (F.col("idx") < F.col("off") + F.col("c"))
             )
-            .select("gk", "pid", "off", "idx")
+            .groupBy("gk", "pid", "off")
+            .agg(F.collect_set("idx").alias("want"))
         )
-        hit_ranges = hits.select("gk", "pid", "off").distinct()
         wl = Window.partitionBy("gk", "pid").orderBy("p")
         picked = (
-            d.join(hit_ranges, ["gk", "pid"])
+            d.join(hits, ["gk", "pid"])
             .withColumn("gidx", F.col("off") + F.row_number().over(wl) - 1)
-            .join(
-                hits.select("gk", F.col("idx").alias("gidx")).distinct(),
-                ["gk", "gidx"],
-            )
+            .where(F.array_contains("want", F.col("gidx")))
             .select("gk", "gidx", "p")
         )
-        lo = picked.select(
-            "gk", F.col("gidx").alias("lo_idx"), F.col("p").alias("lo_val")
-        )
-        hi = picked.select(
-            "gk", F.col("gidx").alias("hi_idx"), F.col("p").alias("hi_val")
-        )
+        # ONE gk-join feeds both interpolation ends (≤ 2·|qs| picked rows
+        # per group makes the fan-out tiny); lo/hi land via conditional agg
         out = (
-            targets.join(lo, ["gk", "lo_idx"])
-            .join(hi, ["gk", "hi_idx"])
+            targets.join(picked, "gk")
+            .where(
+                (F.col("gidx") == F.col("lo_idx"))
+                | (F.col("gidx") == F.col("hi_idx"))
+            )
+            .groupBy("gk", "q", "r", "lo_idx", "hi_idx")
+            .agg(
+                F.max(F.when(F.col("gidx") == F.col("lo_idx"), F.col("p"))).alias(
+                    "lo_val"
+                ),
+                F.max(F.when(F.col("gidx") == F.col("hi_idx"), F.col("p"))).alias(
+                    "hi_val"
+                ),
+            )
             .select(
                 "gk",
                 "q",
