@@ -153,3 +153,8 @@ def test_bench_headline_names_exist():
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"headline names not in registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    # headline_v2 = legacy + r3/r5 heavy-family extras, same guarantees
+    missing_v2 = [n for n in bench.HEADLINE_V2_EXTRA if n not in REGISTRY]
+    assert not missing_v2, f"headline_v2 names not in registry: {missing_v2}"
+    assert not set(bench.HEADLINE_V2_EXTRA) & set(bench.HEADLINE)
+    assert len(set(bench.HEADLINE_V2_EXTRA)) == len(bench.HEADLINE_V2_EXTRA)
