@@ -537,3 +537,64 @@ def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+_WEK_K = 10  # weighted exact-k per stratum
+
+
+@query(
+    "weighted_exact_k_sample",
+    survey="ext-curation,J14,G1",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           ROUND(
+               LN(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS DOUBLE) / {1 << 60})
+               / CAST(n_chars AS DOUBLE), 9) AS wkey
+    FROM documents WHERE n_chars > 0
+), ranked AS (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY wkey DESC, doc_id ASC) AS rk
+    FROM keyed
+)
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_WEK_K}
+""",
+)
+def weighted_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k weighted sample per stratum — A-Res (Efraimidis–Spirakis):
+    each doc draws key u^(1/w) (w = n_chars) and the k largest keys per
+    lang ARE a weighted sample without replacement. Completes the
+    sampling family: rate-based stratified (`stratified_sample_by_lang`),
+    unweighted exact-k (`exact_k_per_group_sample`), weighted Poisson
+    (`weighted_doc_sample`), and now weighted exact-k.
+
+    Engine portability: the uniform draw is the md5/2^60 trick (IEEE-
+    exact, see `weighted_doc_sample`); the key is ranked in the ln
+    domain (ln(u)/w — the monotone equivalent of u^(1/w)), ROUNDed to 9
+    decimals with a doc_id tie-break so libm ulp differences between
+    engines cannot flip an order, and the float NEVER appears in the
+    output — only (lang, doc_id, n_chars, rk), so the correctness
+    contract is the selection order alone (residual risk is a true key
+    within one ulp of a 1e-9 rounding boundary — the same accepted
+    class as `ccnet_perplexity_buckets`).
+
+    100 TB shape: map-side key derivation (no RNG state, no shuffle for
+    the draw), one rank shuffle on the stratum key; per-stratum top-k
+    via row_number keeps only k rows per group past the sort."""
+    t = Tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = h.cast("double") / F.lit(_POW2_60)
+    wkey = F.round(F.ln(u) / F.col("n_chars").cast("double"), 9)
+    w = Window.partitionBy("lang").orderBy(F.desc("wkey"), F.asc("doc_id"))
+    return (
+        t.documents.where(F.col("n_chars") > 0)
+        .select("lang", "doc_id", "n_chars", wkey.alias("wkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _WEK_K)
+        .select("lang", "doc_id", "n_chars", "rk")
+    )

@@ -158,3 +158,42 @@ def test_bench_headline_names_exist():
     assert not missing_v2, f"headline_v2 names not in registry: {missing_v2}"
     assert not set(bench.HEADLINE_V2_EXTRA) & set(bench.HEADLINE)
     assert len(set(bench.HEADLINE_V2_EXTRA)) == len(bench.HEADLINE_V2_EXTRA)
+
+
+def test_weighted_exact_k_sample_matches_independent_reimpl(spark):
+    """A-Res weighted exact-k selection equals a from-scratch Python
+    recomputation of the same md5-derived keys (independent of Spark AND
+    of the DuckDB oracle), and is exact-k per stratum."""
+    import hashlib
+    import math
+
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe7 import (
+        _WEK_K,
+        weighted_exact_k_sample,
+    )
+    from dipa_collaborative_pulsar_idps_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        if r.n_chars <= 0:
+            continue
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) / 2**60
+        key = round(math.log(u) / float(r.n_chars), 9)
+        per_lang.setdefault(r.lang, []).append((-key, r.doc_id, r.n_chars))
+    want = set()
+    for lang, ks in per_lang.items():
+        for rk, (_, doc_id, n_chars) in enumerate(sorted(ks)[:_WEK_K], start=1):
+            want.add((lang, doc_id, n_chars, rk))
+    got = {
+        (r.lang, r.doc_id, r.n_chars, r.rk)
+        for r in weighted_exact_k_sample(spark, sf_dir).collect()
+    }
+    assert got == want
+    by_lang: dict[str, int] = {}
+    for lang, *_ in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert all(n == min(_WEK_K, len(per_lang[lg])) for lg, n in by_lang.items())
