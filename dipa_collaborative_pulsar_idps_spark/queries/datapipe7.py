@@ -487,38 +487,46 @@ def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     every length-{L} sliding token window, flagged when the identical
     span occurs in >= 2 distinct docs (the Lee-et-al. trim unit).
 
-    100 TB shape: spans explode to ~tokens-per-doc rows per document
-    (the same fan-out class as the n-gram shingle family) and the ONE
-    wide shuffle groups them; everything else is metadata. The declared
-    form groups by the raw span string so the DuckDB oracle can verify
-    it exactly; the production dial at petabyte scale is grouping by
-    `xxhash64(gram)` instead — 8 shuffle bytes per span instead of the
-    string, with the same span set modulo 2^-64 collisions (the
-    MinHash/banded family already certifies that hash-blocking layout).
-    HOF lambdas here run per element of per-row ~50-token arrays (the
-    acceptable HOF regime — not a large broadcast literal in a hot
-    loop)."""
+    100 TB shape — and the reason this is WINDOWS, not HOFs + self-join:
+    spans fan out to ~tokens-per-doc rows (the n-gram shingle class).
+    Grams are built by `posexplode` + seven `lead()`s over a per-doc
+    window — whole-stage codegen — instead of a
+    transform/slice/array_join HOF, which is CodegenFallback
+    (interpreted PER ELEMENT) and would additionally be evaluated twice
+    by the naive dup-set self-join. The distinct-doc count per gram is
+    a dense_rank + max window pair sharing ONE shuffle on the gram —
+    O(1) window state (no collect_set blowup on stop-grams that occur
+    in millions of docs), and the span stream is consumed exactly once.
+    The declared form partitions by the raw span string so the DuckDB
+    oracle can verify exactly; the petabyte dial is `xxhash64(gram)` —
+    8 shuffle bytes per span, same result modulo 2^-64 collisions (the
+    MinHash/banded family already certifies that hash-blocking
+    layout)."""
     t = Tables(spark, sf_dir)
     L = _SPAN_L
     toks = F.filter(F.split("text", " "), lambda x: x != "")
-    grams = F.when(
-        F.size(toks) >= L,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - L),
-            lambda i: F.array_join(F.slice(toks, i + 1, L), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    spans = t.documents.select("doc_id", F.explode(grams).alias("gram"))
-    dup = (
-        spans.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
+    tok = t.documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wd) for i in range(1, L)]
+    # concat_ws skips NULLs, so gate on the LAST lead: present ⇒ all are
+    spans = (
+        tok.select(
+            "doc_id",
+            F.when(
+                F.lead("tok", L - 1).over(wd).isNotNull(),
+                F.concat_ws(" ", *parts),
+            ).alias("gram"),
+        )
+        .where(F.col("gram").isNotNull())
     )
-    flagged = spans.join(dup.withColumn("is_dup", F.lit(1)), "gram", "left")
-    per_doc = flagged.groupBy("doc_id").agg(
+    w1 = Window.partitionBy("gram").orderBy("doc_id")
+    w2 = Window.partitionBy("gram")
+    sp = spans.select(
+        "doc_id", "gram", F.dense_rank().over(w1).alias("dr")
+    ).withColumn("nd", F.max("dr").over(w2))
+    per_doc = sp.groupBy("doc_id").agg(
         F.count("gram").alias("n_spans"),
-        F.count("is_dup").alias("n_dup_spans"),
+        F.count_if(F.col("nd") >= 2).alias("n_dup_spans"),
     )
     return (
         t.documents.select("doc_id")
