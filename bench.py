@@ -136,7 +136,9 @@ def run_streaming_bench(spark) -> dict:
         ms = sum(p["batchDuration"] for p in st)
         durs = sorted(p["batchDuration"] for p in st)
         out["spine_rows_per_sec"] = round(rows / (ms / 1000.0), 1) if ms else 0.0
-        out["spine_p95_batch_ms"] = durs[min(len(durs) - 1, int(0.95 * len(durs)))]
+        out["spine_p95_batch_ms"] = (
+            durs[min(len(durs) - 1, int(0.95 * len(durs)))] if durs else 0
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -168,9 +170,9 @@ def run_streaming_bench(spark) -> dict:
         out["alert_machine_keys_per_sec"] = (
             round(keys / (ms / 1000.0), 1) if ms else 0.0
         )
-        out["alert_machine_p95_batch_ms"] = durs[
-            min(len(durs) - 1, int(0.95 * len(durs)))
-        ]
+        out["alert_machine_p95_batch_ms"] = (
+            durs[min(len(durs) - 1, int(0.95 * len(durs)))] if durs else 0
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

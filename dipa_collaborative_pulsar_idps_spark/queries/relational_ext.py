@@ -182,7 +182,11 @@ def per_customer_spend_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_spend"
         ),
     )
-    return counts.join(wide, "o_custkey").select(
+    # LEFT join: a customer whose o_totalprice values are all NULL has no
+    # quantile rows, but PERCENTILE_CONT semantics keep the key with NULL
+    # p50/p90 (latent in this corpus — o_totalprice is non-null — but the
+    # operator contract must not depend on that).
+    return counts.join(wide, "o_custkey", "left").select(
         "o_custkey", "n_orders", "p50_spend", "p90_spend"
     )
 

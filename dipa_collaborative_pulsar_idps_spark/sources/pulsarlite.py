@@ -363,8 +363,12 @@ class PulsarLiteStreamWriter(DataSourceStreamWriter):
     the real broker). ``SinglePartition`` mode sends every keyless
     message of this producer to one partition. One staged part per
     (task, routed partition); the epoch commit appends each to its own
-    partition log under the ONE base-topic marker, so replay idempotence
-    covers all partitions atomically.
+    partition log under the ONE base-topic marker, so a fully-replayed
+    epoch is skipped across all partitions — effectively exactly-once
+    absent a crash INSIDE the commit itself (a failure between the
+    individual partition-log appends and the marker write re-appends the
+    already-written partitions on replay; the marker-after-append window
+    of the single-log sink, multiplied across N logs).
     """
 
     def __init__(self, options: dict):

@@ -292,6 +292,7 @@ def write_zordered(
     n_files: int,
     bits: int = 16,
     mode: str = "overwrite",
+    boundary_sample_per_partition: int = 20_000,
 ) -> None:
     """Write ``df`` as ``n_files`` files clustered by the Morton code of
     ``cols``: one stats agg for the scale bounds, range-partition on the
@@ -301,7 +302,17 @@ def write_zordered(
     Scale: the stats agg is one partial+final pass; the layout itself is
     exactly one range shuffle — the same cost as any sorted write. Reading
     back needs NO engine support beyond ordinary parquet min/max row-group
-    and file pruning on the original columns."""
+    and file pruning on the original columns.
+
+    Boundary determinism: range-exchange boundaries come from a per-input-
+    partition reservoir sample whose seed varies with session history (RDD
+    id), so the default 100-point sample makes file boxes *statistically*
+    tight but run-to-run wobbly. Layout writes are rare and their whole
+    value is boundary quality, so we raise the sample hint for the duration
+    of this write (Spark caps the total draw at 1e6 rows, so this is
+    bounded at any scale); when a partition's row count is under the hint
+    the reservoir degenerates to the full partition and the boundaries are
+    exact quantiles, independent of seed."""
     bounds = df.agg(
         *[f for c in cols for f in (F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi"))]
     ).first()
@@ -310,10 +321,20 @@ def write_zordered(
         for c in cols
     ]
     keyed = df.select("*", zorder_key([s for s in scaled], bits).alias("__zkey"))
-    (
-        keyed.repartitionByRange(n_files, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    spark = df.sparkSession
+    sample_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(sample_key, None)
+    spark.conf.set(sample_key, str(boundary_sample_per_partition))
+    try:
+        (
+            keyed.repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+            .write.mode(mode)
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(sample_key)
+        else:
+            spark.conf.set(sample_key, prev)
