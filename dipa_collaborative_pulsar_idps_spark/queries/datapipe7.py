@@ -501,24 +501,30 @@ def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can verify exactly; the petabyte dial is `xxhash64(gram)` —
     8 shuffle bytes per span, same result modulo 2^-64 collisions (the
     MinHash/banded family already certifies that hash-blocking
-    layout)."""
-    t = Tables(spark, sf_dir)
+    layout; `duplicate_substring_spans_hashed` below runs it)."""
+    return _substring_span_profile(Tables(spark, sf_dir), hashed=False)
+
+
+def _substring_span_profile(t: Tables, hashed: bool) -> DataFrame:
+    """Shared span-dedup pipeline; ``hashed`` swaps the shuffle/window key
+    from the raw span string to ``xxhash64(gram)`` (8 bytes per span)."""
     L = _SPAN_L
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     tok = t.documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     wd = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(wd) for i in range(1, L)]
     # concat_ws skips NULLs, so gate on the LAST lead: present ⇒ all are
-    spans = (
-        tok.select(
-            "doc_id",
-            F.when(
-                F.lead("tok", L - 1).over(wd).isNotNull(),
-                F.concat_ws(" ", *parts),
-            ).alias("gram"),
-        )
-        .where(F.col("gram").isNotNull())
+    gram = F.when(
+        F.lead("tok", L - 1).over(wd).isNotNull(), F.concat_ws(" ", *parts)
     )
+    # hash AFTER the null gate: xxhash64(NULL) is the seed hash, not NULL,
+    # so hashing first would let every incomplete trailing window through
+    # as one giant colliding "span"
+    spans = tok.select("doc_id", gram.alias("gram")).where(
+        F.col("gram").isNotNull()
+    )
+    if hashed:
+        spans = spans.select("doc_id", F.xxhash64("gram").alias("gram"))
     w1 = Window.partitionBy("gram").orderBy("doc_id")
     w2 = Window.partitionBy("gram")
     sp = spans.select(
@@ -545,6 +551,22 @@ def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@query("duplicate_substring_spans_hashed", survey="ext-dedup,F4")
+def duplicate_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The petabyte dial of `duplicate_substring_spans`: the distinct-doc
+    window pair partitions on ``xxhash64(gram)`` instead of the raw span
+    string, so the one wide shuffle moves 8 bytes per span instead of the
+    full ~{_SPAN_L}-token string — the same hash-blocking layout the
+    MinHash/banded family uses. Output is identical to the string-gram
+    form modulo 2^-64 gram-hash collisions (unobservable at test scale;
+    at 100 TB a collision can only flag one extra span as duplicated,
+    never un-flag one — conservative for a trim decision). Rows-only in
+    the driver harness by the same contract as `ngram_jaccard_banded`;
+    the pytest certifier asserts bit-identical output vs the declared
+    exact form at sf0.001 and sf0.01."""
+    return _substring_span_profile(Tables(spark, sf_dir), hashed=True)
 
 
 _WEK_K = 10  # weighted exact-k per stratum

@@ -874,3 +874,21 @@ def test_duplicate_substring_spans_planted(spark, tmp_path):
     assert out[3].n_dup_spans == 0 and out[3].n_spans > 0
     assert out[4].n_spans == 0 and out[4].n_dup_spans == 0 and out[4].dup_frac == 0.0
     assert abs(out[1].dup_frac - round(3 / out[1].n_spans, 6)) < 1e-12
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_duplicate_substring_spans_hashed_equivalence(spark, sf):
+    """The xxhash64-gram dial (8 shuffle bytes per span) produces output
+    bit-identical to the string-gram exact form on the real corpus —
+    gram-hash collisions at 2^-64 are unobservable at these scales, so
+    any mismatch is a pipeline bug, not a collision."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe7 import (
+        duplicate_substring_spans,
+        duplicate_substring_spans_hashed,
+    )
+
+    d = f"/root/testdata/{sf}"
+    exact = duplicate_substring_spans(spark, d)
+    hashed = duplicate_substring_spans_hashed(spark, d)
+    assert exact.columns == hashed.columns
+    assert exact.exceptAll(hashed).isEmpty() and hashed.exceptAll(exact).isEmpty()
