@@ -243,11 +243,21 @@ def grouped_exact_quantiles(
         vals.unpersist()
 
 
+def _grouped_vals(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
+    """Shared projection for the grouped-quantile family: struct-packed
+    NULL-safe group key + the non-null value column."""
+    return df.select(
+        F.struct(*[F.col(c) for c in group_cols]).alias("gk"),
+        F.col(col).alias("p"),
+    ).where(F.col("p").isNotNull())
+
+
 def grouped_exact_quantiles_window(
     df: DataFrame,
     group_cols: list[str],
     col: str,
     qs: list[float],
+    _vals: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group PERCENTILE_CONT for the HIGH-cardinality/small-group
     regime — one key-partitioned window pass, fully distributed.
@@ -266,10 +276,7 @@ def grouped_exact_quantiles_window(
     NULL group keys flow through (struct-packed key, SQL GROUP BY
     semantics); all-NULL-value groups are absent, as in the other forms.
     """
-    vals = df.select(
-        F.struct(*[F.col(c) for c in group_cols]).alias("gk"),
-        F.col(col).alias("p"),
-    ).where(F.col("p").isNotNull())
+    vals = _vals if _vals is not None else _grouped_vals(df, group_cols, col)
     w = Window.partitionBy("gk").orderBy("p")
     wc = Window.partitionBy("gk")
     d = vals.select(
@@ -315,6 +322,7 @@ def grouped_exact_quantiles_df(
     col: str,
     qs: list[float],
     n_parts: int = 64,
+    _vals: DataFrame | None = None,
 ) -> DataFrame:
     """Fully-distributed per-group PERCENTILE_CONT — NO driver fan-in.
 
@@ -358,14 +366,12 @@ def grouped_exact_quantiles_df(
     """
     from pyspark import StorageLevel
 
+    owns_vals = _vals is None
     vals = (
-        df.select(
-            F.struct(*[F.col(c) for c in group_cols]).alias("gk"),
-            F.col(col).alias("p"),
-        )
-        .where(F.col("p").isNotNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )  # persist-before-sample: ONE source scan total (see exact_quantiles)
+        _grouped_vals(df, group_cols, col).persist(StorageLevel.MEMORY_AND_DISK)
+        if owns_vals  # persist-before-sample: ONE source scan total
+        else _vals  # caller-owned (already persisted by the auto router)
+    )
     d, _ = _range_ids(vals, "p", n_parts)
     try:
         counts = d.groupBy("gk", "pid").agg(F.count(F.lit(1)).alias("c"))
@@ -446,5 +452,80 @@ def grouped_exact_quantiles_df(
         # the caller compose further plans without re-running selection.
         out = out.localCheckpoint(eager=True)
         return out
+    finally:
+        if owns_vals:
+            vals.unpersist()
+
+
+# Rows one task can sort comfortably (a few hundred MB of (gk, double)
+# pairs): above this, a single group would straggle/OOM the per-key window
+# sort, so the range-decomposition form takes over.
+GROUPED_QUANTILE_TASK_ROWS = 4_000_000
+
+
+def pick_grouped_quantile_strategy(
+    max_group_rows: int, max_rows_per_group: int = GROUPED_QUANTILE_TASK_ROWS
+) -> str:
+    """Route by the ONE number that separates the regimes: the largest
+    group's row count. ≤ threshold → ``"window"`` (one key-partitioned
+    sort; optimal for many small groups); > threshold → ``"range"``
+    (range decomposition; a giant group's sort is split across value
+    ranges instead of landing on one task)."""
+    return "range" if max_group_rows > max_rows_per_group else "window"
+
+
+def grouped_exact_quantiles_auto(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: list[float],
+    max_rows_per_group: int = GROUPED_QUANTILE_TASK_ROWS,
+    n_parts: int = 64,
+) -> DataFrame:
+    """Per-group PERCENTILE_CONT with AUTOMATIC strategy choice — callers
+    who don't know their group shape get the right plan instead of a
+    straggler.
+
+    Probe: persist the (gk, value) sliver, then ONE map-side-combined
+    count agg yields the max group size (the probe job doubles as the
+    cache fill, so the source is scanned exactly once; the chosen
+    strategy reads the cached sliver). Route via
+    :func:`pick_grouped_quantile_strategy`:
+
+    - ``"window"`` — many small groups: one key-partitioned sort picking
+      the ≤ 2·|qs| bracketing rows per group;
+    - ``"range"`` — few giant groups: range decomposition with windowed
+      prefix offsets, no single-task sort of a whole group.
+
+    Both return the identical long format ``(*group_cols, q, value)``
+    and the same IEEE interpolation, so the router never changes the
+    answer — a property test certifies result equality against both
+    manual forms in both regimes. The result is eagerly pinned
+    (|groups|·|qs| rows — metadata scale) so the sliver cache can be
+    released before returning. Callers with table stats in hand can skip
+    the probe by calling the manual forms directly."""
+    from pyspark import StorageLevel
+
+    vals = _grouped_vals(df, group_cols, col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        mx = (
+            vals.groupBy("gk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"))
+            .first()
+            .mx
+        )
+        if mx is None:  # no non-null values anywhere: empty long frame
+            return grouped_exact_quantiles_window(
+                df, group_cols, col, qs, _vals=vals
+            ).localCheckpoint(eager=True)
+        strategy = pick_grouped_quantile_strategy(int(mx), max_rows_per_group)
+        if strategy == "range":
+            return grouped_exact_quantiles_df(
+                df, group_cols, col, qs, n_parts=n_parts, _vals=vals
+            )  # already localCheckpoint(eager)-pinned by the range form
+        return grouped_exact_quantiles_window(
+            df, group_cols, col, qs, _vals=vals
+        ).localCheckpoint(eager=True)
     finally:
         vals.unpersist()

@@ -372,13 +372,16 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one final task and is an executor-OOM at 100 TB. The selection path
     evaluates the same (n-1)·p linear interpolation as DuckDB's
     PERCENTILE_CONT oracle; ROUND(…,4) absorbs last-ulp arithmetic
-    differences. Since r5 this runs the fully-distributed DF form — no
-    driver dict, the per-group offsets are a window over the
-    (group × range) count frame."""
-    from ..operators.selection import grouped_exact_quantiles_df
+    differences. Since r6 the strategy is auto-routed
+    (`grouped_exact_quantiles_auto`): the max-group-size probe picks the
+    per-key window sort at bench scale and flips to the fully-
+    distributed range form — no driver dict, per-group offsets a window
+    over the (group × range) count frame — when an l_returnflag group
+    outgrows a task, as it does at 100 TB."""
+    from ..operators.selection import grouped_exact_quantiles_auto
 
     t = Tables(spark, sf_dir)
-    qdf = grouped_exact_quantiles_df(
+    qdf = grouped_exact_quantiles_auto(
         t.lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.95, 0.99],
         n_parts=32,  # right-sized for the bench corpus; raise with data scale
     )

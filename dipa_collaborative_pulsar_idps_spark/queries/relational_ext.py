@@ -115,23 +115,22 @@ GROUP BY p_brand
 """,
 )
 def price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand exact percentiles via FULLY-distributed selection
-    (`operators/selection.grouped_exact_quantiles_df`) — a few-group
-    exact `percentile` aggregate concentrates each group's ENTIRE value
-    set in one task buffer (n/|brands| rows: the same 100 TB OOM class
-    as the global form), so no declared plan runs it; and since r5 no
-    driver fan-in either — per-group prefix offsets are a window over
-    the (group × range) count frame, not a collected dict. min/max stay
-    a plain hash aggregate; the ≤|brands|·2-row long-format quantile
-    frame pivots wide and broadcasts back."""
-    from ..operators.selection import grouped_exact_quantiles_df
+    """Per-brand exact percentiles via FULLY-distributed selection,
+    strategy auto-routed (`grouped_exact_quantiles_auto`): the max-
+    group-size probe picks the per-key window sort while brand groups
+    fit a task, and flips to range decomposition when they don't
+    (n/|brands| rows at 100 TB — the single-buffer `percentile` OOM
+    class no declared plan runs). No driver fan-in in either regime.
+    min/max stay a plain hash aggregate; the ≤|brands|·2-row
+    long-format quantile frame pivots wide and broadcasts back."""
+    from ..operators.selection import grouped_exact_quantiles_auto
 
     t = Tables(spark, sf_dir)
     base = t.part.groupBy("p_brand").agg(
         F.min("p_retailprice").alias("min_price"),
         F.max("p_retailprice").alias("max_price"),
     )
-    qdf = grouped_exact_quantiles_df(
+    qdf = grouped_exact_quantiles_auto(
         t.part, ["p_brand"], "p_retailprice", [0.5, 0.9], n_parts=32
     )
     wide = qdf.groupBy("p_brand").agg(
@@ -163,10 +162,13 @@ def per_customer_spend_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     small groups partition cleanly by key, so the optimal plan is ONE
     key-partitioned sort picking the ≤ 2·|qs| bracketing rows per group
     — no driver dict, no boundary metadata, same plan at 1k keys and
-    10M keys. (The range-decomposition form stays the dial for few-
-    giant-group reporting shapes, where a per-key sort would be a
-    single-task straggler.) ROUND(…,6) on both sides absorbs last-ulp
-    interpolation-order differences between engines."""
+    10M keys. Pinned to the manual form deliberately: the shape (a
+    per-key analytic — group size bounded by orders-per-customer) is
+    known a priori, so `grouped_exact_quantiles_auto`'s max-group-size
+    probe would only re-measure a known fact each run (+~50% at bench
+    scale); the property test certifies the router lands here anyway.
+    ROUND(…,6) on both sides absorbs last-ulp interpolation-order
+    differences between engines."""
     from ..operators.selection import grouped_exact_quantiles_window
 
     t = Tables(spark, sf_dir)

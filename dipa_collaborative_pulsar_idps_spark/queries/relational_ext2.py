@@ -182,17 +182,18 @@ def grouped_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by over per-value counts instead).
 
     100 TB note: the exact median runs through FULLY-distributed
-    selection (`operators/selection.grouped_exact_quantiles_df`, no
-    driver dict) — `F.median` is sugar for the exact percentile
-    aggregate, whose few-group buffers hold n/|groups| values in ONE
-    task each; the mergeable sketch (`approx_price_percentiles`) stays
-    the dial when exactness isn't contractual. Mode via counted max_by
-    is two map-side-combined aggregations, scale-safe. Modes LEFT-join
-    the median frame so a group whose values are entirely NULL keeps a
-    NULL median (PERCENTILE_CONT-over-zero-rows semantics) instead of
-    being dropped — the selection output only has groups with ≥1
-    non-null value."""
-    from ..operators.selection import grouped_exact_quantiles_df
+    selection, auto-routed (`grouped_exact_quantiles_auto`: window sort
+    while event_type groups fit a task, range decomposition beyond, no
+    driver dict in either regime) — `F.median` is sugar for the exact
+    percentile aggregate, whose few-group buffers hold n/|groups| values
+    in ONE task each; the mergeable sketch (`approx_price_percentiles`)
+    stays the dial when exactness isn't contractual. Mode via counted
+    max_by is two map-side-combined aggregations, scale-safe. Modes
+    LEFT-join the median frame so a group whose values are entirely NULL
+    keeps a NULL median (PERCENTILE_CONT-over-zero-rows semantics)
+    instead of being dropped — the selection output only has groups with
+    ≥1 non-null value."""
+    from ..operators.selection import grouped_exact_quantiles_auto
 
     t = Tables(spark, sf_dir)
     counted = t.events.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
@@ -201,7 +202,7 @@ def grouped_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.struct(F.col("cnt"), (-F.col("value")).alias("nv"))
         ).alias("mode_value")
     )
-    med = grouped_exact_quantiles_df(
+    med = grouped_exact_quantiles_auto(
         t.events, ["event_type"], "value", [0.5], n_parts=32
     ).select("event_type", F.col("value").alias("median_raw"))
     return (

@@ -211,12 +211,14 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`try_parse_json`), mirroring the engine's ANSI-safe parsing stance
     (I11). The oracle reads the same JSON with DuckDB's json_extract.
     The median of the extracted field runs through FULLY-distributed
-    selection (`grouped_exact_quantiles_df` — a few-group exact
-    `percentile` buffers n/|groups| values in one task at scale, and
-    since r5 there is no driver dict either); a group whose documents
-    all lack `k` keeps its NULL median via the left join, matching
-    PERCENTILE_CONT over zero rows."""
-    from ..operators.selection import grouped_exact_quantiles_df
+    selection, strategy chosen by the r6 auto router
+    (`grouped_exact_quantiles_auto`: max-group-size probe → per-key
+    window sort here at test scale, range decomposition when a group
+    outgrows a task — a few-group exact `percentile` buffers n/|groups|
+    values in one task at scale, and there is no driver dict either);
+    a group whose documents all lack `k` keeps its NULL median via the
+    left join, matching PERCENTILE_CONT over zero rows."""
+    from ..operators.selection import grouped_exact_quantiles_auto
 
     t = Tables(spark, sf_dir)
     v = F.try_parse_json("props")
@@ -237,7 +239,7 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("ki").alias("n_with_k"),
             F.sum("ki").cast("long").alias("sum_k"),
         ).localCheckpoint(eager=True)
-        qdf = grouped_exact_quantiles_df(
+        qdf = grouped_exact_quantiles_auto(
             kd.select("event_type", F.col("ki").cast("double").alias("kv")),
             ["event_type"],
             "kv",

@@ -734,6 +734,67 @@ def test_grouped_quantiles_multi_column_keys(spark):
             assert abs(got[k] - w) < 1e-12, k
 
 
+def test_grouped_exact_quantiles_auto_routes_and_matches(spark, monkeypatch):
+    """The auto router (a) picks the window strategy for many small
+    groups and the range strategy for a task-outgrowing group, certified
+    by spying on which manual form runs, and (b) returns values
+    identical to BOTH manual forms in both regimes — the router never
+    changes the answer, only the plan."""
+    from dipa_collaborative_pulsar_idps_spark.operators import selection as sel
+
+    calls = []
+    real_w, real_df = sel.grouped_exact_quantiles_window, sel.grouped_exact_quantiles_df
+    monkeypatch.setattr(
+        sel, "grouped_exact_quantiles_window",
+        lambda *a, **k: calls.append("window") or real_w(*a, **k),
+    )
+    monkeypatch.setattr(
+        sel, "grouped_exact_quantiles_df",
+        lambda *a, **k: calls.append("range") or real_df(*a, **k),
+    )
+    qs = [0.1, 0.5, 0.9]
+    # many small groups (500 keys x ~12 rows) -> window
+    small = spark.range(6_000).select(
+        F.pmod("id", F.lit(500)).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(997)) * 0.25).alias("v"),
+    )
+    # few giant groups (3 keys x 2000 rows), threshold lowered so 2000
+    # "outgrows a task" -> range
+    giant = spark.range(6_000).select(
+        F.pmod("id", F.lit(3)).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(997)) * 0.25).alias("v"),
+    )
+    auto_small = {
+        (r.g, r.q): r.value
+        for r in sel.grouped_exact_quantiles_auto(small, ["g"], "v", qs).collect()
+    }
+    assert calls == ["window"]
+    auto_giant = {
+        (r.g, r.q): r.value
+        for r in sel.grouped_exact_quantiles_auto(
+            giant, ["g"], "v", qs, max_rows_per_group=1_000, n_parts=8
+        ).collect()
+    }
+    assert calls == ["window", "range"]
+    for df_in, got in ((small, auto_small), (giant, auto_giant)):
+        w = {(r.g, r.q): r.value for r in real_w(df_in, ["g"], "v", qs).collect()}
+        d = {
+            (r.g, r.q): r.value
+            for r in real_df(df_in, ["g"], "v", qs, n_parts=8).collect()
+        }
+        assert got == w == d
+    # picker unit contract
+    assert sel.pick_grouped_quantile_strategy(10, 100) == "window"
+    assert sel.pick_grouped_quantile_strategy(100, 100) == "window"
+    assert sel.pick_grouped_quantile_strategy(101, 100) == "range"
+    # all-NULL values: empty long frame, correct columns, no crash
+    empty = spark.createDataFrame(
+        [("a", None), ("b", None)], "g string, v double"
+    )
+    out = sel.grouped_exact_quantiles_auto(empty, ["g"], "v", qs)
+    assert out.columns == ["g", "q", "value"] and out.count() == 0
+
+
 def test_media_ops_degrade_on_corrupt_blobs(spark):
     """One corrupt blob of ANY modality degrades its own row (stub
     features / pass-through resize), never the task — and the fused
