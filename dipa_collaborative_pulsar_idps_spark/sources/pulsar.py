@@ -52,6 +52,7 @@ def pulsar_source_reader(
     *,
     fmt: str = "pulsar",
     starting_offsets: str = "latest",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Subscribe to topic(s); returns (msg_ts, topic, value string).
 
@@ -73,6 +74,8 @@ def pulsar_source_reader(
         .option("topicsPattern", topics_pattern)
         .option("startingOffsets", starting_offsets)
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)  # e.g. admin.url (2.x connectors), auth
     raw = reader.load()
     return raw.select(
         F.col("__publishTime").alias("msg_ts"),
@@ -87,19 +90,22 @@ def pulsar_backfill_reader(
     topics_pattern: str,
     *,
     fmt: str = "pulsar",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Batch read of topics' full history — offline replay/analysis of the
     alert/update topics (same columns as the stream reader). With the real
     connector this is `spark.read.format('pulsar')` with
     startingOffsets=earliest; the loopback broker serves it from the topic
     logs (one partition per topic)."""
-    raw = (
+    reader = (
         spark.read.format(fmt)
         .option("service.url", service_url)
         .option("topicsPattern", topics_pattern)
         .option("startingOffsets", "earliest")
-        .load()
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
     return raw.select(
         F.col("__publishTime").alias("msg_ts"),
         F.col("__topic").alias("topic"),
@@ -117,6 +123,7 @@ def pulsar_sink_writer(
     compression: str = "zlib",
     routing_mode: str = "RoundRobinPartition",
     max_pending: int = 500_000,
+    options: dict[str, str] | None = None,
 ):
     """writeStream builder for an alert topic (A7), configured like the
     reference producer (DIPA_Controller.py:74-80): round-robin partition
@@ -127,7 +134,7 @@ def pulsar_sink_writer(
     real client's async queue, a loopback staged-part writer has no
     queue to bound. Exactly-once-effective delivery comes from
     checkpointing + broker idempotence."""
-    return (
+    writer = (
         df.select(F.col("value").cast("binary").alias("value"))
         .writeStream.format(fmt)
         .option("service.url", service_url)
@@ -137,3 +144,6 @@ def pulsar_sink_writer(
         .option("pulsar.producer.maxPendingMessages", str(max_pending))
         .option("checkpointLocation", checkpoint)
     )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    return writer

@@ -22,6 +22,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: Production ANN query → its oracle-checked exhaustive twin.
+ANN_EXHAUSTIVE_TWINS = {
+    "ann_topk_lsh_neighbors": "ann_topk_lsh_exhaustive",
+    "ann_topk_ivf_neighbors": "ann_topk_ivf_exhaustive",
+    "ann_topk_pq_neighbors": "ann_topk_pq_exhaustive",
+    "ann_topk_ivfpq_neighbors": "ann_topk_ivfpq_exhaustive",
+}
+
+#: recall@5 floors ON THIS CORPUS. Two distinct contracts:
+#: - Index QUALITY is asserted in tests/test_dedup.py on a CLUSTERED
+#:   fixture (LSH ≥0.8 / IVF ≥0.85 / PQ ≥0.65 / IVF-PQ ≥0.6) — data with
+#:   neighbor structure, where recall measures the index.
+#: - The testdata embeddings are isotropic synthetic vectors (measured:
+#:   exhaustive rank-1 avg cosine 0.37 vs rank-5 0.29 — near-tied
+#:   neighbors, ANN's structural worst case), so corpus recall is
+#:   inherently lower and NOT a quality signal; it IS a deterministic
+#:   regression signal (seeded indexes → same number every run: measured
+#:   LSH 0.264/0.352, IVF 0.604/0.608, PQ 0.328/0.192, IVF-PQ
+#:   0.296/0.208 at sf0.01/sf0.1). Floors sit under the min of both
+#:   scales with margin for numeric drift — a drop below means a code
+#:   change altered search behavior, not a noisy corpus.
+ANN_RECALL_FLOORS = {
+    "ann_topk_lsh_neighbors": 0.2,
+    "ann_topk_ivf_neighbors": 0.5,
+    "ann_topk_pq_neighbors": 0.15,
+    "ann_topk_ivfpq_neighbors": 0.15,
+}
+
 
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "0"
@@ -42,10 +70,13 @@ def main() -> int:
     _load_all()
     con = duckdb_connection(sf_dir)
     out, n_ok, n_fail = {}, 0, 0
+    ann_dfs: dict[str, object] = {}
     t0 = time.time()
     for name, spec in sorted(REGISTRY.items()):
         try:
             df = spec.fn(spark, sf_dir)
+            if name in ANN_RECALL_FLOORS or name in ANN_EXHAUSTIVE_TWINS.values():
+                ann_dfs[name] = df
             if spec.oracle is None:
                 out[name] = {"status": "rows_only", "rows": df.count()}
                 n_ok += 1
@@ -58,6 +89,36 @@ def main() -> int:
             out[name] = {"status": "FAIL", "detail": f"EXCEPTION: {e}"}
             n_fail += 1
         print(name, out[name]["status"], flush=True)
+
+    # ANN recall (round 6): the 4 production *_neighbors queries ride the
+    # rows-only lane in every driver sample — their recall guarantee lived
+    # only in pytest. Record recall@5 vs the *_exhaustive twin (itself
+    # oracle-checked above) right in the parity artifact, asserted against
+    # the same floors the pytest contracts use.
+    from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+        recall_at_k,
+    )
+
+    for name, floor in sorted(ANN_RECALL_FLOORS.items()):
+        twin = ANN_EXHAUSTIVE_TWINS[name]
+        if name not in ann_dfs or twin not in ann_dfs:
+            continue  # a FAIL above already covers the missing side
+        try:
+            r = round(recall_at_k(ann_dfs[name], ann_dfs[twin], 5), 4)
+            out[name]["recall_at_5"] = r
+            out[name]["recall_floor"] = floor
+            out[name]["recall_vs"] = twin
+            if r < floor:
+                out[name]["status"] = "FAIL"
+                n_ok -= 1
+                n_fail += 1
+        except Exception as e:  # noqa: BLE001
+            out[name]["status"] = "FAIL"
+            out[name]["detail"] = f"RECALL EXCEPTION: {e}"
+            n_ok -= 1
+            n_fail += 1
+        print(f"{name} recall@5={out[name].get('recall_at_5')} "
+              f"floor={floor}", flush=True)
     artifact = {
         "round": rnd,
         "sf_dir": sf_dir,
