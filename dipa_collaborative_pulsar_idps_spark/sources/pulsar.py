@@ -142,6 +142,10 @@ def pulsar_sink_writer(
         .option("pulsar.producer.compressionType", compression)
         .option("pulsar.producer.messageRoutingMode", routing_mode)
         .option("pulsar.producer.maxPendingMessages", str(max_pending))
+        # the reference caps the ACROSS-partitions queue
+        # (max_pending_messages_across_partitions=500000,
+        # DIPA_Controller.py:78) — set both client knobs
+        .option("pulsar.producer.maxPendingMessagesAcrossPartitions", str(max_pending))
         .option("checkpointLocation", checkpoint)
     )
     for k, v in (options or {}).items():
