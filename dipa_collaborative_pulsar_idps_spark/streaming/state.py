@@ -148,6 +148,48 @@ def _runs(keys: np.ndarray, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return starts, lengths
 
 
+def _advance_lifecycle(
+    st: list,
+    is_hot: bool,
+    ln: int,
+    ts_run,
+    sustained: int,
+    calm_needed: int,
+    escalate_at: int,
+) -> list[tuple[str, Any, int]]:
+    """Advance one key's lifecycle state ``st = [streak, calm, alerted,
+    escalated]`` (mutated in place) through ONE maximal run of ``ln``
+    consecutive polls of the same hotness; ``ts_run`` holds the run's
+    timestamps. Returns the transition events fired inside the run.
+
+    This is THE lifecycle arithmetic — the sharded machine and the
+    transformWithState twin both call it, so every lifecycle golden/
+    property test certifies both forms' semantics."""
+    # st may carry extra fields past [3] (the sharded form appends
+    # last_seen_us); only the lifecycle quadruple is read/written here
+    streak, calm, alerted, escalated = st[0], st[1], st[2], st[3]
+    events: list[tuple[str, Any, int]] = []
+    if is_hot:
+        if not alerted and streak + ln >= sustained:
+            p = max(sustained - streak, 1)
+            alerted = True
+            events.append(("ALERT", ts_run[p - 1], streak + p))
+        if alerted and not escalated and streak + ln >= escalate_at:
+            p = max(escalate_at - streak, 1)
+            if p <= ln:
+                escalated = True
+                events.append(("ESCALATE", ts_run[p - 1], streak + p))
+        streak, calm = streak + ln, 0
+    else:
+        if alerted and calm + ln >= calm_needed:
+            p = max(calm_needed - calm, 1)
+            alerted = escalated = False
+            events.append(("CLEAR", ts_run[p - 1], calm + p))
+        calm, streak = calm + ln, 0
+    st[0], st[1], st[2], st[3] = int(streak), int(calm), bool(alerted), bool(escalated)
+    return events
+
+
 def alert_state_machine(
     df: DataFrame,
     key_col: str = "src",
@@ -218,25 +260,13 @@ def alert_state_machine(
         for s, ln in zip(starts, lengths):
             k_ = keys_a[s]
             st = smap.get(k_) or [0, 0, False, False, 0]
-            streak, calm, alerted, escalated = st[0], st[1], st[2], st[3]
-            if hot_a[s]:
-                if not alerted and streak + ln >= sustained:
-                    p = max(sustained - streak, 1)
-                    alerted = True
-                    events.append((k_, "ALERT", ts_a[s + p - 1], streak + p))
-                if alerted and not escalated and streak + ln >= escalate_at:
-                    p = max(escalate_at - streak, 1)
-                    if p <= ln:
-                        escalated = True
-                        events.append((k_, "ESCALATE", ts_a[s + p - 1], streak + p))
-                streak, calm = streak + ln, 0
-            else:
-                if alerted and calm + ln >= calm_needed:
-                    p = max(calm_needed - calm, 1)
-                    alerted = escalated = False
-                    events.append((k_, "CLEAR", ts_a[s + p - 1], calm + p))
-                calm, streak = calm + ln, 0
-            smap[k_] = [int(streak), int(calm), bool(alerted), bool(escalated), int(us_a[s + ln - 1])]
+            for ev, ts, stk in _advance_lifecycle(
+                st, bool(hot_a[s]), int(ln), ts_a[s : s + ln],
+                sustained, calm_needed, escalate_at,
+            ):
+                events.append((k_, ev, ts, stk))
+            st[4] = int(us_a[s + ln - 1])
+            smap[k_] = st
         if emit_state_size:
             events.append((f"__shard={key[0]}", "STATE_SIZE", ts_a.max(), len(smap)))
         state.update(
@@ -264,6 +294,121 @@ def alert_state_machine(
         df.withColumn("__shard", shard)
         .groupBy("__shard")
         .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+# ---------------------------------------------------------------------------
+# I16 on Spark 4's transformWithState API: the forward-looking twin of
+# alert_state_machine. State lives PER KEY in the native state store
+# (RocksDB required by the API), not in sharded Python dicts — the layout
+# production Spark is converging on for custom stateful operators.
+# ---------------------------------------------------------------------------
+
+
+def make_alert_processor(
+    key_col: str = "src",
+    hot_col: str = "hot",
+    ts_col: str = "poll_ts",
+    cfg: DetectionConfig = DEFAULT,
+    state_ttl_ms: int | None = None,
+):
+    """Build the StatefulProcessor behind :func:`alert_state_machine_tws`.
+    Exposed separately so tests can drive it WIRE-FREE against a fake
+    handle (the protobuf state protocol is absent in the sandbox)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    sustained, calm_needed = cfg.sustained_count, cfg.calm_count
+    escalate_at = cfg.sustained_count + cfg.escalate_persist
+
+    class _AlertProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "alert",
+                "streak int, calm int, alerted boolean, escalated boolean",
+                ttlDurationMs=state_ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            chunks = list(rows)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            pdf = pdf.sort_values(ts_col)
+            hot_a = pdf[hot_col].to_numpy(dtype=bool)
+            ts_a = pdf[ts_col].to_numpy()
+            st = list(self._st.get()) if self._st.exists() else [0, 0, False, False]
+            # ONE key here, so runs segment purely on the hot flag; the
+            # transition arithmetic is the SHARED kernel
+            starts, lengths = _runs(np.zeros(len(hot_a)), hot_a)
+            events: list[tuple[str, Any, int]] = []
+            for s, ln in zip(starts, lengths):
+                events.extend(
+                    _advance_lifecycle(
+                        st, bool(hot_a[s]), int(ln), ts_a[s : s + ln],
+                        sustained, calm_needed, escalate_at,
+                    )
+                )
+            self._st.update(tuple(st))
+            if events:
+                yield pd.DataFrame(
+                    {
+                        key_col: [str(key[0])] * len(events),
+                        "event": [e[0] for e in events],
+                        "event_ts": [e[1] for e in events],
+                        "streak": [int(e[2]) for e in events],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return _AlertProcessor()
+
+
+def alert_state_machine_tws(
+    df: DataFrame,
+    key_col: str = "src",
+    hot_col: str = "hot",
+    ts_col: str = "poll_ts",
+    cfg: DetectionConfig = DEFAULT,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Identical lifecycle semantics to :func:`alert_state_machine`
+    (suspected → ALERT → ESCALATE → CLEAR, same thresholds, same
+    transition-only emission; equivalence is pytest-certified), expressed
+    on ``transformWithStateInPandas`` (Spark 4 structured-streaming
+    stateful v2):
+
+    - ONE ValueState tuple per key in the native store — the engine never
+      serializes parallel arrays through GroupState, and RocksDB holds
+      key-level entries (``numRowsTotal`` reads true key counts, so the
+      ``emit_state_size`` probe of the sharded form is unnecessary here);
+    - TTL is the API's built-in per-state ``ttlDurationMs``
+      (processing-time — the state-hygiene clock a production cluster
+      actually runs; the sharded form's event-time TTL remains the
+      replay-deterministic variant);
+    - REQUIRES the RocksDB state store provider
+      (``session.enable_rocksdb_state``) — a transformWithState query on
+      the default HDFS provider fails at start by Spark's own contract —
+      AND the ``protobuf`` package in the Python environment (the TWS
+      state protocol is protobuf-framed; absent in this sandbox, so the
+      wire tests skip-gate on it exactly like the Pulsar-jar tests,
+      while the processor itself is certified wire-free against a fake
+      handle and shares :func:`_advance_lifecycle` with the fully-tested
+      sharded machine).
+
+    Trade-off vs the sharded form: per-key handler invocations cost more
+    Python dispatch per batch at huge key counts (the sharded form
+    amortizes to ``n_shards`` calls), but state layout, TTL, timers and
+    metrics are native.
+    """
+    out_schema = f"{key_col} string, event string, event_ts timestamp, streak int"
+    return df.groupBy(key_col).transformWithStateInPandas(
+        make_alert_processor(key_col, hot_col, ts_col, cfg, state_ttl_ms),
+        out_schema,
+        "append",
+        "None",
     )
 
 

@@ -47,6 +47,168 @@ def test_alert_escalation_lifecycle(spark, replay_dir):
     assert got == [("ALERT", 5), ("ESCALATE", 9), ("CLEAR", 5)]
 
 
+#: transformWithState's Python state protocol is protobuf-framed; the
+#: sandbox has no protobuf package, so the WIRE tests gate on it (the
+#: processor's semantics are certified wire-free below + via the shared
+#: _advance_lifecycle kernel that the fully-tested sharded machine runs).
+import importlib.util
+
+try:  # find_spec raises if the 'google' namespace itself is absent
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    _HAS_PROTOBUF = False
+needs_tws_wire = pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState wire needs the protobuf package "
+    "(absent in this sandbox; processor certified wire-free instead)",
+)
+
+
+@pytest.fixture()
+def rocksdb_state(spark):
+    """transformWithState requires the RocksDB provider; set it for the
+    test and restore after (queries read the conf at start)."""
+    from dipa_collaborative_pulsar_idps_spark.session import ROCKSDB_STATE_CONF
+
+    saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Stands in for StatefulProcessorHandle: per-name ValueState only —
+    exactly the surface the alert processor uses."""
+
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_alert_tws_processor_wire_free_lifecycle():
+    """Drive the transformWithState processor DIRECTLY (no Spark wire,
+    no protobuf): the exact lifecycle golden across three separate
+    handleInputRows calls (state surviving 'batches'), matching the
+    sharded machine's certified sequence."""
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        make_alert_processor,
+    )
+
+    proc = make_alert_processor()
+    proc.init(_FakeHandle())
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["poll_ts", "src", "hot"])
+        out = list(proc.handleInputRows(("h1",), iter([pdf]), None))
+        return [
+            (r.event, int(r.streak)) for o in out for r in o.itertuples()
+        ]
+
+    mk = lambda i: T0 + dt.timedelta(seconds=3 * i)
+    # batch 1: 4 hot polls — below sustained threshold, no events
+    assert batch([(mk(i), "h1", True) for i in range(4)]) == []
+    # batch 2: 8 more hot — ALERT fires at streak 5, ESCALATE at 9
+    assert batch([(mk(4 + i), "h1", True) for i in range(8)]) == [
+        ("ALERT", 5),
+        ("ESCALATE", 9),
+    ]
+    # batch 3: 6 calm — CLEAR after 5
+    assert batch([(mk(12 + i), "h1", False) for i in range(6)]) == [("CLEAR", 5)]
+    # back to hot: lifecycle restarts cleanly after CLEAR
+    assert batch([(mk(18 + i), "h1", True) for i in range(5)]) == [("ALERT", 5)]
+
+
+@needs_tws_wire
+def test_alert_tws_lifecycle(spark, replay_dir, rocksdb_state):
+    """The transformWithState twin reproduces the exact lifecycle golden:
+    hot×12 → ALERT at streak 5, ESCALATE at streak 9, CLEAR after 5 calm
+    polls — per-key ValueState in the native RocksDB store."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        alert_state_machine_tws,
+    )
+
+    rows = [(T0 + dt.timedelta(seconds=3 * i), "h1", True) for i in range(12)]
+    rows += [(T0 + dt.timedelta(seconds=3 * (12 + i)), "h1", False) for i in range(6)]
+    spark.createDataFrame(rows, ["poll_ts", "src", "hot"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(replay_dir)
+    stream = replay_stream(spark, replay_dir, "poll_ts timestamp, src string, hot boolean")
+    run_to_memory(alert_state_machine_tws(stream), "tws_out")
+    got = [
+        (r.event, r.streak)
+        for r in spark.sql("SELECT * FROM tws_out ORDER BY event_ts").collect()
+    ]
+    assert got == [("ALERT", 5), ("ESCALATE", 9), ("CLEAR", 5)]
+
+
+@needs_tws_wire
+def test_alert_tws_equivalent_to_sharded_machine(spark, replay_dir, rocksdb_state):
+    """Property: on a multi-key multi-batch workload (state crossing
+    micro-batch boundaries), the transformWithState twin emits EXACTLY
+    the sharded machine's events — same keys, kinds, timestamps and
+    streak counts."""
+    import random
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        alert_state_machine,
+        alert_state_machine_tws,
+    )
+
+    rng = random.Random(42)
+    poll = 0
+    for _ in range(3):  # 3 appended files -> state spans batches
+        rows = []
+        for i in range(8):  # 8 polls per batch
+            for k in range(12):  # 12 keys with per-key hot biases
+                rows.append(
+                    (
+                        T0 + dt.timedelta(seconds=3 * poll + i * 3),
+                        f"h{k}",
+                        rng.random() < (0.25 + 0.06 * k),
+                    )
+                )
+            poll += 1
+        spark.createDataFrame(rows, ["poll_ts", "src", "hot"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay_dir)
+    schema = "poll_ts timestamp, src string, hot boolean"
+    run_to_memory(
+        alert_state_machine(replay_stream(spark, replay_dir, schema)), "eq_shard"
+    )
+    run_to_memory(
+        alert_state_machine_tws(replay_stream(spark, replay_dir, schema)), "eq_tws"
+    )
+    a = sorted(map(tuple, spark.sql("SELECT src, event, event_ts, streak FROM eq_shard").collect()))
+    b = sorted(map(tuple, spark.sql("SELECT src, event, event_ts, streak FROM eq_tws").collect()))
+    assert a and a == b
+
+
 def test_latch_change_detection_stream(spark, replay_dir):
     """I7: CNC change-detect — emit only on change of value per key
     (streaming dropDuplicates as the latch)."""
