@@ -235,9 +235,11 @@ def main() -> None:
     # Noise sentinel (round 6): two driver benches in a row misread the
     # round because the box was busy (r5: 14.49 s recorded where identical
     # code quiet-times 11.56 s). Time ONE cheap fixed query 5× up front and
-    # report the relative spread — a machine-readable "was this box quiet?"
-    # flag: spread ≲ 0.15 on a quiet box; normalize round-over-round
-    # comparisons by the sentinel median before calling a regression.
+    # report the median + relative spread, machine-readable. Calibration
+    # measured on this image: quiet box → median ≈ 0.6 s, spread 0.25-0.4
+    # (GC/JIT jitter on a sub-second query); a busy box inflates the
+    # MEDIAN (≥ ~0.8 s) and pushes spread ≫ 1. Compare rounds by sentinel
+    # median first; only then read per-query deltas as regressions.
     sentinel_times = [run_once("suspected_bots") for _ in range(5)]
     sentinel_median = statistics.median(sentinel_times)
     sentinel_spread = round(
