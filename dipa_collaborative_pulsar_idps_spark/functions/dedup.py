@@ -98,7 +98,30 @@ def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 2
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: same hashed band bucket in ≥1 band."""
-    band_entries = signatures.select(
+    band_entries = lsh_band_entries(signatures, bands, rows_per_band)
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_band_entries(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, bucket): one row per (doc, band), bucket = xxhash64 of
+    that band's signature slice. This IS the LSH index relation — the
+    self-join form (``lsh_candidate_pairs``) and the incremental
+    index-probe form (``incremental_near_dup_pairs``) both join on
+    (band, bucket) over it."""
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -117,18 +140,6 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
 
 
 def minhash_near_dup_pairs(
@@ -159,6 +170,172 @@ def minhash_near_dup_pairs(
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH: persist the band index once, dedup each new crawl
+# batch against it without re-signaturing the old corpus. This is the
+# continual-ingest shape a 100 TB training-data pipeline actually runs —
+# the full-batch form recomputes O(corpus) signatures per batch; this form
+# does O(batch) signature work + an index probe.
+# ---------------------------------------------------------------------------
+
+
+def save_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> None:
+    """Persist the LSH band index for *docs*: ``bands/`` parquet
+    (id, bucket) hive-partitioned by band, plus a one-row ``meta/``
+    parquet pinning the hash-family parameters so a later probe cannot
+    silently mix incompatible signatures.
+
+    Partitioning by band means an incremental probe that shuffles on
+    (band, bucket) reads each band partition straight into its join
+    bucket; appending a new batch to the index is a partition-wise
+    append, never a rewrite."""
+    spark = docs.sparkSession
+    sh = shingle_sets(docs, id_col, text_col, shingle_n)
+    entries = lsh_band_entries(
+        minhash_signatures(sh, num_perm, seed), bands, rows_per_band
+    )
+    entries.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(num_perm, bands, rows_per_band, shingle_n, seed)],
+        "num_perm int, bands int, rows_per_band int, shingle_n int, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_lsh_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Append a new batch's band entries to an existing index — the second
+    half of the continual-ingest loop (probe the batch, then index it).
+    Hash-family parameters come from the index's own meta, so an append
+    can never mix incompatible signatures; the write is a partition-wise
+    parquet append (new files inside each band=K directory), never a
+    rewrite of the existing index."""
+    spark = docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()  # 1 row
+    sh = shingle_sets(docs, id_col, text_col, meta["shingle_n"])
+    entries = lsh_band_entries(
+        minhash_signatures(sh, meta["num_perm"], meta["seed"]),
+        meta["bands"],
+        meta["rows_per_band"],
+    )
+    entries.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+
+
+def load_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(band entries DataFrame, meta dict) for an index written by
+    :func:`save_lsh_index`."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()  # 1 row
+    return spark.read.parquet(f"{path}/bands"), meta
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    seed: int = 42,
+    shingled_new: DataFrame | None = None,
+    shingled_old: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch: (old, new) via an index
+    probe plus (new, new) via standard LSH — output (doc_a, doc_b,
+    jaccard), doc_a < doc_b, exact-verified ≥ *threshold*.
+
+    Equals the full-batch :func:`minhash_near_dup_pairs` result filtered
+    to pairs touching the new batch (same hash family ⇒ identical band
+    buckets ⇒ identical candidates), with O(new) signature work instead
+    of O(corpus):
+
+    - new batch: shingle → signature → band entries (map-side only);
+    - probe: join new band entries to the persisted index on
+      (band, bucket) — the index side is partitioned by band, so the
+      shuffle moves only the new batch;
+    - verification fetch: exact Jaccard needs the OLD candidate docs'
+      shingles, so the distinct candidate old-ids (a small set — LSH
+      collisions, not the corpus) are broadcast-semi-joined back to the
+      old corpus and only those docs are re-shingled. At scale the old
+      corpus is id-bucketed parquet, so this fetch prunes to the touched
+      buckets.
+
+    ``old_docs`` must be the corpus the index was built from (ids
+    disjoint from the new batch); pass ``shingled_new``/``shingled_old``
+    to reuse already-built shingle frames."""
+    sh_new = (
+        shingled_new
+        if shingled_new is not None
+        else shingle_sets(new_docs, id_col, text_col, shingle_n).persist()
+    )
+    sigs_new = minhash_signatures(sh_new, num_perm, seed)
+    be_new = lsh_band_entries(sigs_new, bands, rows_per_band)
+
+    # (old, new) candidates: probe the index. The pair is oriented by id
+    # so output matches the full-batch convention (doc_a < doc_b).
+    idx = index_bands.select(
+        F.col("id").alias("old_id"), "band", "bucket"
+    )
+    cross = (
+        be_new.join(idx, ["band", "bucket"])
+        .where(F.col("old_id") != F.col("id"))  # ids are disjoint by contract
+        .select(
+            F.least("old_id", "id").alias("id_a"),
+            F.greatest("old_id", "id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # Fetch + shingle ONLY the old docs that collided (broadcast the small
+    # candidate-id set into the semi-join so the corpus scan prunes).
+    old_cand_ids = (
+        cross.select(F.col("id_a").alias("cid"))
+        .union(cross.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    if shingled_old is not None:
+        sh_old = shingled_old.join(
+            F.broadcast(old_cand_ids), F.col("id") == F.col("cid"), "semi"
+        )
+    else:
+        old_hit = old_docs.join(
+            F.broadcast(old_cand_ids), F.col(id_col) == F.col("cid"), "semi"
+        )
+        sh_old = shingle_sets(old_hit, id_col, text_col, shingle_n)
+
+    sh_all = sh_old.unionByName(sh_new)
+    within = lsh_candidate_pairs(sigs_new, bands, rows_per_band)
+    cands = cross.unionByName(within).distinct()
+
+    a = sh_all.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh_all.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

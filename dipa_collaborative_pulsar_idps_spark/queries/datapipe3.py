@@ -54,6 +54,60 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_lsh_incremental_near_dups",
+    survey="ext-dedup",
+    oracle="""
+WITH sh AS (
+    SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tokens) - 1, 1)),
+        i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+    FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+          FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles)))
+           AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
+  AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+  AND CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+      / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.8
+""",
+)
+def minhash_lsh_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest dedup: treat even doc_ids as the already-indexed
+    corpus and odd doc_ids as the newly crawled batch; probe the LSH band
+    index (functions/dedup.incremental_near_dup_pairs) instead of
+    re-signaturing the corpus. Output = every near-dup pair touching the
+    new batch — the brute-force oracle filters the all-pairs scan the same
+    way. Same hash family as `minhash_lsh_near_dups`, so the union of this
+    result with the previously-reported old-old pairs IS the full-batch
+    result (the pytest certifier pins that equality). The index build here
+    is in-session; `save_lsh_index`/`load_lsh_index` round-trip the same
+    relation through band-partitioned parquet (tests/test_dedup.py)."""
+    from ..functions.dedup import (
+        incremental_near_dup_pairs,
+        lsh_band_entries,
+        minhash_signatures,
+    )
+    from .datapipe2 import _shingles
+
+    t = Tables(spark, sf_dir)
+    sh = _shingles(spark, sf_dir)
+    old_sh = sh.where(F.col("id") % 2 == 0)
+    new_sh = sh.where(F.col("id") % 2 == 1)
+    index = lsh_band_entries(minhash_signatures(old_sh))
+    return incremental_near_dup_pairs(
+        t.documents.where(F.col("doc_id") % 2 == 1),
+        t.documents.where(F.col("doc_id") % 2 == 0),
+        index,
+        threshold=0.8,
+        shingled_new=new_sh,
+        shingled_old=old_sh,
+    )
+
+
+@query(
     "approx_distinct_users",
     survey="D4-scale",
     oracle="""

@@ -892,3 +892,98 @@ def test_duplicate_substring_spans_hashed_equivalence(spark, sf):
     hashed = duplicate_substring_spans_hashed(spark, d)
     assert exact.columns == hashed.columns
     assert exact.exceptAll(hashed).isEmpty() and hashed.exceptAll(exact).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH (persisted band index + probe) — the continual-
+# ingest dedup loop: probe the batch against the index, then append it.
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_lsh_equals_full_batch_filtered(spark, planted_docs, tmp_path):
+    """Index the even half, probe the odd half: the result must equal the
+    full-batch LSH result filtered to pairs touching the odd half (same
+    hash family => identical band buckets => identical candidates), with
+    the index round-tripped through band-partitioned parquet."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        incremental_near_dup_pairs,
+        load_lsh_index,
+        save_lsh_index,
+    )
+
+    docs, _ = planted_docs
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+        if r.doc_a % 2 == 1 or r.doc_b % 2 == 1
+    }
+    assert full  # every planted pair (2i, 2i+1) touches the odd half
+
+    save_lsh_index(old, str(tmp_path / "idx"))
+    index, meta = load_lsh_index(spark, str(tmp_path / "idx"))
+    assert meta == {
+        "num_perm": 16, "bands": 8, "rows_per_band": 2, "shingle_n": 3, "seed": 42,
+    }
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in incremental_near_dup_pairs(new, old, index).collect()
+    }
+    assert got == full
+
+
+def test_incremental_lsh_two_batch_ingest_loop(spark, planted_docs, tmp_path):
+    """The real loop: index batch0, probe+append batch1, probe batch2.
+    The union of per-batch probe results must equal every full-batch pair
+    that touches batch1 or batch2 (old-old pairs were reported when THEIR
+    batch arrived — nothing is reported twice, nothing is lost)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        append_to_lsh_index,
+        incremental_near_dup_pairs,
+        load_lsh_index,
+        save_lsh_index,
+    )
+
+    docs, _ = planted_docs
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "idx2")
+
+    save_lsh_index(b0, path)
+    index, _ = load_lsh_index(spark, path)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_near_dup_pairs(b1, b0, index).collect()
+    }
+    append_to_lsh_index(b1, path)
+    index, _ = load_lsh_index(spark, path)
+    got |= {
+        (r.doc_a, r.doc_b)
+        for r in incremental_near_dup_pairs(
+            b2, docs.where(F.col("doc_id") % 3 != 2), index
+        ).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+        if r.doc_a % 3 != 0 or r.doc_b % 3 != 0
+    }
+    assert got == want and want
+
+
+def test_incremental_lsh_empty_new_batch(spark, planted_docs):
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        incremental_near_dup_pairs,
+        lsh_band_entries,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs, _ = planted_docs
+    index = lsh_band_entries(
+        minhash_signatures(shingle_sets(docs)), bands=8, rows_per_band=2
+    )
+    new = docs.where(F.lit(False))
+    assert incremental_near_dup_pairs(new, docs, index).count() == 0
