@@ -628,3 +628,44 @@ def weighted_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _WEK_K)
         .select("lang", "doc_id", "n_chars", "rk")
     )
+
+
+@query(
+    "quality_classifier_score",
+    survey="ext-quality,K3",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS tok
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS bucket
+    FROM tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM((bucket % 1001) - 500) AS BIGINT) AS score_raw,
+       CAST(SUM((bucket % 1001) - 500) AS DOUBLE) / (COUNT(*) * 1000.0)
+           AS quality_score,
+       CASE WHEN SUM((bucket % 1001) - 500) > 0 THEN 'keep' ELSE 'drop' END
+           AS quality_label
+FROM h GROUP BY doc_id
+""",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (fasttext-shaped inference,
+    functions/classifier.py): token -> md5 16-bit bucket -> weight, mean
+    weight per doc, keep/drop by sign. The weight vector here is the
+    deterministic derived projection (no trained model ships in-sandbox),
+    summed as INTEGERS so the DuckDB twin is exact; the broadcast-join path
+    a real trained (bucket, weight) table takes is certified equal in
+    tests/test_dedup.py. One explode + one shuffle on doc_id, md5/conv/pmod
+    all JVM codegen — word-count shape, embarrassingly scalable."""
+    from ..functions.classifier import hashed_linear_score
+
+    t = Tables(spark, sf_dir)
+    return hashed_linear_score(t.documents).withColumnRenamed("id", "doc_id")

@@ -987,3 +987,54 @@ def test_incremental_lsh_empty_new_batch(spark, planted_docs):
     )
     new = docs.where(F.lit(False))
     assert incremental_near_dup_pairs(new, docs, index).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (functions/classifier.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_classifier_broadcast_path_equals_fused(spark, sf_dir):
+    """The production path (trained weights as a broadcast (bucket, weight)
+    table) must score identically to the fused integer-expression path when
+    the table enumerates the same derived weights — certifying that a real
+    model drop-in changes nothing but the table contents."""
+    from dipa_collaborative_pulsar_idps_spark.functions.classifier import (
+        derived_weight_table,
+        hashed_linear_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fused = {r.id: r for r in hashed_linear_score(docs).collect()}
+    table = {
+        r.id: r
+        for r in hashed_linear_score(
+            docs, weights=derived_weight_table(spark)
+        ).collect()
+    }
+    assert set(fused) == set(table) and fused
+    for i, f in fused.items():
+        t = table[i]
+        assert f.n_tokens == t.n_tokens
+        assert f.quality_label == t.quality_label
+        # float path sums doubles (order-dependent at the 1e-13 level);
+        # the fused path sums exact integers — agree to far beyond any
+        # decision boundary the label uses.
+        assert abs(f.quality_score - t.quality_score) < 1e-9
+    assert {f.quality_label for f in fused.values()} == {"keep", "drop"}
+
+
+def test_hashed_classifier_plan_is_broadcast_and_udf_free(spark, sf_dir):
+    from dipa_collaborative_pulsar_idps_spark.functions.classifier import (
+        derived_weight_table,
+        hashed_linear_score,
+    )
+    from dipa_collaborative_pulsar_idps_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_no_python_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = hashed_linear_score(docs, weights=derived_weight_table(spark))
+    assert_broadcast_join(df)
+    assert_no_python_udf(df)
