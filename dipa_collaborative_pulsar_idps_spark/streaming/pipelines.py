@@ -439,3 +439,105 @@ def streaming_session_counts(
             "n_events",
         )
     )
+
+
+def incremental_dedup_sink(
+    *,
+    index_path: str,
+    corpus_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+):
+    """foreachBatch body for STREAMING continual-crawl near-dup detection —
+    the online twin of `functions.dedup.incremental_near_dup_pairs`: each
+    micro-batch is probed against the persisted LSH band index (O(batch)
+    signature work, never O(corpus)), its near-dup pairs are appended to
+    ``pairs_path``, and only then is the batch itself indexed and added to
+    the corpus store. Every near-dup pair in the whole stream is reported
+    exactly once — when its LATER member arrives.
+
+    Wire it as ``stream.writeStream.foreachBatch(fn)`` with a checkpoint;
+    the first batch bootstraps the index (within-batch pairs only).
+
+    Delivery contract (same honesty as the pulsarlite producer): a
+    restarted-after-checkpoint replay of a COMPLETED batch is detected by
+    the batch marker and skipped — effectively exactly-once absent a crash
+    inside the commit sequence itself (pairs append → index append →
+    corpus append → marker; a crash mid-sequence re-appends the already-
+    written steps on replay). Existence checks go through the Hadoop
+    FileSystem API so the loop is HDFS/S3A-correct, not local-path-only.
+
+    100 TB shape: the index is band-partitioned parquet (append = new
+    files per band, no rewrite); the corpus store is the verification doc
+    fetch target and is read ONLY for the broadcast-semi-joined collision
+    candidates of each batch.
+    """
+    from ..functions.dedup import (
+        append_to_lsh_index,
+        incremental_near_dup_pairs,
+        load_lsh_index,
+        minhash_near_dup_pairs,
+        save_lsh_index,
+    )
+
+    def _fs(spark, path: str):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fs, jvm = _fs(spark, index_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/_batches/{batch_id}"
+        )
+        if fs.exists(marker):
+            return  # completed batch replayed after restart — no-op
+        batch = batch.persist()
+        try:
+            has_index = fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")
+            )
+            if has_index:
+                index, meta = load_lsh_index(spark, index_path)
+                pairs = incremental_near_dup_pairs(
+                    batch,
+                    spark.read.parquet(corpus_path),
+                    index,
+                    id_col=id_col,
+                    text_col=text_col,
+                    threshold=threshold,
+                    num_perm=meta["num_perm"],
+                    bands=meta["bands"],
+                    rows_per_band=meta["rows_per_band"],
+                    shingle_n=meta["shingle_n"],
+                    seed=meta["seed"],
+                )
+            else:
+                pairs = minhash_near_dup_pairs(
+                    batch, id_col, text_col, threshold, num_perm, bands, rows_per_band
+                )
+            pairs.write.mode("append").parquet(pairs_path)
+            if has_index:
+                append_to_lsh_index(batch, index_path, id_col, text_col)
+            else:
+                save_lsh_index(
+                    batch,
+                    index_path,
+                    id_col,
+                    text_col,
+                    num_perm=num_perm,
+                    bands=bands,
+                    rows_per_band=rows_per_band,
+                )
+            batch.write.mode("append").parquet(corpus_path)
+            fs.mkdirs(marker)
+        finally:
+            batch.unpersist()
+
+    return fn

@@ -790,3 +790,70 @@ def test_streaming_session_window_matches_batch_islands(spark, replay_dir):
     assert (1, base + dt.timedelta(minutes=70), 1) in got, got    # B after the gap
     assert (2, base + dt.timedelta(minutes=5), 1) in got, got
     assert len(got) == 3, got
+
+
+def test_streaming_incremental_dedup_reports_each_pair_once(spark, tmp_path):
+    """Continual-crawl loop: replay a planted corpus in 3 micro-batches
+    through incremental_dedup_sink; the pairs parquet must equal the
+    full-batch LSH result (each pair reported exactly once, when its later
+    member arrives), and a second run of the SAME stream (fresh checkpoint,
+    same index) must add nothing (batch markers skip completed work)."""
+    import random as _random
+
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        incremental_dedup_sink,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import replay_stream
+
+    rng = _random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(12):
+        base = [rng.choice(vocab) for _ in range(50)]
+        near = list(base)
+        near[25] = "X"
+        rows.append((i * 2, " ".join(base)))
+        rows.append((i * 2 + 1, " ".join(near)))
+    for i in range(100, 130):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(50))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    replay_dir = str(tmp_path / "replay")
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        write_replay_chunks,
+    )
+
+    write_replay_chunks(docs, replay_dir, n_chunks=3, order_col="doc_id")
+
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus", "pairs")}
+    fn = incremental_dedup_sink(
+        index_path=paths["idx"], corpus_path=paths["corpus"], pairs_path=paths["pairs"]
+    )
+
+    def run(ckpt: str) -> None:
+        q = (
+            replay_stream(spark, replay_dir, "doc_id long, text string")
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in spark.read.parquet(paths["pairs"]).collect()
+    }
+    assert got == want and want
+
+    # replaying the whole stream against the already-built state is a no-op
+    run("ckpt2")
+    assert spark.read.parquet(paths["pairs"]).count() == len(want)
