@@ -235,7 +235,7 @@ def append_to_lsh_index(
     parquet append (new files inside each band=K directory), never a
     rewrite of the existing index."""
     spark = docs.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()  # 1 row
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()  # bounded-collect: meta is ONE row by construction
     sh = shingle_sets(docs, id_col, text_col, meta["shingle_n"])
     entries = lsh_band_entries(
         minhash_signatures(sh, meta["num_perm"], meta["seed"]),
@@ -248,7 +248,7 @@ def append_to_lsh_index(
 def load_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
     """(band entries DataFrame, meta dict) for an index written by
     :func:`save_lsh_index`."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()  # 1 row
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()  # bounded-collect: meta is ONE row by construction
     return spark.read.parquet(f"{path}/bands"), meta
 
 
