@@ -295,8 +295,14 @@ def incremental_near_dup_pairs(
         if shingled_new is not None
         else shingle_sets(new_docs, id_col, text_col, shingle_n).persist()
     )
+    # The band-entry frame feeds TWO consumers (index probe + within-batch
+    # self-join) and the probe result feeds THREE (pair union, and both
+    # sides of the candidate-id fetch) — persist both or the signature
+    # map stage re-runs once per consumer (measured 4.4 s vs 1.9 s at
+    # sf0.1). Both frames are bands-per-doc small, far under the shingle
+    # frame already persisted upstream.
     sigs_new = minhash_signatures(sh_new, num_perm, seed)
-    be_new = lsh_band_entries(sigs_new, bands, rows_per_band)
+    be_new = lsh_band_entries(sigs_new, bands, rows_per_band).persist()
 
     # (old, new) candidates: probe the index. The pair is oriented by id
     # so output matches the full-batch convention (doc_a < doc_b).
@@ -311,13 +317,13 @@ def incremental_near_dup_pairs(
             F.greatest("old_id", "id").alias("id_b"),
         )
         .distinct()
+        .persist()
     )
 
     # Fetch + shingle ONLY the old docs that collided (broadcast the small
     # candidate-id set into the semi-join so the corpus scan prunes).
     old_cand_ids = (
-        cross.select(F.col("id_a").alias("cid"))
-        .union(cross.select(F.col("id_b").alias("cid")))
+        cross.select(F.explode(F.array("id_a", "id_b")).alias("cid"))
         .distinct()
     )
     if shingled_old is not None:
@@ -331,7 +337,19 @@ def incremental_near_dup_pairs(
         sh_old = shingle_sets(old_hit, id_col, text_col, shingle_n)
 
     sh_all = sh_old.unionByName(sh_new)
-    within = lsh_candidate_pairs(sigs_new, bands, rows_per_band)
+    # within-batch pairs: self-join the already-persisted band entries
+    # (lsh_candidate_pairs would rebuild them from the signatures).
+    wa, wb = be_new.alias("a"), be_new.alias("b")
+    within = (
+        wa.join(
+            wb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     cands = cross.unionByName(within).distinct()
 
     a = sh_all.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
