@@ -341,3 +341,14 @@ def test_weighted_sample_is_map_side_filter(spark, sf_dir):
     sched = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
     assert sched and all("text" not in ln for ln in sched), sched  # pruned scans
     assert_no_python_udf(df)
+
+
+def test_classifier_is_one_keyed_shuffle_and_udf_free(spark, sf_dir):
+    """quality_classifier_score is the word-count shape: scan → explode →
+    hash → ONE Exchange on the doc key for the sum/count — md5/conv/pmod
+    all codegen, no Python anywhere."""
+    df = REGISTRY["quality_classifier_score"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", txt, re.M))
+    assert n_exchanges == 1 and "hashpartitioning" in txt.lower(), txt
+    assert_no_python_udf(df)
