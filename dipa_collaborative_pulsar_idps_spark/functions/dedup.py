@@ -203,37 +203,63 @@ def save_lsh_index(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     seed: int = 42,
+    ingest_batch: int = 0,
 ) -> None:
     """Persist the LSH band index for *docs*: ``bands/`` parquet
     (id, bucket) hive-partitioned by band, plus a one-row ``meta/``
     parquet pinning the hash-family parameters so a later probe cannot
     silently mix incompatible signatures.
 
-    Partitioning by band means an incremental probe that shuffles on
-    (band, bucket) reads each band partition straight into its join
-    bucket; appending a new batch to the index is a partition-wise
-    append, never a rewrite."""
+    Partitioning by (band, ingest_batch) means an incremental probe that
+    shuffles on (band, bucket) reads each band partition straight into its
+    join bucket, and appending batch N is a DYNAMIC-OVERWRITE of only the
+    (band, ingest_batch=N) partitions — re-running an append (crash-replay)
+    rewrites the same partitions with the same deterministic content
+    instead of duplicating them, so index maintenance is idempotent."""
     spark = docs.sparkSession
     sh = shingle_sets(docs, id_col, text_col, shingle_n)
     entries = lsh_band_entries(
         minhash_signatures(sh, num_perm, seed), bands, rows_per_band
     )
-    entries.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    _write_batch_partitions(
+        entries, f"{path}/bands", ingest_batch, partition_cols=("band", "ingest_batch")
+    )
     spark.createDataFrame(
         [(num_perm, bands, rows_per_band, shingle_n, seed)],
         "num_perm int, bands int, rows_per_band int, shingle_n int, seed int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def append_to_lsh_index(
-    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+def _write_batch_partitions(
+    df: DataFrame, path: str, ingest_batch: int, partition_cols=("ingest_batch",)
 ) -> None:
-    """Append a new batch's band entries to an existing index — the second
+    """Write *df* stamped with its ingest batch, dynamically overwriting
+    ONLY that batch's partitions: a deterministic recompute replayed after
+    a mid-commit crash lands byte-equivalent in the same place, never
+    appends a duplicate. Other batches' partitions are untouched."""
+    (
+        df.withColumn("ingest_batch", F.lit(ingest_batch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def append_to_lsh_index(
+    docs: DataFrame,
+    path: str,
+    ingest_batch: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Add a new batch's band entries to an existing index — the second
     half of the continual-ingest loop (probe the batch, then index it).
     Hash-family parameters come from the index's own meta, so an append
-    can never mix incompatible signatures; the write is a partition-wise
-    parquet append (new files inside each band=K directory), never a
-    rewrite of the existing index."""
+    can never mix incompatible signatures; the write dynamically
+    overwrites only this batch's (band, ingest_batch) partitions, so a
+    crash-replay of the same batch is idempotent rather than duplicating
+    entries. Callers pass their batch/epoch id as *ingest_batch*."""
     spark = docs.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()  # bounded-collect: meta is ONE row by construction
     sh = shingle_sets(docs, id_col, text_col, meta["shingle_n"])
@@ -242,7 +268,9 @@ def append_to_lsh_index(
         meta["bands"],
         meta["rows_per_band"],
     )
-    entries.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+    _write_batch_partitions(
+        entries, f"{path}/bands", ingest_batch, partition_cols=("band", "ingest_batch")
+    )
 
 
 def load_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:

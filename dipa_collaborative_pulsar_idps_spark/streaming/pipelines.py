@@ -464,13 +464,15 @@ def incremental_dedup_sink(
     Wire it as ``stream.writeStream.foreachBatch(fn)`` with a checkpoint;
     the first batch bootstraps the index (within-batch pairs only).
 
-    Delivery contract (same honesty as the pulsarlite producer): a
-    restarted-after-checkpoint replay of a COMPLETED batch is detected by
-    the batch marker and skipped — effectively exactly-once absent a crash
-    inside the commit sequence itself (pairs append → index append →
-    corpus append → marker; a crash mid-sequence re-appends the already-
-    written steps on replay). Existence checks go through the Hadoop
-    FileSystem API so the loop is HDFS/S3A-correct, not local-path-only.
+    Delivery contract — exactly-once, including mid-commit crashes:
+    every write is stamped with the batch id and DYNAMIC-OVERWRITES only
+    that batch's partitions (pairs, index band entries, corpus rows), so
+    a replay after a crash anywhere in the commit sequence recomputes the
+    same deterministic content into the same partitions instead of
+    appending duplicates; the batch marker (written last) short-circuits
+    replays of fully-committed batches. Existence checks go through the
+    Hadoop FileSystem API so the loop is HDFS/S3A-correct, not
+    local-path-only.
 
     100 TB shape: the index is band-partitioned parquet (append = new
     files per band, no rewrite); the corpus store is the verification doc
@@ -505,9 +507,19 @@ def incremental_dedup_sink(
             )
             if has_index:
                 index, meta = load_lsh_index(spark, index_path)
+                # Exclude THIS batch's own partitions from both the index
+                # and the corpus: on a mid-commit crash replay they already
+                # contain the batch (violating the disjoint-ids contract —
+                # the doc would sit on both sides of the verify union and
+                # duplicate its pairs). The filter prunes on the partition
+                # column, so the normal path reads nothing extra.
+                index = index.where(F.col("ingest_batch") != batch_id)
+                old = spark.read.parquet(corpus_path).where(
+                    F.col("ingest_batch") != batch_id
+                )
                 pairs = incremental_near_dup_pairs(
                     batch,
-                    spark.read.parquet(corpus_path),
+                    old,
                     index,
                     id_col=id_col,
                     text_col=text_col,
@@ -522,9 +534,11 @@ def incremental_dedup_sink(
                 pairs = minhash_near_dup_pairs(
                     batch, id_col, text_col, threshold, num_perm, bands, rows_per_band
                 )
-            pairs.write.mode("append").parquet(pairs_path)
+            from ..functions.dedup import _write_batch_partitions
+
+            _write_batch_partitions(pairs, pairs_path, batch_id)
             if has_index:
-                append_to_lsh_index(batch, index_path, id_col, text_col)
+                append_to_lsh_index(batch, index_path, batch_id, id_col, text_col)
             else:
                 save_lsh_index(
                     batch,
@@ -534,8 +548,9 @@ def incremental_dedup_sink(
                     num_perm=num_perm,
                     bands=bands,
                     rows_per_band=rows_per_band,
+                    ingest_batch=batch_id,
                 )
-            batch.write.mode("append").parquet(corpus_path)
+            _write_batch_partitions(batch, corpus_path, batch_id)
             fs.mkdirs(marker)
         finally:
             batch.unpersist()

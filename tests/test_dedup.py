@@ -957,7 +957,7 @@ def test_incremental_lsh_two_batch_ingest_loop(spark, planted_docs, tmp_path):
         (r.doc_a, r.doc_b)
         for r in incremental_near_dup_pairs(b1, b0, index).collect()
     }
-    append_to_lsh_index(b1, path)
+    append_to_lsh_index(b1, path, ingest_batch=1)
     index, _ = load_lsh_index(spark, path)
     got |= {
         (r.doc_a, r.doc_b)

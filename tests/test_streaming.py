@@ -857,3 +857,45 @@ def test_streaming_incremental_dedup_reports_each_pair_once(spark, tmp_path):
     # replaying the whole stream against the already-built state is a no-op
     run("ckpt2")
     assert spark.read.parquet(paths["pairs"]).count() == len(want)
+
+
+def test_streaming_incremental_dedup_mid_commit_replay_is_idempotent(spark, tmp_path):
+    """Crash INSIDE the commit sequence: after a fully-processed batch,
+    delete its marker (simulating a crash after the data writes but before
+    the marker) and re-run the same batch — pairs, index entries, and
+    corpus rows must be byte-count identical (dynamic partition overwrite
+    rewrites the batch's own partitions instead of appending duplicates)."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        incremental_dedup_sink,
+    )
+
+    rows = [(i, f"tok{i} " * 30) for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact near-dup of doc 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    half_a = docs.where("doc_id < 20")
+    half_b = docs.where("doc_id >= 20")
+
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus", "pairs")}
+    fn = incremental_dedup_sink(
+        index_path=paths["idx"], corpus_path=paths["corpus"], pairs_path=paths["pairs"]
+    )
+    fn(half_a, 0)
+    fn(half_b, 1)
+
+    counts = {
+        "pairs": spark.read.parquet(paths["pairs"]).count(),
+        "bands": spark.read.parquet(paths["idx"] + "/bands").count(),
+        "corpus": spark.read.parquet(paths["corpus"]).count(),
+    }
+    assert counts["pairs"] == 1 and counts["corpus"] == 41
+
+    # crash-replay batch 1: marker gone, data already written
+    import shutil
+
+    shutil.rmtree(f"{paths['idx']}/_batches/1")
+    fn(half_b, 1)
+    assert counts == {
+        "pairs": spark.read.parquet(paths["pairs"]).count(),
+        "bands": spark.read.parquet(paths["idx"] + "/bands").count(),
+        "corpus": spark.read.parquet(paths["corpus"]).count(),
+    }
