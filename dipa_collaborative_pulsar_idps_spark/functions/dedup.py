@@ -16,6 +16,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Mersenne prime 2^31-1: modulus for the linear permutation family.
 # 31-bit space keeps a*h+b < 2^62 — no long overflow under ANSI mode
@@ -507,3 +508,75 @@ WITH tok AS (
 )
 SELECT {id_col}, {digits} AS simhash_hex FROM votes
 """
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 8,
+) -> DataFrame:
+    """The REMOVE half of exact-substring dedup (Lee et al. 2022):
+    (id, text_trimmed, n_tokens_before, n_tokens_after) with every token
+    covered by a cross-document duplicated *span_len*-token window cut,
+    except the globally FIRST occurrence (lowest (doc_id, pos)), which
+    survives verbatim. Within-doc-only repeats are out of scope here
+    (text_repetition_score owns that signal) — a span must appear in >= 2
+    distinct docs to be trimmed, the same criterion the
+    `duplicate_substring_spans` profile reports.
+
+    Plan shape (the same codegen-window discipline as the profile query —
+    queries/datapipe7._substring_span_profile): posexplode + lead() grams,
+    then THREE window functions (distinct-doc dense_rank+max, first-
+    occurrence row_number) sharing ONE shuffle on the gram, a masked-
+    position explode (span_len rows per trimmed span), and one doc-key
+    re-aggregation. No HOF over corpus-scale arrays, no Python."""
+    L = span_len
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wd) for i in range(1, L)]
+    gram = F.when(
+        F.lead("tok", L - 1).over(wd).isNotNull(), F.concat_ws(" ", *parts)
+    )
+    spans = tok.select("id", "pos", gram.alias("gram")).where(
+        F.col("gram").isNotNull()
+    )
+    w_docs = Window.partitionBy("gram").orderBy("id")
+    w_gram = Window.partitionBy("gram")
+    w_first = Window.partitionBy("gram").orderBy("id", "pos")
+    flagged = (
+        spans.withColumn("dr", F.dense_rank().over(w_docs))
+        .withColumn("nd", F.max("dr").over(w_gram))
+        .withColumn("rn", F.row_number().over(w_first))
+    )
+    masked_pos = (
+        flagged.where((F.col("nd") >= 2) & (F.col("rn") > 1))
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + (L - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = tok.join(masked_pos, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_tokens_after"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_trimmed"),
+    )
+    before = tok.groupBy("id").agg(F.count("*").alias("n_tokens_before"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(before, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text_trimmed", F.lit("")).alias("text_trimmed"),
+            F.coalesce("n_tokens_before", F.lit(0)).alias("n_tokens_before"),
+            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+        )
+    )

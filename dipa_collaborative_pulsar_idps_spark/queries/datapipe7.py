@@ -669,3 +669,58 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return hashed_linear_score(t.documents).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "trim_duplicate_spans_stats",
+    survey="ext-dedup,F4",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk
+    FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           UNNEST(RANGE(1, LEN(tk) - {_SPAN_L} + 2)) AS i,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - {_SPAN_L} + 2),
+                                 j -> ARRAY_TO_STRING(tk[j:j+{_SPAN_L - 1}], ' ')))
+               AS gram
+    FROM toks WHERE LEN(tk) >= {_SPAN_L}
+),
+dup AS (
+    SELECT gram FROM spans GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+ranked AS (
+    SELECT s.doc_id, s.i,
+           ROW_NUMBER() OVER (PARTITION BY s.gram ORDER BY s.doc_id, s.i) AS rn
+    FROM spans s JOIN dup USING (gram)
+),
+masked AS (
+    SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, UNNEST(RANGE(i, i + {_SPAN_L})) AS p
+        FROM ranked WHERE rn > 1
+    )
+),
+mcount AS (SELECT doc_id, COUNT(*) AS n_masked FROM masked GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(LEN(tk) AS BIGINT) AS n_tokens_before,
+       CAST(LEN(tk) - COALESCE(n_masked, 0) AS BIGINT) AS n_tokens_after
+FROM toks t LEFT JOIN mcount m ON t.doc_id = m.doc_id
+""",
+)
+def trim_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE half of Lee-et-al. substring dedup, as corpus stats:
+    every token covered by a cross-document duplicated {_SPAN_L}-token
+    span is cut except the global first occurrence
+    (functions/dedup.trim_duplicate_spans — same codegen-window plan as
+    the profile query, plus a masked-position explode and one doc-key
+    re-agg). The declared form emits (before, after) token counts so the
+    DuckDB twin verifies the mask arithmetic exactly; the reconstructed
+    trimmed TEXT is pinned by planted-truth + idempotence pytest
+    certifiers (a second trim pass must be a no-op)."""
+    from ..functions.dedup import trim_duplicate_spans
+
+    t = Tables(spark, sf_dir)
+    return trim_duplicate_spans(t.documents, span_len=_SPAN_L).select(
+        F.col("id").alias("doc_id"), "n_tokens_before", "n_tokens_after"
+    )

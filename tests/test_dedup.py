@@ -1038,3 +1038,54 @@ def test_hashed_classifier_plan_is_broadcast_and_udf_free(spark, sf_dir):
     df = hashed_linear_score(docs, weights=derived_weight_table(spark))
     assert_broadcast_join(df)
     assert_no_python_udf(df)
+
+
+def test_trim_duplicate_spans_planted_truth(spark):
+    """Docs A and B share a 10-token run (3 duplicated 8-grams covering all
+    10 tokens); the trim must keep A verbatim (global first occurrence),
+    cut exactly those 10 tokens from B, and leave the unrelated doc C
+    untouched. Short docs (< span_len tokens) pass through whole."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        trim_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    a = f"a0 a1 {shared} a2 a3"
+    b = f"b0 b1 b2 {shared} b3"
+    c = " ".join(f"c{i}" for i in range(12))
+    tiny = "t0 t1 t2"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, tiny)], ["doc_id", "text"]
+    )
+    out = {r.id: r for r in trim_duplicate_spans(docs).collect()}
+    assert out[1].text_trimmed == a and out[1].n_tokens_after == 14
+    assert out[2].text_trimmed == "b0 b1 b2 b3"
+    assert out[2].n_tokens_before == 14 and out[2].n_tokens_after == 4
+    assert out[3].text_trimmed == c
+    assert out[4].text_trimmed == tiny and out[4].n_tokens_after == 3
+
+
+def test_trim_duplicate_spans_idempotent_and_profile_clean(spark):
+    """After one trim pass, re-profiling the trimmed corpus must report
+    zero cross-document duplicated spans (the detect->remove loop
+    converges in one pass on exact duplicates), and trimming again is a
+    no-op."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        trim_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a0 {shared} a1"),
+            (2, f"b0 b1 {shared}"),
+            (3, f"{shared} c0 c1 c2"),
+        ],
+        ["doc_id", "text"],
+    )
+    t1 = trim_duplicate_spans(docs).select(
+        "id", F.col("text_trimmed").alias("text")
+    )
+    t2 = trim_duplicate_spans(t1, id_col="id", text_col="text")
+    rows = {r.id: r for r in t2.collect()}
+    assert all(r.n_tokens_after == r.n_tokens_before for r in rows.values())
