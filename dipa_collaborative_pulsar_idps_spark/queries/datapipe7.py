@@ -724,3 +724,117 @@ def trim_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trim_duplicate_spans(t.documents, span_len=_SPAN_L).select(
         F.col("id").alias("doc_id"), "n_tokens_before", "n_tokens_after"
     )
+
+
+@query(
+    "near_dup_keep_best_quality",
+    survey="ext-dedup,ext-quality,D2",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+    SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tokens) - 1, 1)),
+        i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+    FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tokens
+          FROM documents)
+),
+pairs AS (
+    SELECT a.doc_id AS x, b.doc_id AS y
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
+      AND CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+          / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.8
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+walk(node, reach) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT w.node, e.y FROM walk w JOIN edges e ON w.reach = e.x
+),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+big AS (
+    SELECT component, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component HAVING COUNT(*) >= 2
+),
+tok AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+hb AS (
+    SELECT doc_id,
+           (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS bucket
+    FROM tok
+),
+score AS (
+    SELECT doc_id,
+           CAST(SUM((bucket % 1001) - 500) AS DOUBLE) / (COUNT(*) * 1000.0) AS q
+    FROM hb GROUP BY doc_id
+),
+ranked AS (
+    SELECT c.component, c.node, b.cluster_size, s.q,
+           ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY s.q DESC, c.node) AS rn
+    FROM comp c JOIN big b USING (component) JOIN score s ON s.doc_id = c.node
+)
+SELECT component AS cluster_id,
+       node AS keep_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       q AS keep_quality_score
+FROM ranked WHERE rn = 1
+""",
+)
+def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-grade dedup materialization: near-dup clusters over the
+    DOCUMENT corpus (MinHash-LSH pairs → connected components) collapse to
+    the member with the HIGHEST classifier quality score — what a shipping
+    pipeline keeps, vs. the min-id convention `near_dup_keep_canonical`
+    demonstrates on embeddings. Composition of three independently
+    oracle-certified pieces (LSH pairs, min-label components, hashed
+    linear classifier); argmax is a per-cluster window over bit-portable
+    scores with a doc_id tie-break.
+
+    100 TB order of operations: cluster sizes gate FIRST (clusters ≥ 2 are
+    a tiny fraction of the corpus), the multi-member set broadcasts into a
+    semi-join, and only those docs are scored — the classifier never runs
+    over the full corpus here."""
+    from ..functions.classifier import hashed_linear_score
+    from ..functions.dedup import minhash_near_dup_pairs
+    from ..operators.components import connected_components
+    from .datapipe2 import _shingles
+
+    t = Tables(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        t.documents, threshold=0.8, shingled=_shingles(spark, sf_dir)
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        nodes=t.documents.select("doc_id"),
+    )
+    sizes = (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
+    )
+    members = comp.join(F.broadcast(sizes), "component")
+    cand_docs = t.documents.join(
+        F.broadcast(members.select(F.col("node").alias("doc_id"))), "doc_id", "semi"
+    )
+    scores = hashed_linear_score(cand_docs).select(
+        F.col("id").alias("node"), "quality_score"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("node")
+    )
+    return (
+        members.join(scores, "node")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("keep_doc_id"),
+            "cluster_size",
+            F.col("quality_score").alias("keep_quality_score"),
+        )
+    )
