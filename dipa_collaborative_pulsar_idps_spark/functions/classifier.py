@@ -102,3 +102,27 @@ def hashed_linear_score(
         ),
         F.when(F.col("score_raw") > 0, "keep").otherwise("drop").alias("quality_label"),
     )
+
+
+def hashed_linear_score_expr(text_col: str):
+    """The scorer as a single stateless Column (NULL for token-less docs):
+    an `aggregate` HOF accumulates the same EXACT integer weights the
+    fused batch path sums, then one division — bit-identical to
+    `hashed_linear_score(...)`'s quality_score (pytest-pinned).
+
+    This is the STREAMING/map-only form: no explode, no groupBy, no state
+    — it drops into `where`/`withColumn` on an unbounded stream or inside
+    another aggregation. The HOF lambda is interpreted per token
+    (CodegenFallback), so for corpus-scale BATCH scoring prefer the
+    explode + shuffle form; per-document streaming gates are exactly
+    where the interpreted cost is irrelevant and statelessness is the
+    point."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+    def w(tok):
+        bucket = F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("bigint")
+        return F.pmod(bucket, F.lit(W_MOD)) - W_SHIFT
+
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w(t))
+    n = F.size(toks)
+    return F.when(n > 0, total / (n * float(W_SCALE)))

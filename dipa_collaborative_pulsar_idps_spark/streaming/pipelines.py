@@ -556,3 +556,18 @@ def incremental_dedup_sink(
             batch.unpersist()
 
     return fn
+
+
+def streaming_quality_gate(docs: DataFrame, min_score: float = 0.0) -> DataFrame:
+    """Model-based quality filter for an unbounded document stream: keep
+    docs whose hashed-linear classifier score clears *min_score*. Pure
+    stateless map work (functions/classifier.hashed_linear_score_expr) —
+    no watermark, no state store, composes in front of
+    `streaming_curation`'s dedup the way CCNet/RefinedWeb pipelines gate
+    before expensive stages. Token-less docs score NULL and are dropped."""
+    from ..functions.classifier import hashed_linear_score_expr
+
+    score = hashed_linear_score_expr("text")
+    return docs.withColumn("quality_score", score).where(
+        F.col("quality_score") >= min_score
+    )

@@ -1089,3 +1089,24 @@ def test_trim_duplicate_spans_idempotent_and_profile_clean(spark):
     t2 = trim_duplicate_spans(t1, id_col="id", text_col="text")
     rows = {r.id: r for r in t2.collect()}
     assert all(r.n_tokens_after == r.n_tokens_before for r in rows.values())
+
+
+def test_classifier_expr_form_bit_equals_batch_form(spark, sf_dir):
+    """The stateless Column form (streaming gate) accumulates the same
+    exact integers as the explode+shuffle batch form — scores must be
+    bit-identical, not merely close."""
+    from dipa_collaborative_pulsar_idps_spark.functions.classifier import (
+        hashed_linear_score,
+        hashed_linear_score_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {r.id: r.quality_score for r in hashed_linear_score(docs).collect()}
+    expr = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", hashed_linear_score_expr("text").alias("q")
+        ).collect()
+        if r.q is not None
+    }
+    assert batch == expr and batch

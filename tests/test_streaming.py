@@ -899,3 +899,38 @@ def test_streaming_incremental_dedup_mid_commit_replay_is_idempotent(spark, tmp_
         "bands": spark.read.parquet(paths["idx"] + "/bands").count(),
         "corpus": spark.read.parquet(paths["corpus"]).count(),
     }
+
+
+def test_streaming_quality_gate_matches_batch_filter(spark, tmp_path):
+    """The stateless classifier gate on a replayed stream must pass exactly
+    the docs the batch scorer keeps at the same threshold (plus drop
+    token-less docs, which score NULL)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.classifier import (
+        hashed_linear_score,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        streaming_quality_gate,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    rows = [(i, f"alpha{i} beta{i % 7} gamma{i % 3} delta{i % 5}") for i in range(60)]
+    rows.append((100, ""))  # token-less: NULL score, must be dropped
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path / "replay")
+    write_replay_chunks(docs, d, n_chunks=3, order_col="doc_id")
+
+    gated = streaming_quality_gate(
+        replay_stream(spark, d, "doc_id long, text string"), min_score=0.0
+    )
+    run_to_memory(gated, "qgate_out")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM qgate_out").collect()}
+    want = {
+        r.id
+        for r in hashed_linear_score(docs).collect()
+        if r.quality_score >= 0.0
+    }
+    assert got == want and want
