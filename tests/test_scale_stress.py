@@ -378,3 +378,27 @@ def test_banded_ngram_recall_and_candidate_mass_at_20k(spark, planted_corpus):
     assert recall >= 0.9, recall
     # exact verification ⇒ zero false positives among the random soups
     assert found <= planted, found - planted
+
+
+def test_incremental_lsh_finds_planted_dups_at_20k_docs(spark, planted_corpus):
+    """The index-probe path at 20k docs: index the 20k base soups once,
+    probe the 100 planted near-dup copies as the 'new crawl batch' — every
+    planted pair found, zero false positives, with O(batch) signature work
+    (the probe side signatures 100 docs, not 20k; the verification fetch
+    broadcast-semi-joins ~100 candidate old docs out of the corpus)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        incremental_near_dup_pairs,
+        lsh_band_entries,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    old = planted_corpus.where(F.col("doc_id") < N_DOCS)
+    new = planted_corpus.where(F.col("doc_id") >= N_DOCS)
+    index = lsh_band_entries(
+        minhash_signatures(shingle_sets(old), 16), bands=8, rows_per_band=2
+    )
+    pairs = incremental_near_dup_pairs(new, old, index, threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(i, i + N_DOCS) for i in range(N_PLANTED)}
+    assert found == planted
