@@ -838,3 +838,108 @@ def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality_score").alias("keep_quality_score"),
         )
     )
+
+
+_MIX_ALPHA_NOTE = "sqrt-temperature (alpha = 0.5) upweights small domains"
+_MIX_BUDGET_FRAC = 0.5  # keep half the corpus tokens
+
+
+@query(
+    "mixture_resample_to_budget",
+    survey="ext-curation,J14,D3",
+    oracle=f"""
+WITH d AS (
+    SELECT source, doc_id,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tok
+    FROM documents
+),
+per_src AS (
+    SELECT source,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_total
+    FROM d GROUP BY source
+),
+tot AS (
+    SELECT SUM(SQRT(CAST(tokens_total AS DOUBLE))) AS sum_sqrt,
+           SUM(tokens_total) AS all_tokens
+    FROM per_src
+),
+rates AS (
+    SELECT source, tokens_total, n_docs_total,
+           LEAST(1.0,
+                 ({_MIX_BUDGET_FRAC} * all_tokens)
+                     * (SQRT(CAST(tokens_total AS DOUBLE)) / sum_sqrt)
+                     / tokens_total) AS p
+    FROM per_src, tot
+),
+kept AS (
+    SELECT d.source, d.doc_id, d.n_tok
+    FROM d JOIN rates r ON d.source = r.source
+    WHERE CAST((d.doc_id & 2147483647) * 2654435761 % 4294967296 AS DOUBLE)
+          / 4294967296.0 < r.p
+)
+SELECT r.source, r.n_docs_total, r.tokens_total,
+       CAST(COALESCE(COUNT(k.doc_id), 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(SUM(k.n_tok), 0) AS BIGINT) AS tokens_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+GROUP BY r.source, r.n_docs_total, r.tokens_total
+""",
+)
+def mixture_resample_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (Pile/LLaMA style): resample each source toward a
+    sqrt-temperature share of a global token budget (half the corpus).
+    Per-source keep rate p = min(1, budget·w_s / tokens_s) with
+    w_s ∝ √tokens_s; the doc-level draw is the engine's deterministic
+    Knuth hash (reproducible across engines/partitionings — the same
+    contract as `stratified_sample_by_lang`), so the DuckDB twin verifies
+    the kept counts exactly. √ is IEEE-correctly-rounded (bit-identical
+    cross-engine, unlike pow/ln); the only order-dependent float is the
+    tiny per-source Σ√ and a flip would need a hash within ~1e-16 of p.
+
+    100 TB shape: the rate table is |sources| rows — broadcast joined into
+    the doc scan; the keep decision is map-side; one groupBy(source)
+    rollup. Downstream, the kept set IS the training mixture."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = t.documents.select("source", "doc_id", F.size(toks).alias("n_tok"))
+    per_src = d.groupBy("source").agg(
+        F.sum("n_tok").alias("tokens_total"), F.count("*").alias("n_docs_total")
+    )
+    tot = per_src.agg(
+        F.sum(F.sqrt(F.col("tokens_total").cast("double"))).alias("sum_sqrt"),
+        F.sum("tokens_total").alias("all_tokens"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens_total",
+        "n_docs_total",
+        F.least(
+            F.lit(1.0),
+            (F.lit(_MIX_BUDGET_FRAC) * F.col("all_tokens"))
+            * (F.sqrt(F.col("tokens_total").cast("double")) / F.col("sum_sqrt"))
+            / F.col("tokens_total"),
+        ).alias("p"),
+    )
+    hash_frac = (
+        (F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    kept = (
+        d.join(F.broadcast(rates.select("source", "p")), "source")
+        .where(hash_frac < F.col("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"), F.sum("n_tok").alias("tokens_kept")
+        )
+    )
+    return (
+        rates.select("source", "n_docs_total", "tokens_total")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs_total",
+            "tokens_total",
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )
