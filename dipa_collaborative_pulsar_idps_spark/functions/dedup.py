@@ -295,6 +295,7 @@ def incremental_near_dup_pairs(
     seed: int = 42,
     shingled_new: DataFrame | None = None,
     shingled_old: DataFrame | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the new batch: (old, new) via an index
     probe plus (new, new) via standard LSH — output (doc_a, doc_b,
@@ -318,12 +319,19 @@ def incremental_near_dup_pairs(
 
     ``old_docs`` must be the corpus the index was built from (ids
     disjoint from the new batch); pass ``shingled_new``/``shingled_old``
-    to reuse already-built shingle frames."""
+    to reuse already-built shingle frames. The result is lazy, so the
+    internal persists cannot be released here; pass ``persisted_out`` (a
+    list) to receive the persisted handles and unpersist them once the
+    result is materialized — `streaming.pipelines.incremental_dedup_sink`
+    does this per micro-batch so cached blocks never accumulate across
+    the life of a stream."""
     sh_new = (
         shingled_new
         if shingled_new is not None
         else shingle_sets(new_docs, id_col, text_col, shingle_n).persist()
     )
+    if persisted_out is not None and shingled_new is None:
+        persisted_out.append(sh_new)
     # The band-entry frame feeds TWO consumers (index probe + within-batch
     # self-join) and the probe result feeds THREE (pair union, and both
     # sides of the candidate-id fetch) — persist both or the signature
@@ -332,6 +340,8 @@ def incremental_near_dup_pairs(
     # frame already persisted upstream.
     sigs_new = minhash_signatures(sh_new, num_perm, seed)
     be_new = lsh_band_entries(sigs_new, bands, rows_per_band).persist()
+    if persisted_out is not None:
+        persisted_out.append(be_new)
 
     # (old, new) candidates: probe the index. The pair is oriented by id
     # so output matches the full-batch convention (doc_a < doc_b).
@@ -348,6 +358,8 @@ def incremental_near_dup_pairs(
         .distinct()
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(cross)
 
     # Fetch + shingle ONLY the old docs that collided (broadcast the small
     # candidate-id set into the semi-join so the corpus scan prunes).

@@ -204,7 +204,13 @@ def _even_half_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     old_sh = _shingles(spark, sf_dir).where(F.col("id") % 2 == 0)
-    idx = lsh_band_entries(minhash_signatures(old_sh)).persist()
+    # Pinned to incremental_near_dup_pairs' probe defaults (num_perm=16,
+    # bands=8, rows_per_band=2) — an index built with the library's wider
+    # 32/16 defaults only matched because permutations 0..15 are a shared
+    # prefix, an implicit coupling that doubled index size.
+    idx = lsh_band_entries(
+        minhash_signatures(old_sh, num_perm=16), bands=8, rows_per_band=2
+    ).persist()
     _LSH_INDEX_CACHE[key] = idx
     return idx
 

@@ -501,6 +501,11 @@ def incremental_dedup_sink(
         if fs.exists(marker):
             return  # completed batch replayed after restart — no-op
         batch = batch.persist()
+        # incremental_near_dup_pairs' internal persists are handed back
+        # through this list; the pairs write below materializes the
+        # result, after which the finally releases them — per-batch
+        # lifecycle, no cached-block accumulation across the stream.
+        batch_persists: list = []
         try:
             has_index = fs.exists(
                 jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")
@@ -514,9 +519,18 @@ def incremental_dedup_sink(
                 # duplicate its pairs). The filter prunes on the partition
                 # column, so the normal path reads nothing extra.
                 index = index.where(F.col("ingest_batch") != batch_id)
-                old = spark.read.parquet(corpus_path).where(
-                    F.col("ingest_batch") != batch_id
-                )
+                # The corpus write commits AFTER the index meta: a crash on
+                # the bootstrap batch between those two writes leaves meta
+                # present with no corpus path at all, and the replay lands
+                # here. An empty corpus is the correct recovery (the index
+                # filter above already removed the half-committed batch).
+                corpus_fs, _ = _fs(spark, corpus_path)
+                if corpus_fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_path)):
+                    old = spark.read.parquet(corpus_path).where(
+                        F.col("ingest_batch") != batch_id
+                    )
+                else:
+                    old = spark.createDataFrame([], batch.schema)
                 pairs = incremental_near_dup_pairs(
                     batch,
                     old,
@@ -529,6 +543,7 @@ def incremental_dedup_sink(
                     rows_per_band=meta["rows_per_band"],
                     shingle_n=meta["shingle_n"],
                     seed=meta["seed"],
+                    persisted_out=batch_persists,
                 )
             else:
                 pairs = minhash_near_dup_pairs(
@@ -554,6 +569,11 @@ def incremental_dedup_sink(
             fs.mkdirs(marker)
         finally:
             batch.unpersist()
+            for h in batch_persists:
+                try:
+                    h.unpersist()
+                except Exception:  # session tearing down — nothing to release
+                    pass
 
     return fn
 

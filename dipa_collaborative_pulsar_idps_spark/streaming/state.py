@@ -404,11 +404,15 @@ def alert_state_machine_tws(
     metrics are native.
     """
     out_schema = f"{key_col} string, event string, event_ts timestamp, streak int"
+    # Spark rejects TTL state registration unless the query runs in
+    # processing-time mode (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_
+    # ASSIGN_TTL), so the time mode follows the TTL parameter.
+    time_mode = "processingTime" if state_ttl_ms is not None else "None"
     return df.groupBy(key_col).transformWithStateInPandas(
         make_alert_processor(key_col, hot_col, ts_col, cfg, state_ttl_ms),
         out_schema,
         "append",
-        "None",
+        time_mode,
     )
 
 

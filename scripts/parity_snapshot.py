@@ -103,6 +103,12 @@ def main() -> int:
         twin = ANN_EXHAUSTIVE_TWINS[name]
         if name not in ann_dfs or twin not in ann_dfs:
             continue  # a FAIL above already covers the missing side
+        # A query stored in ann_dfs may still have FAILed afterwards (its
+        # count()/compare threw) — it's already in n_fail, so demoting it
+        # again would double-count and drive n_ok negative. Only queries
+        # that passed above can move from the ok to the fail tally here.
+        if out[name]["status"] == "FAIL" or out[twin]["status"] == "FAIL":
+            continue
         try:
             r = round(recall_at_k(ann_dfs[name], ann_dfs[twin], 5), 4)
             out[name]["recall_at_5"] = r

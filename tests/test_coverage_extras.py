@@ -104,8 +104,10 @@ class _FakeHandle:
 
     def __init__(self):
         self.states = {}
+        self.ttls = {}
 
     def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttls[name] = ttlDurationMs
         return self.states.setdefault(name, _FakeValueState())
 
 
@@ -142,6 +144,49 @@ def test_alert_tws_processor_wire_free_lifecycle():
     assert batch([(mk(12 + i), "h1", False) for i in range(6)]) == [("CLEAR", 5)]
     # back to hot: lifecycle restarts cleanly after CLEAR
     assert batch([(mk(18 + i), "h1", True) for i in range(5)]) == [("ALERT", 5)]
+
+
+def test_alert_tws_processor_forwards_ttl_to_state_registration():
+    """state_ttl_ms must reach the ValueState registration (and default to
+    None = no TTL) — paired with the processing-time time-mode switch in
+    alert_state_machine_tws, without which Spark rejects TTL registration
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL)."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        make_alert_processor,
+    )
+
+    h = _FakeHandle()
+    make_alert_processor(state_ttl_ms=3_600_000).init(h)
+    assert h.ttls == {"alert": 3_600_000}
+    h2 = _FakeHandle()
+    make_alert_processor().init(h2)
+    assert h2.ttls == {"alert": None}
+
+
+@needs_tws_wire
+def test_alert_tws_ttl_runs_in_processing_time_mode(spark, replay_dir, rocksdb_state):
+    """A TTL'd alert_state_machine_tws must START (time mode follows the
+    TTL parameter — with timeMode 'None' Spark rejects the TTL state
+    registration at query start) and, with a TTL far above the test's
+    wall-clock, reproduce the exact lifecycle golden."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        alert_state_machine_tws,
+    )
+
+    rows = [(T0 + dt.timedelta(seconds=3 * i), "h1", True) for i in range(12)]
+    rows += [(T0 + dt.timedelta(seconds=3 * (12 + i)), "h1", False) for i in range(6)]
+    spark.createDataFrame(rows, ["poll_ts", "src", "hot"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(replay_dir)
+    stream = replay_stream(spark, replay_dir, "poll_ts timestamp, src string, hot boolean")
+    run_to_memory(
+        alert_state_machine_tws(stream, state_ttl_ms=3_600_000), "tws_ttl_out"
+    )
+    got = [
+        (r.event, r.streak)
+        for r in spark.sql("SELECT * FROM tws_ttl_out ORDER BY event_ts").collect()
+    ]
+    assert got == [("ALERT", 5), ("ESCALATE", 9), ("CLEAR", 5)]
 
 
 @needs_tws_wire

@@ -901,6 +901,60 @@ def test_streaming_incremental_dedup_mid_commit_replay_is_idempotent(spark, tmp_
     }
 
 
+def test_streaming_incremental_dedup_bootstrap_crash_before_corpus_write(
+    spark, tmp_path
+):
+    """Crash in the BOOTSTRAP batch's narrowest window: the index meta is
+    on disk but the corpus path was never written (write order is pairs →
+    index → corpus → marker). The replay takes the has_index path and must
+    NOT die reading the missing corpus — it recovers with an empty corpus
+    (the batch-id filter already excludes the half-committed batch from
+    the index) and commits the same content a crash-free run would."""
+    import shutil
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        incremental_dedup_sink,
+    )
+
+    rows = [(i, f"tok{i} " * 30) for i in range(20)]
+    rows.append((100, rows[0][1]))  # within-batch near-dup of doc 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus", "pairs")}
+    fn = incremental_dedup_sink(
+        index_path=paths["idx"], corpus_path=paths["corpus"], pairs_path=paths["pairs"]
+    )
+    fn(docs, 0)
+    want_pairs = {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(paths["pairs"]).collect()
+    }
+    want_bands = spark.read.parquet(paths["idx"] + "/bands").count()
+    assert want_pairs == {(0, 100)}
+
+    # simulate the crash window: meta + bands + pairs exist, corpus and
+    # marker don't
+    shutil.rmtree(paths["corpus"])
+    shutil.rmtree(f"{paths['idx']}/_batches/0")
+
+    fn(docs, 0)  # replay — must not raise PATH_NOT_FOUND
+    assert {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(paths["pairs"]).collect()
+    } == want_pairs
+    assert spark.read.parquet(paths["idx"] + "/bands").count() == want_bands
+    assert spark.read.parquet(paths["corpus"]).count() == 21
+
+    # and the stream continues normally afterwards — without leaking
+    # cached blocks (the sink owns its helpers' persist lifecycle)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    more = spark.createDataFrame([(200, rows[1][1])], ["doc_id", "text"])
+    fn(more, 1)
+    assert {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(paths["pairs"]).collect()
+    } == {(0, 100), (1, 200)}
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"sink leaked cached RDDs: {after - before}"
+
+
 def test_streaming_quality_gate_matches_batch_filter(spark, tmp_path):
     """The stateless classifier gate on a replayed stream must pass exactly
     the docs the batch scorer keeps at the same threshold (plus drop
