@@ -94,6 +94,12 @@ class ScaleConfig:
     pq_sample_cap: int = 4096
     shard_tokens: int = 4096
     pack_range_width: int = 512
+    # Context-window chunking (RAG / pretraining prep): fixed token window
+    # with overlap = chunk_tokens - chunk_stride. Production values are
+    # e.g. 512/384; the dials here match the synthetic corpus' ~50-token
+    # docs so the multi-chunk path is exercised at every test SF.
+    chunk_tokens: int = 32
+    chunk_stride: int = 24
 
 
 SCALE = ScaleConfig()

@@ -1,0 +1,339 @@
+"""Training-data pipeline operators, part 8: context-window chunking,
+quality-threshold retention sweeps, and corpus-mixture divergence
+diagnostics.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §2 "beyond the
+reference" block) with the prep/tuning steps that sit between curation
+and training:
+
+- `document_chunks_overlap` — the RAG / pretraining chunker: fixed
+  token windows with overlap, the map-only step that turns curated docs
+  into model-context-sized rows;
+- `quality_retention_sweep` — the threshold-tuning curve for a quality
+  signal (what fraction of the corpus survives each candidate cutoff);
+- `token_js_divergence` — Jensen–Shannon divergence between per-source
+  unigram distributions, the standard drift/mixture diagnostic when
+  deciding sampling weights across corpus slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SCALE
+from ..tables import Tables
+from .registry import query
+
+_W = SCALE.chunk_tokens
+_S = SCALE.chunk_stride
+
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '') AS tk
+    FROM documents
+), sized AS (
+    SELECT doc_id, tk, LEN(tk) AS n,
+           CASE WHEN LEN(tk) > {_W}
+                THEN (LEN(tk) - {_W} + {_S} - 1) // {_S} ELSE 0 END AS last_k
+    FROM toks WHERE LEN(tk) > 0
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_idx,
+       CAST(LEN(LIST_SLICE(tk, k * {_S} + 1, LEAST(k * {_S} + {_W}, n))) AS INT)
+           AS n_tokens,
+       ARRAY_TO_STRING(LIST_SLICE(tk, k * {_S} + 1, LEAST(k * {_S} + {_W}, n)), ' ')
+           AS chunk_text
+FROM sized, UNNEST(RANGE(0, last_k + 1)) AS u(k)
+"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = _W,
+    stride: int = _S,
+) -> DataFrame:
+    """Context-window chunking operator: each document's token stream is
+    cut into windows of *window* tokens advancing by *stride* (overlap =
+    window − stride), the standard prep step that turns curated documents
+    into model-context-sized training/RAG rows. Output: (id, chunk_idx,
+    n_tokens, chunk_text).
+
+    Chunk-count contract (the HF fixed-stride convention): one chunk if
+    n ≤ W, else 1 + ceil((n − W)/S) — the final window is the only
+    short one and no window is a pure suffix of its predecessor. All
+    arithmetic stays in integer space (`DIV`-style ceil), so Spark and
+    the DuckDB oracle agree exactly.
+
+    Complements `datapipe6.doc_chunk_windows`, which is the HASH-manifest
+    form (chunk content hashes for packing bookkeeping) and emits a
+    window at every stride start — including trailing windows that are
+    pure suffixes of their predecessor. This operator materializes the
+    chunk TEXT (the actual RAG/training input) and stops at the last
+    window that contributes new tokens, so no emitted chunk duplicates
+    content wholesale.
+
+    100 TB shape: map-only — split, a `sequence` of window starts,
+    posexplode, `slice`/`array_join`; no shuffle anywhere, output
+    partitioning inherits the scan. The per-doc HOF token filter is the
+    same idiom every text query here uses (docs are small; the work is
+    proportional to output size).
+    """
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).where(
+        F.size("tk") > 0
+    )
+    n = F.size("tk")
+    last_k = F.when(
+        n > window, F.expr(f"(size(tk) - {window} + {stride} - 1) DIV {stride}")
+    ).otherwise(F.lit(0))
+    starts = F.sequence(F.lit(0), last_k * stride, F.lit(stride))
+    chunk = F.slice(F.col("tk"), F.col("start") + 1, window)
+    return (
+        d.select("doc_id", "tk", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@query("document_chunks_overlap", survey="ext-curation", oracle=_CHUNK_ORACLE)
+def document_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared form of :func:`chunk_documents` over the documents table
+    at the `SCALE.chunk_tokens`/`SCALE.chunk_stride` dials (see the
+    operator docstring for the contract and the scale story)."""
+    return chunk_documents(Tables(spark, sf_dir).documents)
+
+
+_SWEEP_THRESHOLDS = (0.0, 0.05, 0.1, 0.15, 0.2, 0.25)
+
+_SWEEP_ORACLE = f"""
+WITH d AS (
+    SELECT LEN(LIST_FILTER(STR_SPLIT(text, ' '),
+                           x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+           / LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '')) AS r
+    FROM documents
+    WHERE LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '')) > 0
+), t AS (SELECT CAST(UNNEST([{", ".join(str(x) for x in _SWEEP_THRESHOLDS)}]) AS DOUBLE) AS threshold)
+SELECT threshold,
+       CAST(SUM(CASE WHEN r >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       SUM(CASE WHEN r >= threshold THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS frac_retained
+FROM d, t GROUP BY threshold
+"""
+
+
+@query("quality_retention_sweep", survey="ext-curation", oracle=_SWEEP_ORACLE)
+def quality_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for a quality signal: for each candidate
+    stopword-ratio cutoff, how many documents survive and what corpus
+    fraction that is — the sweep a pipeline owner runs before pinning a
+    filter threshold (the same signal `text_quality_score` emits per
+    doc).
+
+    Portability: the ratio is one exact-integer division (bit-identical
+    in both engines) and the retained fraction likewise, so no rounding
+    is needed anywhere. One map pass + a 6×-explode + one 6-group
+    aggregation — scale-free.
+    """
+    t = Tables(spark, sf_dir)
+    stop = ("the", "a", "of", "and", "to")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    d = t.documents.select(toks.alias("tk")).where(F.size("tk") > 0)
+    r = (
+        F.size(F.filter(F.col("tk"), lambda x: F.array_contains(stop_arr, x)))
+        * F.lit(1.0)
+        / F.size("tk")
+    ).alias("r")
+    th = F.explode(
+        F.array(*[F.lit(x) for x in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    retained = F.sum(F.when(F.col("r") >= F.col("threshold"), 1).otherwise(0))
+    return (
+        d.select(r)
+        .select("r", th)
+        .groupBy("threshold")
+        .agg(
+            retained.cast("long").alias("n_retained"),
+            (retained * F.lit(1.0) / F.count("*")).alias("frac_retained"),
+        )
+    )
+
+
+#: Memoized per-source unigram distribution (tot, p) — p feeds BOTH sides
+#: of the pair self-join (recomputing it re-runs the explode+groupBy per
+#: consumer: measured 2.4 s vs 0.8 s at sf0.1), so it is persisted with
+#: the same owned lifecycle as the other query-module caches:
+#: `clear_js_dist_cache()` (wired into queries.clear_all_caches) does the
+#: unpersist — never a per-call persist with no release path.
+_JS_DIST_CACHE: dict = {}
+
+
+def _source_unigram_dist(spark: SparkSession, sf_dir: str):
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _JS_DIST_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tok = t.documents.select("source", F.explode(toks).alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("tot")).persist()
+    p = (
+        cnt.join(tot, "source")
+        .select("source", "tok", (F.col("c") * F.lit(1.0) / F.col("tot")).alias("p"))
+        .persist()
+    )
+    _JS_DIST_CACHE[key] = (tot, p)
+    return tot, p
+
+
+def clear_js_dist_cache() -> None:
+    """Unpersist the memoized unigram distributions (lifecycle end)."""
+    for tot, p in _JS_DIST_CACHE.values():
+        for df in (tot, p):
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to release
+                pass
+    _JS_DIST_CACHE.clear()
+
+
+_JS_ORACLE = """
+WITH tok AS (
+    SELECT source, UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '')) AS tok
+    FROM documents
+), cnt AS (
+    SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), tot AS (
+    SELECT source, SUM(c) AS tot FROM cnt GROUP BY source
+), p AS (
+    SELECT cnt.source, cnt.tok, cnt.c * 1.0 / tot.tot AS p
+    FROM cnt JOIN tot ON cnt.source = tot.source
+), shared AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           SUM(a.p * LN(2 * a.p / (a.p + b.p))
+               + b.p * LN(2 * b.p / (a.p + b.p))) AS sh_term,
+           SUM(a.p) AS pa_sh, SUM(b.p) AS pb_sh,
+           COUNT(*) AS n_shared_tokens
+    FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+), pairs AS (
+    SELECT s1.source AS source_a, s2.source AS source_b
+    FROM tot s1 JOIN tot s2 ON s1.source < s2.source
+)
+SELECT pairs.source_a, pairs.source_b,
+       ROUND(0.5 * COALESCE(sh_term, 0)
+             + 0.5 * LN(2) * ((1 - COALESCE(pa_sh, 0)) + (1 - COALESCE(pb_sh, 0))),
+             4) AS js_div,
+       CAST(COALESCE(n_shared_tokens, 0) AS BIGINT) AS n_shared_tokens
+FROM pairs LEFT JOIN shared
+  ON pairs.source_a = shared.source_a AND pairs.source_b = shared.source_b
+"""
+
+
+@query("token_js_divergence", survey="ext-curation", oracle=_JS_ORACLE)
+def token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of sources' unigram
+    token distributions — the drift/mixture diagnostic behind sampling-
+    weight decisions (e.g. DoReMi-style reweighting starts from exactly
+    this matrix). 0 = identical distributions, ln 2 ≈ 0.6931 = disjoint
+    vocabularies.
+
+    Decomposition that needs only the INNER join on token: for tokens in
+    one distribution only, the JS contribution is p·ln2/2, and
+    Σ_only-a p = 1 − Σ_shared p — so per-pair sums over shared tokens
+    recover the exact full-outer result without materializing the union.
+    The pair universe is rebuilt from the (tiny) per-source totals so
+    disjoint-vocabulary pairs still appear.
+
+    Portability: p is an exact integer division (bit-identical); only
+    LN differs by ulps across engines, so the sum is rounded to 4
+    decimals on both sides.
+
+    100 TB shape: one explode + two keyed aggregations + one self-join
+    on token (the only wide shuffle, on the natural key); per-pair state
+    is one row. Source count is assumed dashboard-scale (pairs =
+    O(sources²) output rows).
+    """
+    return js_divergence_from_dist(*_source_unigram_dist(spark, sf_dir))
+
+
+def js_divergence(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Operator form of :func:`token_js_divergence` over any document
+    frame: pairwise Jensen–Shannon divergence between *group_col* slices'
+    unigram distributions (see the declared query's docstring). Builds
+    the distribution un-persisted — callers looping over it should build
+    once via the memoized path instead."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tok = docs.select(F.col(group_col).alias("source"), F.explode(toks).alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    p = cnt.join(tot, "source").select(
+        "source", "tok", (F.col("c") * F.lit(1.0) / F.col("tot")).alias("p")
+    )
+    return js_divergence_from_dist(tot, p)
+
+
+def js_divergence_from_dist(tot: DataFrame, p: DataFrame) -> DataFrame:
+    """Pairwise JS divergence from a prebuilt (totals, probability)
+    distribution pair — the shared tail of the declared query (memoized,
+    persisted dist) and the ad-hoc operator (un-persisted dist)."""
+    a, b = p.alias("a"), p.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.sum(
+                pa * F.log(2 * pa / (pa + pb)) + pb * F.log(2 * pb / (pa + pb))
+            ).alias("sh_term"),
+            F.sum(pa).alias("pa_sh"),
+            F.sum(pb).alias("pb_sh"),
+            F.count("*").alias("n_shared_tokens"),
+        )
+    )
+    pairs = (
+        tot.select(F.col("source").alias("source_a"))
+        .join(
+            tot.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    ln2 = float(__import__("math").log(2.0))
+    return (
+        pairs.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                0.5 * F.coalesce(F.col("sh_term"), F.lit(0.0))
+                + 0.5
+                * F.lit(ln2)
+                * (
+                    (1 - F.coalesce(F.col("pa_sh"), F.lit(0.0)))
+                    + (1 - F.coalesce(F.col("pb_sh"), F.lit(0.0)))
+                ),
+                4,
+            ).alias("js_div"),
+            F.coalesce(F.col("n_shared_tokens"), F.lit(0)).alias("n_shared_tokens"),
+        )
+    )

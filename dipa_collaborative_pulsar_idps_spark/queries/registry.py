@@ -76,6 +76,7 @@ def _load_all() -> None:
         datapipe5,
         datapipe6,
         datapipe7,
+        datapipe8,
         detection,
         media,
         relational,

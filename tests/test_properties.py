@@ -247,3 +247,73 @@ def test_grouped_quantile_strategies_property_equal_percentile(
         for i, w in enumerate(pcs):
             assert abs(a[(g, i)] - w) < 1e-9, ("range", g, qs[i], a[(g, i)], w)
             assert b[(g, i)] == a[(g, i)], ("window≠range", g, qs[i])
+
+
+@given(
+    ns=st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=8),
+    window=st.integers(min_value=2, max_value=40),
+    stride_frac=st.floats(min_value=0.1, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_chunking_fixed_stride_contract(spark, ns, window, stride_frac):
+    """chunk_documents obeys the HF fixed-stride convention on arbitrary
+    token counts: chunk i is EXACTLY tokens[i·S : i·S+W], the chunk count
+    is 1 if n ≤ W else 1 + ceil((n−W)/S), the final chunk ends at n (full
+    coverage, nothing dropped), and empty docs emit nothing."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe8 import (
+        chunk_documents,
+    )
+
+    stride = max(1, int(round(window * stride_frac)))
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(n))) for i, n in enumerate(ns)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(docs, window=window, stride=stride).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = (r.n_tokens, r.chunk_text)
+    for i, n in enumerate(ns):
+        toks = [f"d{i}t{j}" for j in range(n)]
+        if n == 0:
+            assert i not in got
+            continue
+        want_nc = 1 if n <= window else 1 + -((n - window) // -stride)  # ceil
+        chunks = got[i]
+        assert sorted(chunks) == list(range(want_nc)), (n, window, stride)
+        for k in range(want_nc):
+            want = toks[k * stride : k * stride + window]
+            assert chunks[k] == (len(want), " ".join(want)), (n, window, stride, k)
+        # final chunk reaches the end of the doc: nothing dropped
+        assert (want_nc - 1) * stride + chunks[want_nc - 1][0] == n
+
+
+def test_js_divergence_identical_disjoint_and_bounds(spark):
+    """JS divergence endpoints: identical distributions → 0; disjoint
+    vocabularies → ln 2; any pair stays inside [0, ln 2] (rounded). Also
+    pairs with NO shared tokens still appear (pair universe is rebuilt
+    from totals, not from the shared-token join)."""
+    import math
+
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe8 import js_divergence
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "a b b c"),
+            ("s2", "a b b c"),        # identical to s1
+            ("s3", "x y z x"),        # disjoint from s1/s2
+            ("s4", "a b x q q"),      # partial overlap with both
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.js_div, r.n_shared_tokens)
+        for r in js_divergence(docs).collect()
+    }
+    assert set(got) == {(a, b) for a in "s1 s2 s3 s4".split() for b in "s1 s2 s3 s4".split() if a < b}
+    ln2 = round(math.log(2.0), 4)
+    assert got[("s1", "s2")] == (0.0, 3)          # identical: 3 distinct shared tokens
+    assert got[("s1", "s3")] == (ln2, 0)          # disjoint, still present
+    assert got[("s2", "s3")] == (ln2, 0)
+    for (a, b), (js, _) in got.items():
+        assert 0.0 <= js <= ln2, (a, b, js)
+    assert 0.0 < got[("s1", "s4")][0] < ln2
