@@ -100,6 +100,10 @@ def minhash_lsh_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataF
         threshold=0.8,
         shingled_new=new_sh,
         shingled_old=old_sh,
+        # the probe's internal band-entry/candidate persists get the same
+        # owned lifecycle as the memoized index: released by
+        # clear_lsh_index_cache() via clear_all_caches, never leaked
+        persisted_out=_PROBE_PERSISTS,
     )
 
 
@@ -192,6 +196,11 @@ def clear_corpus_cache() -> None:
 #: the unpersist.
 _LSH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: Persist handles created inside incremental_near_dup_pairs on behalf of
+#: the declared probe query (band entries + candidate pairs) — released
+#: together with the index cache below.
+_PROBE_PERSISTS: list[DataFrame] = []
+
 
 def _even_half_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -216,13 +225,15 @@ def _even_half_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clear_lsh_index_cache() -> None:
-    """Unpersist every memoized LSH band index (explicit lifecycle end)."""
-    for df in _LSH_INDEX_CACHE.values():
+    """Unpersist every memoized LSH band index and the probe's handed-back
+    persists (explicit lifecycle end)."""
+    for df in list(_LSH_INDEX_CACHE.values()) + _PROBE_PERSISTS:
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to release
             pass
     _LSH_INDEX_CACHE.clear()
+    _PROBE_PERSISTS.clear()
 
 
 @query("ann_topk_ivf_neighbors", survey="ext-sim")

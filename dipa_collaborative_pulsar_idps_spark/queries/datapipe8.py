@@ -168,6 +168,128 @@ def quality_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_TOPK = 5
+_TFIDF_N_QUERIES = 50
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '')) AS t
+    FROM documents
+), tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+), stats AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+), dft AS (
+    SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+), w AS (
+    SELECT tf.doc_id, tf.t, tf.tf * LN(stats.n_docs * 1.0 / dft.df) AS w
+    FROM tf JOIN dft USING (t) CROSS JOIN stats
+    WHERE dft.df < stats.n_docs
+), nrm AS (
+    SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, SUM(q.w * c.w) AS dot
+    FROM w q JOIN w c ON q.t = c.t AND q.doc_id <> c.doc_id
+    WHERE q.doc_id < {_TFIDF_N_QUERIES}
+    GROUP BY q.doc_id, c.doc_id
+), scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+    FROM dots
+    JOIN nrm nq ON nq.doc_id = query_id
+    JOIN nrm nc ON nc.doc_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {_TFIDF_TOPK}
+"""
+
+
+@query("tfidf_topk_similar_docs", survey="ext-sim,ext-text", oracle=_TFIDF_ORACLE)
+def tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical sparse retrieval — the TF-IDF/inverted-index twin of the
+    dense `cosine_topk_neighbors` family: for each of the first 50 docs,
+    the top-5 most similar OTHER docs by TF-IDF cosine ("more like
+    this"). Weights are tf·ln(N/df) in the space of discriminative
+    tokens (df < N — a token in every document carries idf 0 and is
+    dropped on both the weight and the norm side, which also keeps
+    zero-norm divisions out).
+
+    100 TB shape: the dot products come from the classic inverted-index
+    join — query postings (bounded: 50 docs) joined to corpus postings
+    on token, so candidate mass is Σ_query-tokens posting-length, linear
+    in the corpus per query like `bm25_retrieval`; df/N are tiny
+    broadcast sides. Degenerate ultra-high-df tokens are the known skew
+    axis — production adds a df-fraction cap exactly like the banded
+    dedup dials; this corpus' 31-token vocabulary keeps every posting
+    list proportional so the cap stays at 1.
+
+    Portability: N/df is an exact int division and SQRT is IEEE
+    correctly-rounded; only LN ulps and sum order drift, so the cosine
+    is rounded at 6 BEFORE ranking in both engines (neighbor_id breaks
+    rounded ties deterministically).
+    """
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tf = (
+        t.documents.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dft = tf.groupBy("t").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("df") < F.col("n_docs"))
+        .select(
+            "doc_id",
+            "t",
+            (F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df"))).alias(
+                "w"
+            ),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    q, c = w.alias("q"), w.alias("c")
+    dots = (
+        q.where(F.col("q.doc_id") < _TFIDF_N_QUERIES)
+        .join(
+            c,
+            (F.col("q.t") == F.col("c.t"))
+            & (F.col("q.doc_id") != F.col("c.doc_id")),
+        )
+        .groupBy(
+            F.col("q.doc_id").alias("query_id"), F.col("c.doc_id").alias("neighbor_id")
+        )
+        .agg(F.sum(F.col("q.w") * F.col("c.w")).alias("dot"))
+    )
+    nq = nrm.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nq"))
+    nc = nrm.select(F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("nc"))
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 6).alias("cosine"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+    )
+    return scored.withColumn("rk", rk).where(F.col("rk") <= _TFIDF_TOPK)
+
+
 #: Memoized per-source unigram distribution (tot, p) — p feeds BOTH sides
 #: of the pair self-join (recomputing it re-runs the explode+groupBy per
 #: consumer: measured 2.4 s vs 0.8 s at sf0.1), so it is persisted with
