@@ -234,12 +234,26 @@ def tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is rounded at 6 BEFORE ranking in both engines (neighbor_id breaks
     rounded ties deterministically).
     """
+    return tfidf_topk(
+        Tables(spark, sf_dir).documents, n_queries=_TFIDF_N_QUERIES, k=_TFIDF_TOPK
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_queries: int = _TFIDF_N_QUERIES,
+    k: int = _TFIDF_TOPK,
+) -> DataFrame:
+    """Operator form of :func:`tfidf_topk_similar_docs` over any document
+    frame (see the declared query's docstring for the contract and scale
+    story). Queries are the docs with id < *n_queries*."""
     from pyspark.sql.window import Window
 
-    t = Tables(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     tf = (
-        t.documents.select("doc_id", F.explode(toks).alias("t"))
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("tf"))
     )
@@ -260,7 +274,7 @@ def tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     q, c = w.alias("q"), w.alias("c")
     dots = (
-        q.where(F.col("q.doc_id") < _TFIDF_N_QUERIES)
+        q.where(F.col("q.doc_id") < n_queries)
         .join(
             c,
             (F.col("q.t") == F.col("c.t"))
@@ -287,7 +301,7 @@ def tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cosine").desc(), F.col("neighbor_id")
         )
     )
-    return scored.withColumn("rk", rk).where(F.col("rk") <= _TFIDF_TOPK)
+    return scored.withColumn("rk", rk).where(F.col("rk") <= k)
 
 
 #: Memoized per-source unigram distribution (tot, p) — p feeds BOTH sides

@@ -317,3 +317,38 @@ def test_js_divergence_identical_disjoint_and_bounds(spark):
     for (a, b), (js, _) in got.items():
         assert 0.0 <= js <= ln2, (a, b, js)
     assert 0.0 < got[("s1", "s4")][0] < ln2
+
+
+def test_tfidf_topk_ranks_planted_near_copy_first(spark):
+    """Inverted-index TF-IDF retrieval: a near-copy of the query doc must
+    rank #1 for it, docs sharing only ubiquitous (df==N) tokens never
+    appear (idf-0 space is dropped), and per-query ranks are dense from
+    1 with rounded-score ordering."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe8 import tfidf_topk
+
+    common = "the the of"  # appears in EVERY doc -> idf 0 -> excluded
+    docs = spark.createDataFrame(
+        [
+            (0, f"{common} alpha beta gamma delta"),
+            (1, f"{common} alpha beta gamma delta epsilon"),  # near-copy of 0
+            (2, f"{common} alpha zeta zeta eta"),             # partial overlap
+            (3, f"{common} iota kappa mu"),                   # disjoint (minus common)
+            (4, common),                                      # ONLY idf-0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(docs, n_queries=2, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rk, r.neighbor_id, r.cosine))
+    for q in by_q:
+        ranked = sorted(by_q[q])
+        assert [rk for rk, _, _ in ranked] == list(range(1, len(ranked) + 1))
+        cosines = [c for _, _, c in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(n != q for _, n, _ in ranked)  # self excluded
+        assert all(n != 4 for _, n, _ in ranked)  # idf-0-only doc absent
+    assert by_q[0][0][1] == 1 and by_q[0][0][2] > 0.6   # near-copy ranks #1
+    assert by_q[1][0][1] == 0
+    # doc 3 shares no discriminative token with doc 0 -> not a candidate
+    assert all(n != 3 for _, n, _ in by_q[0])
