@@ -225,6 +225,36 @@ def alert_rate_context(
     finalization wait); use left-outer only with the same condition if
     unmatched alerts must also surface (they then wait for the watermark).
     """
+    return _alert_rate_join(rates, alerts, lookback_s, watermark, "inner")
+
+
+def alert_rate_context_outer(
+    rates: DataFrame,
+    alerts: DataFrame,
+    lookback_s: int = 60,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """LEFT-OUTER twin of :func:`alert_rate_context`: every alert
+    surfaces — enriched with its lookback rate evidence when any exists,
+    or once with NULL evidence columns when NO rate observation fell in
+    the window (a blind-spot alert, itself a signal: the source alerted
+    without the poller ever seeing traffic from it).
+
+    Outer semantics need the watermark: a NULL-padded row can only emit
+    once Spark is sure no matching rate row can still arrive, i.e. when
+    the rate-side watermark passes ``alert_ts`` — so unmatched alerts
+    emit with watermark latency while matched ones stream out as soon as
+    both sides arrive (same state bound as the inner form)."""
+    return _alert_rate_join(rates, alerts, lookback_s, watermark, "left_outer")
+
+
+def _alert_rate_join(
+    rates: DataFrame,
+    alerts: DataFrame,
+    lookback_s: int,
+    watermark: str,
+    how: str,
+) -> DataFrame:
     r = rates.withWatermark("poll_ts", watermark).select(
         F.col("src").alias("rate_src"), "poll_ts", "pkt_rate", "hot"
     )
@@ -234,7 +264,7 @@ def alert_rate_context(
         (F.col("src") == F.col("rate_src"))
         & (F.col("poll_ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
         & (F.col("poll_ts") <= F.col("alert_ts")),
-        "inner",
+        how,
     ).drop("rate_src")
 
 

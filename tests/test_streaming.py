@@ -265,6 +265,97 @@ def test_stream_stream_alert_context_join(spark, replay_dir):
     assert not any(s == "10.0.0.9" for s, _, _ in got)
 
 
+def test_stream_stream_alert_context_outer_join(spark, replay_dir):
+    """LEFT-OUTER watermarked stream-stream join: alerts WITH rate
+    evidence emit the same rows as the inner form; an alert whose source
+    the poller never saw emits exactly ONE NULL-padded row — and only
+    after the watermark passes its alert_ts (forced here by a late flush
+    row on both streams)."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        alert_rate_context_outer,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rate_rows = [
+        (src, base + dt.timedelta(seconds=3 * i), float(10 * i), i % 2 == 0)
+        for src in ("10.0.0.1", "10.0.0.2")
+        for i in range(20)
+    ]
+    # flush row: pushes the rate-side watermark far past every alert_ts
+    rate_rows.append(("flush_r", base + dt.timedelta(minutes=10), 0.0, False))
+    rates_schema = StructType(
+        [
+            StructField("src", StringType(), False),
+            StructField("poll_ts", TimestampType(), False),
+            StructField("pkt_rate", DoubleType(), False),
+            StructField("hot", BooleanType(), False),
+        ]
+    )
+    alerts_schema = StructType(
+        [
+            StructField("src", StringType(), False),
+            StructField("alert_ts", TimestampType(), False),
+            StructField("kind", StringType(), False),
+        ]
+    )
+    alert_rows = [
+        ("10.0.0.1", base + dt.timedelta(seconds=30), "BOT"),
+        ("10.0.0.9", base + dt.timedelta(seconds=40), "BOT"),  # never polled
+        # flush alert advances the alert-side watermark (multi-watermark
+        # policy is min-across-streams); itself still inside the watermark
+        # at end of input, so it must NOT emit a NULL row
+        ("flush_a", base + dt.timedelta(minutes=10), "FLUSH"),
+    ]
+    rates_df = spark.createDataFrame(rate_rows, rates_schema)
+    alerts_df = spark.createDataFrame(alert_rows, alerts_schema)
+
+    rdir = tempfile.mkdtemp(prefix="dipa_sso_rates_")
+    adir = tempfile.mkdtemp(prefix="dipa_sso_alerts_")
+    write_replay_chunks(rates_df, rdir, n_chunks=4, order_col="poll_ts")
+    write_replay_chunks(alerts_df, adir, n_chunks=3, order_col="alert_ts")
+    r_stream = spark.readStream.schema(rates_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(rdir)
+    a_stream = spark.readStream.schema(alerts_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(adir)
+
+    joined = alert_rate_context_outer(r_stream, a_stream, lookback_s=60)
+    q = run_to_memory(joined, "ss_join_outer")
+    rows = spark.table("ss_join_outer").collect()
+    q.stop()
+
+    matched = {(r.src, r.kind, r.poll_ts) for r in rows if r.poll_ts is not None}
+    batch = alerts_df.where("src = '10.0.0.1'").join(
+        rates_df.withColumnRenamed("src", "rate_src"),
+        (F.col("src") == F.col("rate_src"))
+        & (F.col("poll_ts") >= F.col("alert_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("poll_ts") <= F.col("alert_ts")),
+    )
+    expect = {(r.src, r.kind, r.poll_ts) for r in batch.collect()}
+    assert matched == expect and len(expect) > 5
+
+    nulls = [r for r in rows if r.poll_ts is None]
+    assert [(r.src, r.kind, r.pkt_rate, r.hot) for r in nulls] == [
+        ("10.0.0.9", "BOT", None, None)
+    ]
+
+
 def test_streaming_native_session_window(spark, replay_dir):
     """F.session_window in a watermarked streaming agg: per-user sessions
     close after a 30 min gap; replayed stream yields the same sessions as
