@@ -168,6 +168,110 @@ def quality_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURR_BUCKETS = 16
+
+_CURRICULUM_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           LEN(LIST_FILTER(STR_SPLIT(text, ' '),
+                           x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+           / LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '')) AS score,
+           LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '')) AS nt
+    FROM documents
+    WHERE LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '')) > 0
+), p AS (
+    SELECT doc_id, score, nt,
+           SUM(nt) OVER (ORDER BY score DESC, doc_id) - nt AS excl
+    FROM d
+)
+SELECT CAST(excl // {SCALE.shard_tokens} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS shard_tokens,
+       ROUND(AVG(score), 6) AS mean_score,
+       MIN(doc_id) AS min_doc_id
+FROM p GROUP BY shard_id
+"""
+
+
+@query("curriculum_shard_order", survey="ext-curation,G1", oracle=_CURRICULUM_ORACLE)
+def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum packing: documents ordered by quality (stopword ratio
+    DESC — cleanest prose first, doc_id tie-break) are packed greedily
+    into `SCALE.shard_tokens`-token training shards, so early shards
+    carry the highest-quality data — the ordered-curriculum variant of
+    `token_shard_assignment`, summarized per shard.
+
+    The oracle is a global window over the SORT order; the engine
+    computes the IDENTICAL result without any corpus-wide serial
+    exchange, generalizing the doc_id-range prefix-sum decomposition to
+    an arbitrary sort key:
+
+      1. interval-bucket the score domain (`floor(score·B)` — buckets
+         are score-contiguous, and tied scores can never straddle one);
+      2. per-bucket token totals (B tiny rows) → exclusive prefix
+         offsets over buckets in score-DESC order — the only
+         single-partition step, over B rows;
+      3. per-bucket LOCAL running totals (window partitioned by bucket,
+         ordered by score DESC, doc_id) + broadcast offsets = exact
+         global exclusive totals → shard ids.
+
+    The static interval grid keeps bucket assignment deterministic and
+    oracle-free; production swaps in sampled range boundaries (what
+    `repartitionByRange` does) when the score distribution is skewed —
+    the decomposition is boundary-agnostic, any score-interval
+    partition yields the identical result.
+    """
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to")])
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = (
+        t.documents.select("doc_id", toks.alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            (
+                F.size(F.filter(F.col("tk"), lambda x: F.array_contains(stop_arr, x)))
+                * F.lit(1.0)
+                / F.size("tk")
+            ).alias("score"),
+            F.size("tk").alias("nt"),
+        )
+        .withColumn(
+            "bucket",
+            F.least(F.floor(F.col("score") * _CURR_BUCKETS), F.lit(_CURR_BUCKETS - 1)),
+        )
+    )
+    totals = d.groupBy("bucket").agg(F.sum("nt").alias("bucket_tokens"))
+    w_pfx = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_pfx), F.lit(0)).alias("tok_offset"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "excl", F.col("tok_offset") + F.sum("nt").over(w_local) - F.col("nt")
+        )
+        .withColumn("shard_id", F.expr(f"excl DIV {SCALE.shard_tokens}"))
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("shard_tokens"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 _TFIDF_TOPK = 5
 _TFIDF_N_QUERIES = 50
 

@@ -352,3 +352,15 @@ def test_classifier_is_one_keyed_shuffle_and_udf_free(spark, sf_dir):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", txt, re.M))
     assert n_exchanges == 1 and "hashpartitioning" in txt.lower(), txt
     assert_no_python_udf(df)
+
+
+def test_curriculum_shard_order_has_no_corpus_wide_serial_window(spark, sf_dir):
+    """The score-ordered packing generalizes the prefix-sum decomposition
+    to an arbitrary sort key: the detail window is bucket-partitioned,
+    offsets come back by broadcast, and the only SinglePartition exchange
+    feeds the 16-row bucket prefix sum — never the corpus."""
+    df = REGISTRY["curriculum_shard_order"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt, txt
+    assert "hashpartitioning(bucket" in txt, txt
+    assert txt.count("SinglePartition") <= 1, f"corpus-wide serial exchange:\n{txt}"
