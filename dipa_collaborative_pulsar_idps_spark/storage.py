@@ -182,6 +182,73 @@ def read_corpus(
     return df
 
 
+def delete_docs(
+    spark: SparkSession,
+    path: str,
+    doc_ids: list[int],
+    n_tasks: int | None = None,
+) -> int:
+    """Targeted delete (GDPR / right-to-be-forgotten / takedown) from the
+    corpus lake: remove *doc_ids*, rewriting ONLY the lang partitions
+    that actually contain them — the delete-shaped sibling of
+    :func:`upsert_telemetry`'s MERGE.
+
+    Plain parquet has no DELETE, so the honest primitive is: find the
+    touched lang dirs (semi-join the id set, partition-pruned scan) →
+    anti-join the ids out of just those dirs → dynamic-overwrite them,
+    preserving the in-file doc_id sort (same range-partitioned write as
+    :func:`write_corpus`). Cost scales with the touched partitions, not
+    the lake. A lang whose every row is deleted can't be cleared by a
+    dynamic overwrite (nothing is written for it), so fully-emptied dirs
+    are removed through the Hadoop FS API afterwards — HDFS/S3A-correct.
+
+    Returns the number of rows deleted."""
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    ).distinct()
+    corpus = spark.read.parquet(path)
+    touched = [
+        r.lang
+        for r in corpus.join(F.broadcast(ids_df), "doc_id", "semi")
+        .select("lang")
+        .distinct()
+        .collect()  # bounded-collect: one row per touched lang partition
+    ]
+    if not touched:
+        return 0
+    affected = corpus.where(F.col("lang").isin(touched))
+    n_before = affected.count()
+    kept = affected.join(F.broadcast(ids_df), "doc_id", "left_anti")
+    if n_tasks is None:
+        from .plans.sizing import sized_partition_count
+
+        n_tasks = sized_partition_count(kept)
+    survivors = [r.lang for r in kept.select("lang").distinct().collect()]  # bounded-collect: langs
+    n_deleted = n_before - kept.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            kept.repartitionByRange(n_tasks, *CORPUS_PARTITION_COLS, "doc_id")
+            .sortWithinPartitions(*CORPUS_PARTITION_COLS, "doc_id")
+            .write.mode("overwrite")
+            .partitionBy(*CORPUS_PARTITION_COLS)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite writes nothing for a lang with zero survivors —
+    # clear those dirs explicitly or the deleted rows would resurrect
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for lang in set(touched) - set(survivors):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/lang={lang}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    return n_deleted
+
+
 def upsert_telemetry(
     spark: SparkSession,
     path: str,

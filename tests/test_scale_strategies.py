@@ -752,3 +752,55 @@ def test_zorder_three_column_golden_and_pruning(spark, tmp_path):
         assert hits("zorder3", band_col, 100, 199) <= files // 2, band_col
     # the lead column still prunes well under z-order too
     assert hits("zorder3", "x", 100, 199) <= files // 2
+
+
+def test_delete_docs_rewrites_only_touched_partitions(spark, tmp_path):
+    """GDPR-style targeted delete: ids disappear, UNTOUCHED lang dirs keep
+    their exact files (byte-level: same names, sizes, mtimes), a lang
+    whose every row is deleted has its directory removed (dynamic
+    overwrite alone cannot clear it), and the in-file doc_id sort
+    survives the rewrite."""
+    import os
+
+    from dipa_collaborative_pulsar_idps_spark.storage import (
+        delete_docs,
+        read_corpus,
+        write_corpus,
+    )
+
+    rows = [(i, f"text {i}", ["en", "de", "zh"][i % 3], "s0", 10) for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "corpus")
+    write_corpus(df, path, n_tasks=2)
+
+    def snapshot(lang):
+        d = f"{path}/lang={lang}"
+        return {
+            f: (os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    en_before = snapshot("en")
+    # delete two de docs + EVERY zh doc; en untouched
+    zh_ids = [i for i in range(90) if i % 3 == 2]
+    n = delete_docs(spark, path, [1, 4] + zh_ids)
+    assert n == 2 + len(zh_ids)
+
+    got = {r.doc_id for r in read_corpus(spark, path).collect()}
+    assert got == {i for i in range(90) if i % 3 != 2} - {1, 4}
+    assert snapshot("en") == en_before          # untouched partition: same bytes
+    assert not os.path.exists(f"{path}/lang=zh")  # emptied dir cleared
+    # idempotent / no-op on absent ids
+    assert delete_docs(spark, path, [1, 4]) == 0
+    # in-file sort preserved in the rewritten partition
+    de = [r.doc_id for r in spark.read.parquet(f"{path}/lang=de").collect()]
+    files = sorted(
+        f for f in os.listdir(f"{path}/lang=de") if f.endswith(".parquet")
+    )
+    for f in files:
+        ids = [r.doc_id for r in spark.read.parquet(f"{path}/lang=de/{f}").collect()]
+        assert ids == sorted(ids)
+    assert set(de) == {i for i in range(90) if i % 3 == 1} - {1, 4}
