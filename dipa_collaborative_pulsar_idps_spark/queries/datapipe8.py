@@ -168,6 +168,83 @@ def quality_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: (id, status) for every id in either
+    snapshot — ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, different content hash), ``unchanged``. The audit step between
+    corpus releases (what did this crawl/cleaning pass actually do?).
+
+    100 TB shape: one full-outer join on id with md5 content hashes
+    computed map-side — content never crosses the shuffle, only
+    (id, 32-byte hash); at scale both sides are id-bucketed so the join
+    co-locates."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("h_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("h_new")
+    )
+    return o.join(n, "id", "full_outer").select(
+        "id",
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+_DIFF_ORACLE = """
+WITH old AS (
+    SELECT doc_id, MD5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+    SELECT doc_id,
+           MD5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+    FROM documents WHERE doc_id % 3 <> 0
+), d AS (
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.h IS NULL THEN 'added'
+                WHEN new.h IS NULL THEN 'removed'
+                WHEN old.h <> new.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM d GROUP BY status
+"""
+
+
+@query("corpus_snapshot_diff", survey="ext-curation,F1", oracle=_DIFF_ORACLE)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared form of :func:`snapshot_diff` between two deterministic
+    synthetic corpus versions (old = ids not ≡0 mod 7; new = ids not ≡0
+    mod 3, with ids ≡0 mod 5 content-modified) summarized per status —
+    every diff class (added/removed/changed/unchanged) is exercised."""
+    t = Tables(spark, sf_dir)
+    old = t.documents.where(F.col("doc_id") % 7 != 0)
+    new = t.documents.where(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        snapshot_diff(old, new)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("min_doc_id"),
+            F.max("id").alias("max_doc_id"),
+        )
+    )
+
+
 _CURR_BUCKETS = 16
 
 _CURRICULUM_ORACLE = f"""
