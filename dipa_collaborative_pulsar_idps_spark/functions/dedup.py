@@ -587,15 +587,17 @@ def trim_duplicate_spans(
             ),
         ).alias("text_trimmed"),
     )
-    before = tok.groupBy("id").agg(F.count("*").alias("n_tokens_before"))
+    # n_tokens_before is size(tokens) — computed MAP-SIDE on the base
+    # relation (was a third consumer of the exploded frame: a whole extra
+    # explode + keyed aggregate + shuffle for a number the source row
+    # already knows).
     return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(before, "id", "left")
+        docs.select(F.col(id_col).alias("id"), F.size(toks).alias("n_tokens_before"))
         .join(rebuilt, "id", "left")
         .select(
             "id",
             F.coalesce("text_trimmed", F.lit("")).alias("text_trimmed"),
-            F.coalesce("n_tokens_before", F.lit(0)).alias("n_tokens_before"),
+            "n_tokens_before",
             F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
         )
     )

@@ -1,19 +1,19 @@
-"""Training-data pipeline operators, part 8: context-window chunking,
-quality-threshold retention sweeps, and corpus-mixture divergence
-diagnostics.
+"""Training-data pipeline operators, part 8 (round 7): the prep/tuning
+steps that sit between curation and training, extending the
+LLM-data-pipeline surface (SURVEY.md §2 "beyond the reference" block):
 
-These extend the LLM-data-pipeline surface (SURVEY.md §2 "beyond the
-reference" block) with the prep/tuning steps that sit between curation
-and training:
-
-- `document_chunks_overlap` — the RAG / pretraining chunker: fixed
-  token windows with overlap, the map-only step that turns curated docs
-  into model-context-sized rows;
+- `document_chunks_overlap` / `chunk_documents` — the RAG / pretraining
+  chunker: fixed token windows with overlap, map-only;
 - `quality_retention_sweep` — the threshold-tuning curve for a quality
   signal (what fraction of the corpus survives each candidate cutoff);
-- `token_js_divergence` — Jensen–Shannon divergence between per-source
-  unigram distributions, the standard drift/mixture diagnostic when
-  deciding sampling weights across corpus slices.
+- `token_js_divergence` / `js_divergence` — Jensen–Shannon divergence
+  between per-source unigram distributions (mixture/drift diagnostic);
+- `tfidf_topk_similar_docs` / `tfidf_topk` — lexical sparse retrieval
+  via the inverted-index join (the dense-ANN family's sparse twin);
+- `curriculum_shard_order` — quality-ordered training-shard packing on
+  a sort-key-generalized distributed prefix sum;
+- `corpus_snapshot_diff` / `snapshot_diff` — version-to-version corpus
+  audit (added/removed/changed/unchanged).
 """
 
 from __future__ import annotations
