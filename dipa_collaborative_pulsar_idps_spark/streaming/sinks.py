@@ -280,3 +280,55 @@ class SummarySink:
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(f"{self.summary_path}/v={v}"), True
                 )
+
+
+def upsert_lake_sink(
+    path: str,
+    key_cols: tuple[str, ...] = ("dpid", "flow_key", "poll_ts"),
+    ts_col: str = "poll_ts",
+    seq_col: str | None = None,
+):
+    """Late-correction MERGE sink: a foreachBatch body that folds each
+    micro-batch into the parquet telemetry lake via
+    `storage.upsert_telemetry` — a redelivered/corrected reading for the
+    same (switch, flow, poll) replaces the earlier row, and only the
+    (event_date, dpid) partitions the batch touches are rewritten. The
+    row-level complement to :class:`SummarySink` (which maintains
+    aggregates): this maintains the raw keyed rows themselves.
+
+    Exactly-once by CONVERGENCE, no ledger: the batch is first compacted
+    to one row per key — by ``seq_col`` DESC when the stream carries a
+    CDC sequence/version column (the original and its correction can
+    share one micro-batch), content-hash tie-break otherwise so the
+    winner is the same under replay — and the upsert is key-idempotent — replaying a
+    delivered batch anti-joins out the very rows it wrote and reinserts
+    identical ones, so any crash/replay interleaving lands on the same
+    lake state.
+
+    The key deliberately INCLUDES the poll timestamp: the lake is
+    partitioned by event_date(ts), so a key that pins the ts always
+    lands corrections in the partition holding the row they supersede.
+    Current-state (SCD1, ts-free key) semantics would need a lake
+    partitioned by a stable key-derived column instead — with date
+    partitions the superseded row could sit in an unread partition and
+    survive.
+    """
+    from ..storage import upsert_telemetry
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        order = [F.xxhash64(F.struct(*batch.columns)).asc()]
+        if seq_col is not None:
+            order.insert(0, F.col(seq_col).desc())
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        compacted = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_telemetry(
+            batch.sparkSession, path, compacted, key_cols=key_cols, ts_col=ts_col
+        )
+
+    return fn

@@ -352,3 +352,67 @@ def test_summary_sink_fresh_checkpoint_fails_fast(spark, tmpdirs):
         sink(mk([("a", Decimal("9.99"))]), 0)
     # retained summary still serves the correct (pre-reset) state
     assert sink.current(spark).collect()[0].m_sum == Decimal("3.00")
+
+
+def test_upsert_lake_sink_applies_late_corrections_and_converges(spark, tmp_path):
+    """Streaming MERGE: a corrected reading for the same (dpid, flow_key,
+    poll_ts) replaces the earlier row; untouched rows survive; a second
+    run of the whole stream (fresh checkpoint, same lake) is a no-op —
+    exactly-once by convergence."""
+    import datetime as dt
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        replay_stream,
+        write_replay_chunks,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.sinks import upsert_lake_sink
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 3, 2, 10, 0, 0)  # second event_date partition
+    rows = [
+        # chunk order follows seq; correction (seq 3) arrives after first write
+        (0, "s1", "f1", t0, 100),
+        (1, "s1", "f2", t0, 200),
+        (2, "s2", "f9", t1, 900),
+        (3, "s1", "f1", t0, 150),   # late correction: replaces seq-0 row
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, dpid string, flow_key string, poll_ts timestamp, packet_count long"
+    )
+    replay = str(tmp_path / "replay")
+    write_replay_chunks(df, replay, n_chunks=2, order_col="seq")
+    # chunks follow seq: the correction (seq 3) lands in the second batch;
+    # if a batch boundary ever groups it with the original, seq_col still
+    # picks it deterministically
+    lake = str(tmp_path / "lake")
+    schema = "seq long, dpid string, flow_key string, poll_ts timestamp, packet_count long"
+
+    def run(ckpt):
+        q = (
+            replay_stream(spark, replay, schema)
+            .writeStream.foreachBatch(upsert_lake_sink(lake, seq_col="seq"))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    got = {
+        (r.dpid, r.flow_key, r.poll_ts, r.packet_count)
+        for r in spark.read.parquet(lake).collect()
+    }
+    want = {
+        ("s1", "f1", t0, 150),   # corrected
+        ("s1", "f2", t0, 200),
+        ("s2", "f9", t1, 900),
+    }
+    assert got == want
+
+    run("ck2")  # full replay against the existing lake: converges, no dups
+    got2 = {
+        (r.dpid, r.flow_key, r.poll_ts, r.packet_count)
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got2 == want
+    assert spark.read.parquet(lake).count() == 3
