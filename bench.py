@@ -202,9 +202,20 @@ def main() -> None:
     headline_v2 = headline + [n for n in HEADLINE_V2_EXTRA if n in qs]
     others = sorted(n for n in qs if n not in HEADLINE)
 
+    builds: dict[str, list[float]] = {}
+
     def run_once(name: str) -> float:
+        # split out DataFrame-CONSTRUCTION time (driver-side Python/Py4J
+        # plus any eager prep jobs a query runs in its builder): at bench
+        # SFs it is a large, box-load-sensitive share of per-query totals
+        # (r7: simhash spent seconds there), while at real scale it
+        # amortizes to nothing — recording it separately lets a reader
+        # attribute per-query deltas to the right phase.
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = qs[name](spark, sf_dir)
+        t1 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        builds.setdefault(name, []).append(t1 - t0)
         return time.perf_counter() - t0
 
     # warm the JVM/catalog once so per-query numbers measure the queries
@@ -259,6 +270,9 @@ def main() -> None:
             times.append(run_once(name))
         timings[name] = round(statistics.median(times), 3)
 
+    build_timings = {
+        n: round(statistics.median(v), 3) for n, v in builds.items() if n in timings
+    }
     total = round(sum(timings[n] for n in headline), 3)
     total_v2 = round(sum(timings[n] for n in headline_v2), 3)
     streaming = run_streaming_bench(spark)
@@ -272,6 +286,7 @@ def main() -> None:
                 "metric": "per_query_runtimes",
                 "unit": "sec",
                 "queries": timings,
+                "build_sec": build_timings,
                 "sf": sf_val,
             }
         )
@@ -291,6 +306,10 @@ def main() -> None:
                 "noise_sentinel_query": "suspected_bots",
                 "noise_sentinel_median_s": round(sentinel_median, 3),
                 "noise_sentinel_spread": sentinel_spread,
+                "headline_build_total": round(
+                    sum(build_timings.get(n, 0.0) for n in headline), 3
+                ),
+                "all_queries_build_total": round(sum(build_timings.values()), 3),
                 "sf": sf_val,
             }
         )
