@@ -311,3 +311,82 @@ def ts_window_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), "event_type", "win_start")
         .limit(_TS_K)
     )
+
+
+_DYN_GAPS = {"click": 600, "view": 1800}  # seconds; every other type 900
+_DYN_DEFAULT = 900
+
+_DYN_GAP_SQL = (
+    "CASE WHEN event_type = 'click' THEN 600 "
+    "WHEN event_type = 'view' THEN 1800 ELSE 900 END"
+)
+
+
+@query(
+    "session_windows_dynamic_gap",
+    survey="I16,ext-analytic",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           epoch_us(CAST(ts AS TIMESTAMP)) + ({_DYN_GAP_SQL}) * 1000000 AS end_us
+    FROM events
+), seq AS (
+    SELECT user_id, event_id, ts, us, end_us,
+           CASE WHEN us > MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM ev
+), sess AS (
+    SELECT user_id, event_id, ts, end_us,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+    FROM seq
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAKE_TIMESTAMP(MAX(end_us)) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization where each event extends the session by its OWN
+    type-dependent gap (clicks 10 min, views 30 min, everything else
+    15 min) — Spark's native `session_window` with a dynamic
+    CalendarInterval gap expression, the shape real engagement analytics
+    uses (a long-form content view should hold a session open longer
+    than a click).
+
+    The oracle rebuilds the semantics from first principles as
+    gaps-and-islands: an event opens a new session iff its start exceeds
+    the running MAX of prior (ts + gap) ends — Spark merges on
+    start ≤ session-end (inclusive; probed empirically: an event landing
+    exactly on the end still merges), session end = MAX(ts + gap), all
+    in exact µs integer arithmetic. Value equality certifies the native
+    operator's merge rule against the portable definition.
+
+    100 TB shape: one shuffle on user_id either way; the native form's
+    state is merged per group by the session-window iterator, the
+    oracle-shaped island form is two windows over the same sort — both
+    scale; the native one is also the streaming-ready spelling.
+    """
+    t = Tables(spark, sf_dir)
+    gap = F.expr(
+        "CASE WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,0,600) "
+        "WHEN event_type = 'view' THEN make_interval(0,0,0,0,0,0,1800) "
+        "ELSE make_interval(0,0,0,0,0,0,900) END"
+    )
+    return (
+        t.events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

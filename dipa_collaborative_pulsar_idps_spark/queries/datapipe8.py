@@ -654,3 +654,111 @@ def js_divergence_from_dist(tot: DataFrame, p: DataFrame) -> DataFrame:
             F.coalesce(F.col("n_shared_tokens"), F.lit(0)).alias("n_shared_tokens"),
         )
     )
+
+
+_PREP_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, text, LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '') AS tk
+    FROM documents
+), gated AS (
+    SELECT doc_id, text, tk FROM toks
+    WHERE LEN(tk) > 0
+      AND LEN(LIST_FILTER(tk, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+          / LEN(tk) >= 0.05
+), deduped AS (
+    SELECT doc_id, tk FROM (
+        SELECT doc_id, tk,
+               ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+        FROM gated
+    ) WHERE rn = 1
+), sized AS (
+    SELECT doc_id, tk, LEN(tk) AS n,
+           CASE WHEN LEN(tk) > {_W}
+                THEN (LEN(tk) - {_W} + {_S} - 1) // {_S} ELSE 0 END AS last_k
+    FROM deduped
+), chunks AS (
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(LEN(LIST_SLICE(tk, k * {_S} + 1, LEAST(k * {_S} + {_W}, n))) AS BIGINT)
+               AS nt
+    FROM sized, UNNEST(RANGE(0, last_k + 1)) AS u(k)
+), packed AS (
+    SELECT doc_id, chunk_idx, nt,
+           SUM(nt) OVER (ORDER BY doc_id, chunk_idx) - nt AS excl
+    FROM chunks
+)
+SELECT CAST(excl // {SCALE.shard_tokens} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS shard_tokens
+FROM packed GROUP BY shard_id
+"""
+
+
+@query("pretraining_prep_funnel", survey="ext-curation", oracle=_PREP_ORACLE)
+def pretraining_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete docs→training-shards prep pipeline in one declared
+    plan, composing four certified pieces: stopword-ratio quality gate
+    (≥0.05, `quality_retention_sweep`'s signal) → exact content dedup
+    (first doc_id per md5 survives, `dedup_exact_groups` semantics) →
+    context-window chunking (:func:`chunk_documents`) → greedy
+    shard packing of the CHUNK stream in (doc_id, chunk_idx) order via
+    the distributed prefix sum (`token_shard_assignment_scalable`'s
+    decomposition on the same doc_id-contiguous ranges — chunk order is
+    a refinement of doc order, so range composability holds).
+
+    100 TB shape: the gate is map-side ahead of the one dedup shuffle;
+    chunking is map-only; packing adds one range-keyed window + a
+    broadcast offsets join — no corpus-wide serial exchange anywhere
+    (the oracle IS the global window, value equality certifies the
+    decomposition end-to-end through the whole funnel).
+    """
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to")])
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    gated = (
+        t.documents.select("doc_id", "text", toks.alias("tk"))
+        .where(F.size("tk") > 0)
+        .where(
+            F.size(F.filter(F.col("tk"), lambda x: F.array_contains(stop_arr, x)))
+            * F.lit(1.0)
+            / F.size("tk")
+            >= 0.05
+        )
+    )
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    chunks = chunk_documents(deduped).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("nt"),
+        F.expr(f"doc_id DIV {SCALE.pack_range_width}").alias("range_id"),
+    )
+    totals = chunks.groupBy("range_id").agg(F.sum("nt").alias("range_tokens"))
+    w_pfx = Window.orderBy("range_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "range_id",
+        F.coalesce(F.sum("range_tokens").over(w_pfx), F.lit(0)).alias("tok_offset"),
+    )
+    w_local = (
+        Window.partitionBy("range_id")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        chunks.join(F.broadcast(offsets), "range_id")
+        .withColumn(
+            "excl", F.col("tok_offset") + F.sum("nt").over(w_local) - F.col("nt")
+        )
+        .withColumn("shard_id", F.expr(f"excl DIV {SCALE.shard_tokens}"))
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("nt").alias("shard_tokens"),
+    )

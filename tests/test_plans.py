@@ -364,3 +364,15 @@ def test_curriculum_shard_order_has_no_corpus_wide_serial_window(spark, sf_dir):
     assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt, txt
     assert "hashpartitioning(bucket" in txt, txt
     assert txt.count("SinglePartition") <= 1, f"corpus-wide serial exchange:\n{txt}"
+
+
+def test_pretraining_prep_funnel_has_no_corpus_wide_serial_exchange(spark, sf_dir):
+    """The composed gate→dedup→chunk→pack funnel keeps the scalable
+    shapes of its pieces: dedup and the detail window are keyed
+    shuffles, offsets ride a broadcast, and the only SinglePartition
+    exchange feeds the tiny per-range prefix sum."""
+    df = REGISTRY["pretraining_prep_funnel"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt, txt
+    assert "hashpartitioning(range_id" in txt, txt
+    assert txt.count("SinglePartition") <= 1, f"corpus-wide serial exchange:\n{txt}"
