@@ -426,10 +426,20 @@ def tfidf_topk(
     text_col: str = "text",
     n_queries: int = _TFIDF_N_QUERIES,
     k: int = _TFIDF_TOPK,
+    max_df_frac: float = 1.0,
 ) -> DataFrame:
     """Operator form of :func:`tfidf_topk_similar_docs` over any document
     frame (see the declared query's docstring for the contract and scale
-    story). Queries are the docs with id < *n_queries*."""
+    story). Queries are the docs with id < *n_queries*.
+
+    ``max_df_frac`` is the production skew dial: tokens with
+    df > max_df_frac·N are dropped from the posting lists entirely (on
+    BOTH the weight and norm side, so the metric stays a true cosine in
+    the kept-token space). Ubiquitous tokens have near-zero idf — they
+    barely move scores but dominate the inverted-index join's candidate
+    mass; capping df bounds every posting list at max_df_frac·N rows.
+    The default 1.0 keeps everything except df == N (idf exactly 0),
+    which is always excluded."""
     from pyspark.sql.window import Window
 
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
@@ -444,6 +454,7 @@ def tfidf_topk(
         tf.join(F.broadcast(dft), "t")
         .crossJoin(F.broadcast(stats))
         .where(F.col("df") < F.col("n_docs"))
+        .where(F.col("df") <= F.col("n_docs") * F.lit(float(max_df_frac)))
         .select(
             "doc_id",
             "t",

@@ -352,3 +352,11 @@ def test_tfidf_topk_ranks_planted_near_copy_first(spark):
     assert by_q[1][0][1] == 0
     # doc 3 shares no discriminative token with doc 0 -> not a candidate
     assert all(n != 3 for _, n, _ in by_q[0])
+
+    # df-cap skew dial: 'alpha' (df 3/5) is the only token docs 0 and 2
+    # share; capping max_df_frac at 0.5 drops it from the posting lists,
+    # so doc 2 stops being a candidate for query 0 while the near-copy
+    # (sharing beta/gamma/delta at df 2/5) still ranks #1
+    capped = tfidf_topk(docs, n_queries=1, k=3, max_df_frac=0.5).collect()
+    ns = {r.neighbor_id for r in capped}
+    assert 1 in ns and 2 not in ns
