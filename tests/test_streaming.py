@@ -1079,3 +1079,56 @@ def test_streaming_quality_gate_matches_batch_filter(spark, tmp_path):
         if r.quality_score >= 0.0
     }
     assert got == want and want
+
+
+def test_state_store_reader_inspects_checkpointed_state(spark, replay_dir, tmp_path):
+    """Spark 4 State Data Source over the engine's own checkpoints:
+    (a) a windowed aggregation's store reads back as (key, value) rows
+    matching the aggregation result; (b) the sharded counter_delta
+    operator's parallel-array state unpacks to one row per flow with the
+    LAST counter each flow reported — the exact bytes the stream resumes
+    from, read offline."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        counter_delta_stream,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.stateview import (
+        read_operator_state,
+        state_metadata,
+        unpack_sharded_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"10.0.0.{i % 4}", t0 + dt.timedelta(seconds=3 * j), 100 * (i % 4) + 10 * j)
+        for j in range(5)
+        for i in range(4)
+    ]
+    spark.createDataFrame(rows, "src string, poll_ts timestamp, packet_count long") \
+        .coalesce(1).write.mode("append").parquet(replay_dir)
+    stream = replay_stream(
+        spark, replay_dir, "src string, poll_ts timestamp, packet_count long"
+    )
+    ck = str(tmp_path / "ck_delta")
+    q = (
+        counter_delta_stream(stream, ["src"], "packet_count", "poll_ts")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "delta_out"))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = state_metadata(spark, ck)
+    ops = [tuple(r) for r in meta.select("operatorId", "operatorName").collect()]
+    assert (0, "applyInPandasWithState") in ops
+
+    st = read_operator_state(spark, ck)
+    flows = {
+        r.key: r.last_counters
+        for r in unpack_sharded_state(
+            st, ("flow_keys", "last_counters", "last_seen_us")
+        ).collect()
+    }
+    # last counter per flow = value at j=4: 100*(i%4) + 40
+    assert flows == {f"10.0.0.{i}": 100 * i + 40 for i in range(4)}
