@@ -30,6 +30,63 @@ from ..config import DEFAULT, DetectionConfig
 # ---------------------------------------------------------------------------
 
 
+_FLOW_SEP = "\x1f"
+
+
+def _delta_batch(
+    rows: pd.DataFrame,
+    key_cols: list[str],
+    counter_col: str,
+    ts_col: str,
+    prev_map: dict,
+    seen_map: dict,
+    idle_timeout_ms: int | None,
+    sep: str = _FLOW_SEP,
+) -> tuple[pd.DataFrame, dict, list]:
+    """One micro-batch of the per-flow counter-delta kernel, shared by the
+    sharded `applyInPandasWithState` form and the transformWithState twin:
+    vectorized per-flow shift deltas with reset detection, seeded from and
+    updating ``prev_map``/``seen_map`` (mutated in place). Returns
+    (output rows, {flow: (counter, last_seen_us)} updates, evicted flows).
+    """
+    flow = rows[key_cols[0]].astype(str)
+    for c in key_cols[1:]:
+        flow = flow + sep + rows[c].astype(str)
+    rows = rows.assign(__flow=flow).sort_values(["__flow", ts_col])
+    evicted: list = []
+    if idle_timeout_ms and seen_map:
+        # evict BEFORE computing deltas: a flow idle past the timeout
+        # re-installed (reference idle_timeout=60 s) — its old counter
+        # must not seed the new delta.
+        batch_max_us = int(rows[ts_col].astype("int64").max() // 1000)
+        horizon = batch_max_us - idle_timeout_ms * 1000
+        for k_ in [k_ for k_, u in seen_map.items() if u < horizon]:
+            del prev_map[k_], seen_map[k_]
+            evicted.append(k_)
+    vals = rows[counter_col].to_numpy(dtype="int64")
+    prev = rows.groupby("__flow", sort=False)[counter_col].shift(1)
+    first_mask = prev.isna().to_numpy()
+    seed = rows["__flow"].map(prev_map).fillna(0).to_numpy(dtype="int64")
+    prev = prev.fillna(0).to_numpy(dtype="int64")
+    prev[first_mask] = seed[first_mask]  # carry state across batches
+    deltas = vals - prev
+    deltas = np.where(deltas < 0, vals, deltas)  # reset detection
+    # update per-flow state: last counter + last event-time seen
+    us = (rows[ts_col].astype("int64") // 1000).to_numpy()  # ns → µs
+    tail = rows.assign(__v=vals, __us=us).groupby("__flow", sort=False).tail(1)
+    updates = {
+        f: (int(v), int(u))
+        for f, v, u in zip(tail["__flow"], tail["__v"], tail["__us"])
+    }
+    prev_map.update({f: v for f, (v, _) in updates.items()})
+    seen_map.update({f: u for f, (_, u) in updates.items()})
+    out = pd.DataFrame({c: rows[c].astype(str).values for c in key_cols})
+    out[ts_col] = rows[ts_col].values
+    out[counter_col] = vals
+    out["delta"] = deltas
+    return out, updates, evicted
+
+
 def counter_delta_stream(
     df: DataFrame,
     key_cols: list[str],
@@ -64,7 +121,7 @@ def counter_delta_stream(
         + f", {ts_col} timestamp, {counter_col} long, delta long"
     )
     state_schema = "flow_keys array<string>, last_counters array<long>, last_seen_us array<long>"
-    sep = "\x1f"
+    sep = _FLOW_SEP
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -80,40 +137,13 @@ def counter_delta_stream(
             prev_map, seen_map = {}, {}
         chunks = list(pdfs)
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        flow = rows[key_cols[0]].astype(str)
-        for c in key_cols[1:]:
-            flow = flow + sep + rows[c].astype(str)
-        rows = rows.assign(__flow=flow).sort_values(["__flow", ts_col])
-        if idle_timeout_ms and seen_map:
-            # evict BEFORE computing deltas: a flow idle past the timeout
-            # re-installed (reference idle_timeout=60 s) — its old counter
-            # must not seed the new delta.
-            batch_max_us = int(rows[ts_col].astype("int64").max() // 1000)
-            horizon = batch_max_us - idle_timeout_ms * 1000
-            for k_ in [k_ for k_, u in seen_map.items() if u < horizon]:
-                del prev_map[k_], seen_map[k_]
-        vals = rows[counter_col].to_numpy(dtype="int64")
-        prev = rows.groupby("__flow", sort=False)[counter_col].shift(1)
-        first_mask = prev.isna().to_numpy()
-        seed = rows["__flow"].map(prev_map).fillna(0).to_numpy(dtype="int64")
-        prev = prev.fillna(0).to_numpy(dtype="int64")
-        prev[first_mask] = seed[first_mask]  # carry state across batches
-        deltas = vals - prev
-        deltas = np.where(deltas < 0, vals, deltas)  # reset detection
-        # update per-flow state: last counter + last event-time seen
-        us = (rows[ts_col].astype("int64") // 1000).to_numpy()  # ns → µs
-        tail = rows.assign(__v=vals, __us=us).groupby("__flow", sort=False).tail(1)
-        prev_map.update(dict(zip(tail["__flow"], (int(v) for v in tail["__v"]))))
-        seen_map.update(dict(zip(tail["__flow"], (int(u) for u in tail["__us"]))))
+        out, _, _ = _delta_batch(
+            rows, key_cols, counter_col, ts_col, prev_map, seen_map,
+            idle_timeout_ms, sep,
+        )
         state.update(
             (list(prev_map.keys()), list(prev_map.values()), [seen_map[k_] for k_ in prev_map])
         )
-        out = pd.DataFrame(
-            {c: rows[c].astype(str).values for c in key_cols}
-        )
-        out[ts_col] = rows[ts_col].values
-        out[counter_col] = vals
-        out["delta"] = deltas
         yield out
 
     shard = F.pmod(F.xxhash64(*key_cols), F.lit(n_shards)).alias("__shard")
@@ -413,6 +443,95 @@ def alert_state_machine_tws(
         out_schema,
         "append",
         time_mode,
+    )
+
+
+def make_delta_processor(
+    key_cols: list[str] | None = None,
+    counter_col: str = "packet_count",
+    ts_col: str = "poll_ts",
+    idle_timeout_ms: int | None = None,
+):
+    """Build the StatefulProcessor behind :func:`counter_delta_tws`.
+    Exposed separately so tests can drive it WIRE-FREE against a fake
+    handle (the TWS protobuf protocol is absent in this sandbox), exactly
+    like :func:`make_alert_processor`."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    kc = key_cols or ["src"]
+
+    class _DeltaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # native MapState: one entry PER FLOW inside each shard's
+            # state — RocksDB stores and iterates entries individually,
+            # so per-flow updates/evictions don't rewrite the whole
+            # shard blob the way the sharded form's parallel arrays do.
+            self._flows = handle.getMapState(
+                "flows", "flow string", "last_counter long, last_seen_us long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            chunks = list(rows)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            prev_map: dict = {}
+            seen_map: dict = {}
+            if self._flows.exists():
+                for k_, v in self._flows.iterator():
+                    prev_map[k_[0]] = v[0]
+                    seen_map[k_[0]] = v[1]
+            out, updates, evicted = _delta_batch(
+                pdf, kc, counter_col, ts_col, prev_map, seen_map, idle_timeout_ms
+            )
+            for f in evicted:
+                self._flows.removeKey((f,))
+            for f, (v, u) in updates.items():
+                self._flows.updateValue((f,), (v, u))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return _DeltaProcessor()
+
+
+def counter_delta_tws(
+    df: DataFrame,
+    key_cols: list[str],
+    counter_col: str = "packet_count",
+    ts_col: str = "poll_ts",
+    idle_timeout_ms: int | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """:func:`counter_delta_stream` on Spark 4's ``transformWithState``
+    API — IDENTICAL semantics (same `_delta_batch` kernel, same shard
+    fan-in), different state layout: per-flow entries live in a native
+    ``MapState`` instead of parallel arrays serialized as one shard
+    tuple. RocksDB then stores each flow as its own key-value entry, so
+    a shard touching 3 of its 10k flows rewrites 3 entries (plus their
+    changelog records), not one 10k-wide blob — and the State Data
+    Source reads per-flow rows directly (`streaming/stateview.py`).
+
+    Requires the RocksDB provider + protobuf like
+    :func:`alert_state_machine_tws` (wire tests gate on it; the
+    processor itself is certified wire-free against a fake MapState
+    handle, and the kernel is the fully-tested `_delta_batch`)."""
+    out_schema = (
+        ", ".join(f"{c} string" for c in key_cols)
+        + f", {ts_col} timestamp, {counter_col} long, delta long"
+    )
+    shard = F.pmod(F.xxhash64(*key_cols), F.lit(n_shards)).alias("__shard")
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .transformWithStateInPandas(
+            make_delta_processor(key_cols, counter_col, ts_col, idle_timeout_ms),
+            out_schema,
+            "append",
+            "None",
+        )
     )
 
 

@@ -404,3 +404,118 @@ def test_weighted_exact_k_sample_matches_independent_reimpl(spark):
     for lang, *_ in got:
         by_lang[lang] = by_lang.get(lang, 0) + 1
     assert all(n == min(_WEK_K, len(per_lang[lg])) for lg, n in by_lang.items())
+
+
+class _FakeMapState:
+    def __init__(self):
+        self.m = {}
+
+    def exists(self):
+        return bool(self.m)
+
+    def iterator(self):
+        return iter(list(self.m.items()))
+
+    def containsKey(self, k):
+        return k in self.m
+
+    def getValue(self, k):
+        return self.m.get(k)
+
+    def updateValue(self, k, v):
+        self.m[k] = tuple(v)
+
+    def removeKey(self, k):
+        self.m.pop(k, None)
+
+    def clear(self):
+        self.m.clear()
+
+
+class _FakeMapHandle:
+    def __init__(self):
+        self.maps = {}
+
+    def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
+        return self.maps.setdefault(name, _FakeMapState())
+
+
+def test_delta_tws_processor_wire_free_matches_kernel():
+    """Drive the transformWithState counter-delta processor directly (no
+    Spark wire): cross-batch carry, reset detection, and event-time TTL
+    eviction — per-flow entries mutated individually in the MapState."""
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        make_delta_processor,
+    )
+
+    proc = make_delta_processor(["src"], "packet_count", "poll_ts",
+                                idle_timeout_ms=60_000)
+    h = _FakeMapHandle()
+    proc.init(h)
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["src", "poll_ts", "packet_count"])
+        out = list(proc.handleInputRows((7,), iter([pdf]), None))
+        return [
+            (r.src, int(r.packet_count), int(r.delta))
+            for o in out
+            for r in o.itertuples()
+        ]
+
+    mk = lambda s: T0 + dt.timedelta(seconds=s)
+    # batch 1: two flows, first sight -> delta = raw counter
+    assert sorted(batch([("a", mk(0), 100), ("b", mk(0), 50)])) == [
+        ("a", 100, 100),
+        ("b", 50, 50),
+    ]
+    us0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert h.maps["flows"].m == {("a",): (100, us0), ("b",): (50, us0)}
+    # batch 2: carry for a; b RESETS (40 < 50 -> delta = raw)
+    assert sorted(batch([("a", mk(3), 160), ("b", mk(3), 40)])) == [
+        ("a", 160, 60),
+        ("b", 40, 40),
+    ]
+    # keep 'a' warm at t=30 so the TTL horizon separates the flows
+    assert batch([("a", mk(30), 170)]) == [("a", 170, 10)]
+    # batch at t=70: horizon = 10 s -> 'b' (last seen t=3) evicted,
+    # 'a' (t=30) survives and seeds the delta from state
+    out3 = batch([("a", mk(70), 200)])
+    assert out3 == [("a", 200, 30)]
+    assert ("b",) not in h.maps["flows"].m  # TTL-evicted entry removed
+    assert ("a",) in h.maps["flows"].m
+    # b reappears -> fresh flow, delta = raw counter
+    assert batch([("b", mk(73), 75)]) == [("b", 75, 75)]
+
+
+@needs_tws_wire
+def test_counter_delta_tws_matches_sharded_machine(spark, replay_dir, rocksdb_state):
+    """Wire test (protobuf-gated): the MapState twin emits exactly the
+    sharded machine's deltas on a multi-batch replay."""
+    from dipa_collaborative_pulsar_idps_spark.streaming.state import (
+        counter_delta_stream,
+        counter_delta_tws,
+    )
+
+    rows = [
+        (f"10.0.0.{i % 5}", T0 + dt.timedelta(seconds=3 * j), 100 * (i % 5) + 10 * j)
+        for j in range(6)
+        for i in range(5)
+    ]
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        spark.createDataFrame(
+            rows[lo:hi], "src string, poll_ts timestamp, packet_count long"
+        ).coalesce(1).write.mode("append").parquet(replay_dir)
+    schema = "src string, poll_ts timestamp, packet_count long"
+    run_to_memory(
+        counter_delta_stream(replay_stream(spark, replay_dir, schema), ["src"]),
+        "cd_shard",
+    )
+    run_to_memory(
+        counter_delta_tws(replay_stream(spark, replay_dir, schema), ["src"]),
+        "cd_tws",
+    )
+    a = sorted(map(tuple, spark.table("cd_shard").collect()))
+    b = sorted(map(tuple, spark.table("cd_tws").collect()))
+    assert a and a == b
