@@ -326,6 +326,94 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     return media.mapInPandas(fn, out_schema)
 
 
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): integer luminance, nearest-resample
+    to 9×8, bit j = lum[r, c+1] > lum[r, c] row-major. Perceptual —
+    uniform brightness shifts and re-encodes leave it unchanged; visually
+    different images land far apart in Hamming distance. All-integer, so
+    bit-reproducible everywhere."""
+    lum = (
+        299 * img[..., 0].astype(np.int64)
+        + 587 * img[..., 1].astype(np.int64)
+        + 114 * img[..., 2].astype(np.int64)
+    ) // 1000
+    small = resize_nearest(lum[..., None], 9, 8)[..., 0]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    h = 0
+    for j, b in enumerate(bits):
+        if b:
+            h |= 1 << j
+    # wrap into signed-long range for a Spark bigint column
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def image_dhash(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """(media_id, dhash bigint) for the IMAGE rows of a media frame —
+    Arrow-batched mapInPandas over the real PPM/BMP decoders (PIL-gated
+    formats raise through the same honest gate as the feature kernels).
+    The perceptual-dedup front end: downstream joins/banding are plain
+    JVM relational ops over 8-byte hashes."""
+    out_schema = "media_id string, dhash long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "image"]
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [dhash64(decode_image(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(fn, out_schema)
+
+
+def phash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash → split into
+    *n_bands* 16-bit bands → band-bucket equi-join (the SimHash banding
+    trick: two hashes within Hamming ≤ n_bands−1 MUST agree on ≥1 whole
+    band by pigeonhole, so recall is exact for max_hamming ≤ n_bands−1)
+    → candidates verified with bit_count(a XOR b) ≤ max_hamming. Only
+    the Arrow decode touches pixels; banding, join, and verification are
+    JVM codegen over 8-byte hashes — the image twin of
+    `functions/dedup.simhash64`'s layout. Output: (id_a, id_b, hamming),
+    id_a < id_b."""
+    hashes = image_dhash(media)
+    band_idx = F.explode(
+        F.sequence(F.lit(0), F.lit(n_bands - 1))
+    ).alias("band")
+    width = 64 // n_bands
+    banded = hashes.select("media_id", "dhash", band_idx).withColumn(
+        "band_val",
+        F.expr(f"shiftright(dhash, band * {width}) & {(1 << width) - 1}"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(h_a ^ h_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def media_feature_pipeline(media: DataFrame, width: int, height: int) -> DataFrame:
     """Fused decode → resize → feature-extract in ONE Arrow pass.
 

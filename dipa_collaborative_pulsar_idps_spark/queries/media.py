@@ -73,3 +73,24 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frames_sampled"),
         F.round(F.avg(F.element_at("feature", 3)), 4).alias("avg_mean_r"),
     )
+
+
+@query("image_phash_clusters", survey="ext-multimodal,ext-dedup")
+def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup front end: 64-bit dHash per image (real
+    PPM decode + integer luminance + 9×8 resample, Arrow-batched) →
+    cluster by hash. The synthetic gradient corpus collapses into a few
+    texture classes (same slope, shifted phase — the CORRECT perceptual
+    statement; exact byte hashes would call them all distinct), making
+    cluster counts a built-in probe of the kernel. Linear output; the
+    pairwise near-dup form (`functions/multimodal.phash_near_dup_pairs`,
+    banded + Hamming-verified) is planted-truth-tested in pytest —
+    declaring it here would emit the degenerate corpus' quadratic
+    cliques. Rows-only: binary decode isn't SQL-expressible."""
+    from ..functions.multimodal import image_dhash
+
+    h = image_dhash(_corpus(spark, sf_dir))
+    return h.groupBy("dhash").agg(
+        F.count("*").alias("n_images"),
+        F.min("media_id").alias("canonical_id"),
+    )

@@ -831,3 +831,57 @@ def test_media_ops_degrade_on_corrupt_blobs(spark):
     for mid in fused:
         assert fused[mid].feature == composed[mid].feature, mid
         assert fused[mid].n_bytes == composed[mid].n_bytes, mid
+
+
+def test_phash_near_dup_pairs_planted_truth(spark):
+    """dHash perceptual dedup: an exact copy AND a uniformly brightened
+    re-render pair with the original at Hamming 0 (different payload
+    bytes, same perception — the point of pHash over content hashes); a
+    visually different image stays out; banding loses nothing at the
+    pigeonhole-guaranteed threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        dhash64,
+        encode_ppm,
+        image_dhash,
+        phash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 240, size=(24, 32, 3)).astype(np.uint8)
+    bright = (base + 6).clip(0, 255).astype(np.uint8)   # uniform shift, no wrap
+    other = rng.integers(0, 240, size=(24, 32, 3)).astype(np.uint8)
+    rows = [
+        ("orig", "image", encode_ppm(base), 32, 24, None),
+        ("copy", "image", encode_ppm(base), 32, 24, None),
+        ("bright", "image", encode_ppm(bright), 32, 24, None),
+        ("other", "image", encode_ppm(other), 32, 24, None),
+        ("aud", "audio", b"RIFF....", None, None, 250),  # non-image: ignored
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"],
+        )
+    )
+    hashes = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert set(hashes) == {"orig", "copy", "bright", "other"}
+    assert hashes["orig"] == hashes["copy"] == hashes["bright"]
+    assert hashes["orig"] != hashes["other"]
+    # kernel-level: python dhash64 agrees with the distributed column
+    assert hashes["orig"] == dhash64(base)
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert got == {
+        ("copy", "orig"): 0,
+        ("bright", "copy"): 0,
+        ("bright", "orig"): 0,
+    }
+    # 'other' differs far beyond the band guarantee
+    far = bin(hashes["orig"] ^ hashes["other"]).count("1")
+    assert far > 10
