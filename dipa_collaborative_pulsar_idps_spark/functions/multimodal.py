@@ -414,6 +414,38 @@ def phash_near_dup_pairs(
     )
 
 
+def audio_fingerprint(payload: bytes) -> int:
+    """Integer audio fingerprint: dominant-frequency estimate from the
+    zero-crossing rate of the decoded PCM — amplitude-invariant (a
+    re-levelled copy of the same tone fingerprints identically), purely
+    integer arithmetic. freq ≈ crossings·rate / (2·n), rounded down."""
+    rate, samples = decode_wav(payload)
+    s = samples.astype(np.int64)
+    crossings = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+    return crossings * rate // (2 * max(len(s) - 1, 1))
+
+
+def audio_fingerprints(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """(media_id, freq_hz bigint) for the AUDIO rows — the audio twin of
+    :func:`image_dhash`: one Arrow decode pass, then dedup/clustering is
+    plain JVM work over small integers."""
+    out_schema = "media_id string, freq_hz long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "audio"]
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "freq_hz": [audio_fingerprint(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(fn, out_schema)
+
+
 def media_feature_pipeline(media: DataFrame, width: int, height: int) -> DataFrame:
     """Fused decode → resize → feature-extract in ONE Arrow pass.
 

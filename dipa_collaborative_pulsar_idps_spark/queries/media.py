@@ -94,3 +94,19 @@ def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.min("media_id").alias("canonical_id"),
     )
+
+
+@query("audio_fingerprint_clusters", survey="ext-multimodal,ext-dedup")
+def audio_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup front end: integer zero-crossing frequency fingerprint
+    per clip (amplitude-invariant — a re-levelled copy of the same tone
+    collides, different tones separate; the corpus' 440+i Hz sines give
+    one cluster per distinct tone, a built-in kernel probe), clustered
+    by fingerprint. Rows-only: binary decode isn't SQL-expressible."""
+    from ..functions.multimodal import audio_fingerprints
+
+    f = audio_fingerprints(_corpus(spark, sf_dir))
+    return f.groupBy("freq_hz").agg(
+        F.count("*").alias("n_clips"),
+        F.min("media_id").alias("canonical_id"),
+    )

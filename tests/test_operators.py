@@ -885,3 +885,36 @@ def test_phash_near_dup_pairs_planted_truth(spark):
     # 'other' differs far beyond the band guarantee
     far = bin(hashes["orig"] ^ hashes["other"]).count("1")
     assert far > 10
+
+
+def test_audio_fingerprint_amplitude_invariant(spark):
+    """Same tone at different levels → identical fingerprint near the true
+    frequency; a different tone separates; non-audio rows ignored."""
+    import numpy as np
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        audio_fingerprints,
+        encode_wav_pcm16,
+    )
+
+    t = np.arange(0, 8000) / 16000.0
+
+    def tone(freq, amp):
+        return encode_wav_pcm16((np.sin(2 * np.pi * freq * t) * amp).astype(np.int16), 16000)
+
+    rows = [
+        ("loud", "audio", tone(440, 12000), None, None, 500),
+        ("quiet", "audio", tone(440, 900), None, None, 500),
+        ("high", "audio", tone(1000, 12000), None, None, 500),
+        ("img", "image", b"P6 junk", 8, 8, None),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"])
+    )
+    got = {r.media_id: r.freq_hz for r in audio_fingerprints(media).collect()}
+    assert set(got) == {"loud", "quiet", "high"}
+    assert got["loud"] == got["quiet"]
+    assert abs(got["loud"] - 440) <= 2
+    assert abs(got["high"] - 1000) <= 3
+    assert got["high"] != got["loud"]
