@@ -360,3 +360,45 @@ def test_tfidf_topk_ranks_planted_near_copy_first(spark):
     capped = tfidf_topk(docs, n_queries=1, k=3, max_df_frac=0.5).collect()
     ns = {r.neighbor_id for r in capped}
     assert 1 in ns and 2 not in ns
+
+
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    removed=st.sets(st.integers(min_value=0, max_value=39), max_size=10),
+    added=st.sets(st.integers(min_value=40, max_value=49), max_size=5),
+    changed=st.sets(st.integers(min_value=0, max_value=39), max_size=10),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_set_model(spark, n, removed, added, changed):
+    """snapshot_diff ≡ the obvious set model on arbitrary version pairs:
+    ids only in new → added; only in old → removed; in both with
+    different text → changed; else unchanged. Every id in either version
+    appears exactly once."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe8 import snapshot_diff
+
+    old_ids = set(range(n))
+    new_ids = (old_ids - removed) | added
+    old = spark.createDataFrame(
+        [(i, f"text {i}") for i in sorted(old_ids)] or [(None, None)],
+        "doc_id long, text string",
+    ).where("doc_id IS NOT NULL")
+    new = spark.createDataFrame(
+        [
+            (i, f"text {i} v2" if i in changed else f"text {i}")
+            for i in sorted(new_ids)
+        ]
+        or [(None, None)],
+        "doc_id long, text string",
+    ).where("doc_id IS NOT NULL")
+    got = {r.id: r.status for r in snapshot_diff(old, new).collect()}
+    want = {}
+    for i in old_ids | new_ids:
+        if i not in old_ids:
+            want[i] = "added"
+        elif i not in new_ids:
+            want[i] = "removed"
+        elif i in changed:
+            want[i] = "changed"
+        else:
+            want[i] = "unchanged"
+    assert got == want

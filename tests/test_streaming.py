@@ -1132,3 +1132,28 @@ def test_state_store_reader_inspects_checkpointed_state(spark, replay_dir, tmp_p
     }
     # last counter per flow = value at j=4: 100*(i%4) + 40
     assert flows == {f"10.0.0.{i}": 100 * i + 40 for i in range(4)}
+
+
+def test_chunk_documents_streams_statelessly(spark, replay_dir):
+    """The context-window chunker is pure map work, so it composes onto an
+    unbounded document stream with no state store or watermark — the
+    replayed stream's chunks equal the batch chunker's output exactly."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe8 import (
+        chunk_documents,
+    )
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(5 + (i * 7) % 60)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    write_replay_chunks(docs, replay_dir, n_chunks=4, order_col="doc_id")
+    stream = replay_stream(spark, replay_dir, "doc_id long, text string")
+    run_to_memory(chunk_documents(stream), "chunk_stream_out")
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in spark.table("chunk_stream_out").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(docs).collect()
+    }
+    assert got == want and len(want) > 40
