@@ -402,3 +402,46 @@ def test_incremental_lsh_finds_planted_dups_at_20k_docs(spark, planted_corpus):
     found = {(r["doc_a"], r["doc_b"]) for r in pairs}
     planted = {(i, i + N_DOCS) for i in range(N_PLANTED)}
     assert found == planted
+
+
+def test_phash_banding_finds_planted_dups_at_scale(spark):
+    """Perceptual dedup at 5k random images with 50 planted duplicates:
+    every planted pair surfaces at Hamming 0, and the sub-quadratic claim
+    holds — random 64-bit hashes collide in a 16-bit band at ~n²·4/2^16,
+    orders of magnitude under the 12.5M brute-force pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    n, n_dups = 5000, 50
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(i if i < n else i - n)  # dup = same seed
+                img = rng.integers(0, 256, size=(12, 16, 3)).astype(np.uint8)
+                from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+                    encode_ppm,
+                )
+                rows.append((f"m{i:05d}", "image", encode_ppm(img), 16, 12, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"],
+            )
+
+    ids = spark.range(n + n_dups).repartition(16)
+    media = ids.mapInPandas(
+        gen,
+        "media_id string, media_type string, payload binary, width int, height int, duration_ms int",
+    )
+    pairs = phash_near_dup_pairs(media, max_hamming=3).collect()
+    planted = {(f"m{i:05d}", f"m{i + n:05d}") for i in range(n_dups)}
+    zero = {(r.id_a, r.id_b) for r in pairs if r.hamming == 0}
+    assert planted <= zero, f"missing planted dups: {planted - zero}"
+    # random-hash background stays sparse: nowhere near quadratic
+    assert len(pairs) < 2000, len(pairs)
