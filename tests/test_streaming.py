@@ -1157,3 +1157,58 @@ def test_chunk_documents_streams_statelessly(spark, replay_dir):
         for r in chunk_documents(docs).collect()
     }
     assert got == want and len(want) > 40
+
+
+def test_streaming_prep_path_gate_dedup_chunk(spark, replay_dir):
+    """The full streaming prep path composed end-to-end: quality gate →
+    watermark-bounded exact dedup (streaming_curation) → context-window
+    chunking — one unbounded query, stateless stages around one bounded
+    dedup state. Output chunks equal the batch pipeline (gate → first-
+    occurrence dedup → chunk_documents) on the same data."""
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe8 import (
+        chunk_documents,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        streaming_curation,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(30):
+        text = " ".join(f"w{i % 10}t{j}" for j in range(25 + i % 7))
+        rows.append((base + dt.timedelta(minutes=i), i, "en" if i % 4 else "de", text))
+    # plant exact duplicates: doc 40/41 repeat doc 1/2's text inside the watermark
+    rows.append((base + dt.timedelta(minutes=31), 40, "en", rows[1][3]))
+    rows.append((base + dt.timedelta(minutes=32), 41, "en", rows[2][3]))
+    docs = spark.createDataFrame(
+        rows, "ingest_ts timestamp, doc_id long, lang string, text string"
+    )
+    write_replay_chunks(docs, replay_dir, n_chunks=3, order_col="doc_id")
+    stream = replay_stream(
+        spark, replay_dir,
+        "ingest_ts timestamp, doc_id long, lang string, text string",
+    )
+    curated = streaming_curation(stream, lang="en", min_tokens=20)
+    chunks = chunk_documents(curated, window=16, stride=12)
+    run_to_memory(chunks, "prep_stream_out")
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in spark.table("prep_stream_out").collect()
+    }
+
+    # batch twin: same gates, first-arrival dedup, same chunker
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    gated = docs.where((F.col("lang") == "en") & (F.size(toks) >= 20))
+    w = Window.partitionBy(F.md5("text")).orderBy("ingest_ts", "doc_id")
+    first = (
+        gated.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    )
+    want = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(first, window=16, stride=12).collect()
+    }
+    assert got == want and len(want) > 20
+    # the planted duplicates were suppressed by the stream dedup
+    assert not any(d in (40, 41) for d, _, _ in got)
