@@ -73,6 +73,16 @@ HEADLINE_V2_EXTRA = [
     "ann_topk_ivfpq_neighbors",
     "ccnet_perplexity_buckets",
     "duplicate_substring_spans",
+    # Round 8 SET CHANGE: the four most expensive r7-surface queries
+    # (TF-IDF retrieval, the end-to-end prep funnel, perceptual image
+    # dedup, incremental LSH probe) so round-over-round tracking covers
+    # the newest code. headline_v2 totals from r7 and earlier are NOT
+    # comparable to r8+ — the legacy HEADLINE total remains the stable
+    # cross-round series.
+    "tfidf_topk_similar_docs",
+    "pretraining_prep_funnel",
+    "image_phash_clusters",
+    "minhash_lsh_incremental_near_dups",
 ]
 
 #: A first run longer than this isn't repeated — its runtime is far above
@@ -256,6 +266,12 @@ def main() -> None:
     sentinel_spread = round(
         (max(sentinel_times) - min(sentinel_times)) / sentinel_median, 3
     ) if sentinel_median else 0.0
+
+    # Drop the warmup + sentinel build samples: they carry cold-JVM /
+    # extra-rep costs the timing medians exclude, so keeping them would
+    # compute build medians over a different sample set than the runtime
+    # medians for headline[0] and the sentinel query.
+    builds.clear()
 
     timings: dict[str, float] = {}
     for name in headline + others:

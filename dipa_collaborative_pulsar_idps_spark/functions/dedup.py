@@ -592,7 +592,14 @@ def trim_duplicate_spans(
     # explode + keyed aggregate + shuffle for a number the source row
     # already knows).
     return (
-        docs.select(F.col(id_col).alias("id"), F.size(toks).alias("n_tokens_before"))
+        # greatest(size, 0): size() is -1 (NULL under ANSI) for a null
+        # text column, but the old explode+count path returned 0 there.
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.greatest(F.coalesce(F.size(toks), F.lit(0)), F.lit(0)).alias(
+                "n_tokens_before"
+            ),
+        )
         .join(rebuilt, "id", "left")
         .select(
             "id",

@@ -381,7 +381,17 @@ def phash_near_dup_pairs(
     the Arrow decode touches pixels; banding, join, and verification are
     JVM codegen over 8-byte hashes — the image twin of
     `functions/dedup.simhash64`'s layout. Output: (id_a, id_b, hamming),
-    id_a < id_b."""
+    id_a < id_b. Raises if *max_hamming* exceeds the pigeonhole bound
+    n_bands−1: the Hamming verify filter would make the (silently lossy)
+    output look exact."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
+            f"guarantee of n_bands-1={n_bands - 1}; raise n_bands to at "
+            f"least max_hamming+1 (64 % n_bands must stay 0)"
+        )
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide 64")
     hashes = image_dhash(media)
     band_idx = F.explode(
         F.sequence(F.lit(0), F.lit(n_bands - 1))

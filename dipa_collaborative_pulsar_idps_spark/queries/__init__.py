@@ -9,7 +9,7 @@ def clear_all_caches() -> None:
     frames across sweeps. Safe on a stopped session (each per-module
     clear swallows unpersist errors) and when query modules were never
     imported (lazy imports)."""
-    from . import datapipe2, datapipe3, datapipe5, datapipe6, datapipe8
+    from . import datapipe2, datapipe3, datapipe5, datapipe6, datapipe8, media
 
     datapipe2.clear_shingle_cache()
     datapipe3.clear_corpus_cache()
@@ -17,6 +17,7 @@ def clear_all_caches() -> None:
     datapipe5.clear_gram_cache()
     datapipe6.clear_score_cache()
     datapipe8.clear_js_dist_cache()
+    media.clear_media_count_cache()
 
 
 __all__ = [

@@ -88,6 +88,17 @@ def minhash_lsh_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataF
     from ..functions.dedup import incremental_near_dup_pairs
     from .datapipe2 import _shingles
 
+    # Only the latest run's probe persists are live: drain the previous
+    # invocation's handles up front (bench sweeps call this up to 5×;
+    # without the drain, duplicate cached band/candidate frames pile up
+    # in executor memory). clear_lsh_index_cache() stays the backstop.
+    for _df in _PROBE_PERSISTS:
+        try:
+            _df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _PROBE_PERSISTS.clear()
+
     t = Tables(spark, sf_dir)
     sh = _shingles(spark, sf_dir)
     old_sh = sh.where(F.col("id") % 2 == 0)

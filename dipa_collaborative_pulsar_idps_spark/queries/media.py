@@ -17,11 +17,30 @@ from ..tables import Tables
 from .registry import query
 
 
+#: Memoized documents row count per (appId, sf_dir): three declared media
+#: queries each size the synthetic corpus from it, and without the memo
+#: every one paid a full documents scan just for the count (same lifecycle
+#: pattern as datapipe8._JS_DIST_CACHE; ints hold no executor memory, so
+#: clear_media_count_cache only resets the map).
+_DOC_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def clear_media_count_cache() -> None:
+    """Reset the memoized corpus-sizing counts (explicit lifecycle end)."""
+    _DOC_COUNT_CACHE.clear()
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media corpus scaled like the documents table (¼ of its rows) so the
     query grows with sf; payloads are real encoded PPM/WAV bytes rendered
     distributed (mapInPandas over spark.range — no driver blobs)."""
-    n_docs = Tables(spark, sf_dir).documents.count()
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    n_docs = _DOC_COUNT_CACHE.get(key)
+    if n_docs is None:
+        n_docs = Tables(spark, sf_dir).documents.count()
+        _DOC_COUNT_CACHE[key] = n_docs
     return synthetic_media(spark, max(60, n_docs // 4))
 
 

@@ -202,6 +202,17 @@ def delete_docs(
     dynamic overwrite (nothing is written for it), so fully-emptied dirs
     are removed through the Hadoop FS API afterwards — HDFS/S3A-correct.
 
+    The survivor set is MATERIALIZED (eager localCheckpoint) before the
+    overwrite: a lazy ``kept`` plan would re-read *path* during the very
+    overwrite job that is truncating it, and a crash or stage retry
+    mid-commit could then permanently lose surviving rows of touched
+    partitions (some Spark versions reject the self-read outright).
+    As with :func:`upsert_telemetry`, the commit itself is still the
+    non-atomic plain-parquet dynamic overwrite: a crash between
+    partition commits leaves some langs rewritten and others not —
+    re-running the same delete converges (Delta/Iceberg make this
+    transactional; the rewrite shape is identical).
+
     Returns the number of rows deleted."""
     ids_df = spark.createDataFrame(
         [(int(i),) for i in doc_ids], "doc_id long"
@@ -218,7 +229,11 @@ def delete_docs(
         return 0
     affected = corpus.where(F.col("lang").isin(touched))
     n_before = affected.count()
-    kept = affected.join(F.broadcast(ids_df), "doc_id", "left_anti")
+    # Eagerly cut the lineage back to the source path BEFORE overwriting
+    # that same path (see docstring: self-read-during-overwrite hazard).
+    kept = affected.join(F.broadcast(ids_df), "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     if n_tasks is None:
         from .plans.sizing import sized_partition_count
 

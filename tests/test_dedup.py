@@ -1065,6 +1065,23 @@ def test_trim_duplicate_spans_planted_truth(spark):
     assert out[4].text_trimmed == tiny and out[4].n_tokens_after == 3
 
 
+def test_trim_duplicate_spans_null_text_counts_zero(spark):
+    """A null text column must report n_tokens_before = 0 (the original
+    explode+count contract) — the map-side size() fast path returns -1
+    (NULL under ANSI) for null arrays, so it is coalesce/greatest-guarded."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        trim_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x0 x1 x2"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.id: r for r in trim_duplicate_spans(docs).collect()}
+    assert out[2].n_tokens_before == 0 and out[2].n_tokens_after == 0
+    assert out[2].text_trimmed == ""
+    assert out[1].n_tokens_before == 3
+
+
 def test_trim_duplicate_spans_idempotent_and_profile_clean(spark):
     """After one trim pass, re-profiling the trimmed corpus must report
     zero cross-document duplicated spans (the detect->remove loop

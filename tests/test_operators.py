@@ -887,6 +887,28 @@ def test_phash_near_dup_pairs_planted_truth(spark):
     assert far > 10
 
 
+def test_phash_near_dup_pairs_rejects_unsound_banding(spark):
+    """max_hamming beyond the pigeonhole bound (n_bands−1) would silently
+    lose recall behind an exact-looking Hamming verify — the combination
+    must raise, as must a band count that doesn't divide 64."""
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    media = spark.createDataFrame(
+        [], "media_id string, media_type string, payload binary, "
+        "width int, height int, duration_ms int"
+    )
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(media, max_hamming=4, n_bands=4)
+    with _pytest.raises(ValueError, match="divide 64"):
+        phash_near_dup_pairs(media, max_hamming=2, n_bands=3)
+    # the guaranteed regime still constructs
+    phash_near_dup_pairs(media, max_hamming=3, n_bands=4)
+
+
 def test_audio_fingerprint_amplitude_invariant(spark):
     """Same tone at different levels → identical fingerprint near the true
     frequency; a different tone separates; non-audio rows ignored."""
