@@ -2,9 +2,12 @@
 metadata struct (SURVEY.md §7 Phase 6).
 
 First-class, not plumbing-only:
-- REAL image decode for PPM (P6) and uncompressed 24-bit BMP in pure
-  numpy; JPEG/PNG route through PIL when importable (gated import — this
-  container ships without it, production swaps it in with no shape change).
+- REAL image decode for PPM (P6), uncompressed 24-bit BMP, and PNG
+  (8-bit non-interlaced, all 5 scanline filters, color types
+  0/2/3/4/6 — stdlib zlib + numpy, no PIL) plus a real PNG encoder
+  (min-SAD filter heuristic); JPEG and exotic PNG (16-bit, Adam7)
+  route through PIL when importable (gated import — this container
+  ships without it, production swaps it in with no shape change).
 - REAL audio decode for PCM16 WAV (RIFF parse → int16 samples).
 - REAL nearest-neighbor resize + PPM re-encode.
 - REAL features: channel means/stds + luminance histogram (images),
@@ -115,6 +118,20 @@ def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit BMP (bottom-up rows,
+    4-byte-padded, BGR) — the inverse of :func:`_decode_bmp`, used to mix
+    encodings in the synthetic corpus."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return file_hdr + info + data
+
+
 def _decode_bmp(payload: bytes) -> np.ndarray:
     # BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B), 24 bpp uncompressed,
     # rows bottom-up and padded to 4-byte boundaries, pixels stored BGR.
@@ -131,13 +148,179 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if flipped else img
 
 
+# --- PNG (pure stdlib-zlib + numpy; no PIL) --------------------------------
+#
+# PNG's only compression is stdlib `zlib` over filtered scanlines, so the
+# full 8-bit non-interlaced decode needs no external codec: signature →
+# chunk walk (IHDR/PLTE/tRNS-free IDAT/IEND) → inflate → per-scanline
+# de-filter (all 5 spec filters) → color-type assembly. Covers color types
+# 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); 16-bit and
+# Adam7 interlace stay behind the honest gate (rare in web corpora, and
+# PIL handles them when present).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(raw: np.ndarray, prev: np.ndarray, bpp: int) -> tuple[int, bytes]:
+    """Pick the spec's minimum-sum-of-absolute-differences filter for one
+    scanline (the reference heuristic) — returns (filter_type, filtered)."""
+    left = np.concatenate([np.zeros(bpp, np.int16), raw[:-bpp].astype(np.int16)])
+    up = prev.astype(np.int16)
+    ul = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp].astype(np.int16)])
+    r16 = raw.astype(np.int16)
+    cands = {
+        0: r16,
+        1: r16 - left,
+        2: r16 - up,
+        3: r16 - (left + up) // 2,
+        4: r16 - _paeth(left, up, ul),
+    }
+    best, best_sum = 0, None
+    for f, v in cands.items():
+        # spec heuristic: minimize the sum of filtered bytes interpreted
+        # as signed magnitudes
+        sb = (v % 256).astype(np.int16)
+        s = int(np.where(sb > 127, 256 - sb, sb).sum())
+        if best_sum is None or s < best_sum:
+            best, best_sum = f, s
+    return best, (cands[best] % 256).astype(np.uint8).tobytes()
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (8-bit truecolor, non-interlaced,
+    per-row min-SAD filter heuristic + stdlib zlib) — a real encoder, so
+    synthetic corpora can carry genuinely compressed payloads."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    prev = np.zeros(w * 3, np.uint8)
+    parts = []
+    for r in range(h):
+        raw = arr[r].reshape(-1)
+        f, filtered = _png_filter_row(raw, prev, 3)
+        parts.append(bytes([f]) + filtered)
+        prev = raw
+    idat = zlib.compress(b"".join(parts), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB, pure stdlib zlib + numpy.
+    8-bit non-interlaced color types 0/2/3/4/6; 16-bit depth and Adam7
+    route to the PIL gate via NotImplementedError."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    i, idat, plte = 8, bytearray(), None
+    w = h = depth = ctype = interlace = None
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth}/interlace={interlace}/color={ctype} needs PIL"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int16)
+    for r in range(h):
+        f, line = int(raw[r, 0]), raw[r, 1:].astype(np.int16)
+        if f == 0:
+            recon = line
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            recon = np.cumsum(line.reshape(w, ch).astype(np.int64), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            recon = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-dependent, serial in x
+            recon = np.zeros(stride, np.int16)
+            for px in range(w):
+                sl = slice(px * ch, (px + 1) * ch)
+                left = recon[px * ch - ch : px * ch] if px else np.zeros(ch, np.int16)
+                up = prev[sl]
+                if f == 3:
+                    recon[sl] = (line[sl] + (left + up) // 2) % 256
+                else:
+                    ul = prev[px * ch - ch : px * ch] if px else np.zeros(ch, np.int16)
+                    recon[sl] = (line[sl] + _paeth(left, up, ul)) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[r] = recon.astype(np.uint8)
+        prev = recon.astype(np.int16)
+    px = out.reshape(h, w, ch)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[..., :3])
+    if ctype == 0:
+        return np.repeat(px, 3, axis=-1)
+    if ctype == 4:
+        return np.repeat(px[..., :1], 3, axis=-1)
+    # ctype 3: palette lookup
+    if plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    return plte[px[..., 0]]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image bytes → (H, W, 3) uint8 RGB. PPM/BMP natively; JPEG/PNG via
-    PIL when available, else NotImplementedError (clearly-marked gap)."""
+    """Image bytes → (H, W, 3) uint8 RGB. PPM/BMP/PNG natively (PNG is
+    stdlib zlib + per-scanline de-filter — no PIL); JPEG (and exotic PNG:
+    16-bit, Adam7) via PIL when available, else NotImplementedError
+    (clearly-marked gap)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        try:
+            return _decode_png(payload)
+        except NotImplementedError:
+            if _PILImage is None:
+                raise
     if _PILImage is not None:  # pragma: no cover - PIL absent here
         import io
 
@@ -301,7 +484,7 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     """payload → fixed-dim feature vector via Arrow-batched mapInPandas.
 
     Output: (media_id, media_type, feature array<double>, n_bytes int).
-    Real decode for image (PPM/BMP, PIL-gated for JPEG/PNG) and audio
+    Real decode for image (PPM/BMP/PNG, PIL-gated for JPEG) and audio
     (PCM16 WAV); video uses the marked stub. Partitioning note: repartition
     upstream so each task holds O(batch_hint) blobs — binary columns
     dominate memory, not row count."""
@@ -349,7 +532,7 @@ def dhash64(img: np.ndarray) -> int:
 
 def image_dhash(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     """(media_id, dhash bigint) for the IMAGE rows of a media frame —
-    Arrow-batched mapInPandas over the real PPM/BMP decoders (PIL-gated
+    Arrow-batched mapInPandas over the real PPM/BMP/PNG decoders (PIL-gated
     formats raise through the same honest gate as the feature kernels).
     The perceptual-dedup front end: downstream joins/banding are plain
     JVM relational ops over 8-byte hashes."""
@@ -637,8 +820,9 @@ def media_stats(media: DataFrame) -> DataFrame:
 
 
 def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) -> DataFrame:
-    """n_items rows cycling image/audio/video. Images are 32×24 PPM
-    gradients parameterized by id; audio is a 440+id Hz, 0.25 s PCM16 sine;
+    """n_items rows cycling image/audio/video. Images are 32×24 gradients
+    parameterized by id, container-cycled PPM/BMP/PNG (three real codecs
+    over the same pixel family); audio is a 440+id Hz, 0.25 s PCM16 sine;
     videos are REAL 4-frame 16×12 PPM streams (a gradient translating one
     pixel per frame, so motion features are non-trivial) with duration
     metadata; every 5th video is an opaque blob to keep the
@@ -656,7 +840,12 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                         [(x * 8 + i) % 256, (y * 10 + 2 * i) % 256, np.full_like(x, i % 256)],
                         axis=-1,
                     ).astype(np.uint8)
-                    rows.append((f"m{i}", kind, encode_ppm(img), 32, 24, None))
+                    # cycle the container: PPM / BMP / PNG — same pixels,
+                    # three real codecs, so every declared media query
+                    # exercises the whole native decode surface (and
+                    # perceptual hashes must collapse across encodings)
+                    enc = (encode_ppm, encode_bmp, encode_png)[(i // 3) % 3]
+                    rows.append((f"m{i}", kind, enc(img), 32, 24, None))
                 elif kind == "audio":
                     t = np.arange(0, 4000) / 16000.0
                     wave = (np.sin(2 * np.pi * (440 + i) * t) * 12000).astype(np.int16)

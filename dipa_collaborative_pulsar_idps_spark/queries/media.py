@@ -97,7 +97,7 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("image_phash_clusters", survey="ext-multimodal,ext-dedup")
 def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup front end: 64-bit dHash per image (real
-    PPM decode + integer luminance + 9×8 resample, Arrow-batched) →
+    PPM/BMP/PNG decode + integer luminance + 9×8 resample, Arrow-batched) →
     cluster by hash. The synthetic gradient corpus collapses into a few
     texture classes (same slope, shifted phase — the CORRECT perceptual
     statement; exact byte hashes would call them all distinct), making

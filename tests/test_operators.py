@@ -146,10 +146,14 @@ def test_image_codecs_roundtrip_and_golden():
     assert decoded.shape == (2, 2, 3)
     assert all(tuple(decoded[r, c]) == v for (r, c), v in px.items())
 
-    # unsupported magic without PIL → clearly-marked gap
+    # unsupported magic without PIL → clearly-marked gap (JPEG; PNG now
+    # decodes natively, so a garbage PNG body is MALFORMED — ValueError —
+    # rather than a capability gap)
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 32)
+    with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
 
     # WAV round-trip
@@ -831,6 +835,161 @@ def test_media_ops_degrade_on_corrupt_blobs(spark):
     for mid in fused:
         assert fused[mid].feature == composed[mid].feature, mid
         assert fused[mid].n_bytes == composed[mid].n_bytes, mid
+
+
+def test_png_decode_golden_hand_filtered():
+    """Golden known-pixel PNG: scanline filters computed BY HAND from the
+    PNG spec (one row per filter type 0-4), zlib'd into a hand-assembled
+    chunk stream — decoding must reproduce the literal pixel array. This
+    certifies the de-filter math independently of our own encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        _png_chunk,
+        decode_image,
+    )
+
+    # 2×5 RGB image; per-row (filter, hand-filtered bytes):
+    # r0 None : raw (10,20,30)(40,50,60)
+    # r1 Up   : raw (15,25,35)(45,55,65)  → raw−above = (5,5,5)(5,5,5)
+    # r2 Sub  : raw (20,30,40)(30,40,50)  → px0 raw, px1−px0 = (10,10,10)
+    # r3 Avg  : raw (30,40,50)(50,60,70)  → −⌊(left+up)/2⌋ = (20,25,30)(20,20,20)
+    # r4 Paeth: raw (35,45,55)(60,70,80)  → predictor=up both → (5,5,5)(10,10,10)
+    scanlines = bytes(
+        [0, 10, 20, 30, 40, 50, 60]
+        + [2, 5, 5, 5, 5, 5, 5]
+        + [1, 20, 30, 40, 10, 10, 10]
+        + [3, 20, 25, 30, 20, 20, 20]
+        + [4, 5, 5, 5, 10, 10, 10]
+    )
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+    expected = np.array(
+        [
+            [(10, 20, 30), (40, 50, 60)],
+            [(15, 25, 35), (45, 55, 65)],
+            [(20, 30, 40), (30, 40, 50)],
+            [(30, 40, 50), (50, 60, 70)],
+            [(35, 45, 55), (60, 70, 80)],
+        ],
+        dtype=np.uint8,
+    )
+    assert (_decode_png(png) == expected).all()
+    assert (decode_image(png) == expected).all()
+
+
+def test_png_roundtrip_and_color_types():
+    """encode_png → decode_image is lossless for noise, gradients, and
+    flat fields (the min-SAD heuristic picks different filters per shape);
+    gray / gray+alpha / RGBA / paletted PNGs decode to the spec's RGB
+    projection; 16-bit depth and Adam7 interlace stay behind the honest
+    capability gate."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        _png_chunk,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    y, x = np.mgrid[0:24, 0:32]
+    for img in [
+        rng.integers(0, 256, (17, 23, 3)).astype(np.uint8),
+        np.stack([(x * 8) % 256, (y * 10) % 256, np.full_like(x, 9)], -1).astype(
+            np.uint8
+        ),
+        np.full((8, 8, 3), 77, np.uint8),
+        rng.integers(0, 256, (1, 1, 3)).astype(np.uint8),
+    ]:
+        assert (_decode_png(encode_png(img)) == img).all()
+
+    def manual(w, h, ctype, pix, plte=None):
+        raw = b"".join(b"\x00" + pix[r].tobytes() for r in range(h))
+        out = _PNG_SIG + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        )
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte.tobytes())
+        return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+    g = rng.integers(0, 256, (4, 5, 1)).astype(np.uint8)
+    assert (_decode_png(manual(5, 4, 0, g)) == np.repeat(g, 3, -1)).all()
+    ga = rng.integers(0, 256, (4, 5, 2)).astype(np.uint8)
+    assert (_decode_png(manual(5, 4, 4, ga)) == np.repeat(ga[..., :1], 3, -1)).all()
+    rgba = rng.integers(0, 256, (4, 5, 4)).astype(np.uint8)
+    assert (_decode_png(manual(5, 4, 6, rgba)) == rgba[..., :3]).all()
+    plte = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, (4, 5, 1)).astype(np.uint8)
+    assert (_decode_png(manual(5, 4, 3, idx, plte)) == plte[idx[..., 0]]).all()
+
+    # capability gates: 16-bit depth / Adam7 interlace
+    for depth, interlace in [(16, 0), (8, 1)]:
+        bad = _PNG_SIG + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+        )
+        with _pytest.raises(NotImplementedError):
+            _decode_png(bad + _png_chunk(b"IEND", b""))
+
+
+def test_bmp_roundtrip_including_row_padding():
+    """encode_bmp → _decode_bmp is lossless, including odd widths whose
+    rows need 4-byte padding."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        _decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7, 3), (24, 32, 3), (1, 1, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert (_decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_dhash_invariant_across_containers(spark):
+    """The same pixels encoded as PPM, BMP, and PNG must produce ONE
+    dhash (perceptual identity is about pixels, not bytes) — the property
+    the mixed-container synthetic corpus leans on."""
+    import numpy as np
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 240, (24, 32, 3)).astype(np.uint8)
+    rows = [
+        (f"enc_{name}", "image", enc(img), 32, 24, None)
+        for name, enc in [("ppm", encode_ppm), ("bmp", encode_bmp), ("png", encode_png)]
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"],
+        )
+    )
+    hashes = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert len(set(hashes.values())) == 1 and len(hashes) == 3
 
 
 def test_phash_near_dup_pairs_planted_truth(spark):
