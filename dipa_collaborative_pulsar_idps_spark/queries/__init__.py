@@ -17,6 +17,7 @@ def clear_all_caches() -> None:
     datapipe5.clear_gram_cache()
     datapipe6.clear_score_cache()
     datapipe8.clear_js_dist_cache()
+    datapipe8.clear_tfidf_index_cache()
     media.clear_media_count_cache()
 
 

@@ -427,10 +427,13 @@ def tfidf_topk(
     n_queries: int = _TFIDF_N_QUERIES,
     k: int = _TFIDF_TOPK,
     max_df_frac: float = 1.0,
+    query_ids: list[int] | None = None,
 ) -> DataFrame:
     """Operator form of :func:`tfidf_topk_similar_docs` over any document
     frame (see the declared query's docstring for the contract and scale
-    story). Queries are the docs with id < *n_queries*.
+    story). Queries are the docs with id < *n_queries*, or exactly
+    *query_ids* when given (the incremental probe's equivalence contract
+    needs an arbitrary query set).
 
     ``max_df_frac`` is the production skew dial: tokens with
     df > max_df_frac·N are dropped from the posting lists entirely (on
@@ -465,8 +468,13 @@ def tfidf_topk(
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     q, c = w.alias("q"), w.alias("c")
+    q_pred = (
+        F.col("q.doc_id").isin([int(i) for i in query_ids])
+        if query_ids is not None
+        else F.col("q.doc_id") < n_queries
+    )
     dots = (
-        q.where(F.col("q.doc_id") < n_queries)
+        q.where(q_pred)
         .join(
             c,
             (F.col("q.t") == F.col("c.t"))
@@ -494,6 +502,130 @@ def tfidf_topk(
         )
     )
     return scored.withColumn("rk", rk).where(F.col("rk") <= k)
+
+
+_TFIDF_INC_ORACLE = """
+WITH universe AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id < 100
+), tok AS (
+    SELECT doc_id, UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '')) AS t
+    FROM universe
+), tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+), stats AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+), dft AS (
+    SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+), w AS (
+    SELECT tf.doc_id, tf.t, tf.tf * LN(stats.n_docs * 1.0 / dft.df) AS w
+    FROM tf JOIN dft USING (t) CROSS JOIN stats
+    WHERE dft.df < stats.n_docs
+), nrm AS (
+    SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, SUM(q.w * c.w) AS dot
+    FROM w q JOIN w c ON q.t = c.t AND q.doc_id <> c.doc_id
+    WHERE q.doc_id % 2 = 1 AND q.doc_id < 100
+    GROUP BY q.doc_id, c.doc_id
+), scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+    FROM dots
+    JOIN nrm nq ON nq.doc_id = query_id
+    JOIN nrm nc ON nc.doc_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= 5
+"""
+
+#: Memoized in-session TF-IDF index over the even-doc_id half — the
+#: declared incremental query's stand-in for the PERSISTED inverted index
+#: (save_tfidf_index/load_tfidf_index is the disk form, exercised by the
+#: streaming sink tests). Same lifecycle contract as the other module
+#: caches: `clear_tfidf_index_cache()` owns the unpersist and is wired
+#: into queries.clear_all_caches.
+_TFIDF_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
+
+
+def clear_tfidf_index_cache() -> None:
+    """Unpersist every memoized TF-IDF index and the probe's handed-back
+    persists (explicit lifecycle end)."""
+    frames = [f for p, d, _n in _TFIDF_INDEX_CACHE.values() for f in (p, d)]
+    for frame in frames + _TFIDF_PROBE_PERSISTS:
+        try:
+            frame.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _TFIDF_INDEX_CACHE.clear()
+    _TFIDF_PROBE_PERSISTS.clear()
+
+
+def _even_half_tfidf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    import os
+
+    from ..functions.tfidf import build_tfidf_index_frames
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _TFIDF_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    even = Tables(spark, sf_dir).documents.where(F.col("doc_id") % 2 == 0)
+    postings, dfb, n_docs = build_tfidf_index_frames(even)
+    postings, dfb = postings.persist(), dfb.persist()
+    _TFIDF_INDEX_CACHE[key] = (postings, dfb, n_docs)
+    return postings, dfb, n_docs
+
+
+@query("tfidf_incremental_topk", survey="ext-sim,ext-text", oracle=_TFIDF_INC_ORACLE)
+def tfidf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest lexical retrieval: treat even doc_ids as the
+    already-indexed corpus and odd doc_ids < 100 as the newly crawled
+    batch; probe the persisted-index shapes (functions/tfidf.
+    tfidf_probe_topk — pruned posting buckets → candidate fetch → exact
+    rescoring under the incrementally-maintained global df/N) instead of
+    re-deriving postings for the whole corpus. EXACT by construction
+    (every nonzero-dot neighbor shares a token with the query), so unlike
+    the ANN `_neighbors` family this probe carries a full value-hash
+    oracle: the result equals the batch operator over (corpus ∪ batch)
+    restricted to the batch's query ids. The streaming twin
+    (`streaming.pipelines.incremental_tfidf_sink`) runs the identical
+    probe per micro-batch against the on-disk index with exactly-once
+    batch-stamped commits.
+
+    Reference analogue: the per-flow update-topic probe/publish loop
+    (ryu/testing/global_view_and_timing/TestCase_6/timeStamp.py:305)."""
+    from ..functions.tfidf import tfidf_probe_topk
+
+    # drain the previous invocation's probe persists up front (same
+    # owned-lifecycle pattern as minhash_lsh_incremental_near_dups)
+    for _df in _TFIDF_PROBE_PERSISTS:
+        try:
+            _df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _TFIDF_PROBE_PERSISTS.clear()
+
+    docs = Tables(spark, sf_dir).documents
+    postings, dfb, n_old = _even_half_tfidf_index(spark, sf_dir)
+    new = docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 100))
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    return tfidf_probe_topk(
+        new, old, postings, dfb, n_old, k=5, persisted_out=_TFIDF_PROBE_PERSISTS
+    )
+
+
+#: Probe persists handed back by tfidf_probe_topk on behalf of the
+#: declared query — drained per invocation, cleared with the index cache.
+_TFIDF_PROBE_PERSISTS: list[DataFrame] = []
 
 
 #: Memoized per-source unigram distribution (tot, p) — p feeds BOTH sides

@@ -608,6 +608,136 @@ def incremental_dedup_sink(
     return fn
 
 
+def incremental_tfidf_sink(
+    *,
+    index_path: str,
+    corpus_path: str,
+    results_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_buckets: int = 64,
+    max_df_frac: float = 1.0,
+):
+    """foreachBatch body for STREAMING lexical retrieval — the sparse twin
+    of `incremental_dedup_sink`: each micro-batch of new documents is
+    probed against the persisted TF-IDF inverted index ("more like this"
+    over everything ingested so far, O(batch + touched posting buckets),
+    never O(corpus)), its top-k neighbor rows are written to
+    ``results_path``, and only then is the batch indexed and added to the
+    corpus store. Probe scores use the CURRENT global (df, N) maintained
+    incrementally in the index's df/stats tables, so every batch's output
+    equals the batch operator `tfidf_topk` run over the corpus-so-far —
+    the equivalence the pytest contract pins.
+
+    Delivery contract — exactly-once, same mechanics as the dedup loop:
+    every write is batch-stamped and dynamic-overwrites only that batch's
+    partitions; the batch marker (written last) short-circuits replays of
+    fully-committed batches; replay-filters exclude the crashing batch's
+    own half-committed partitions from the index, df, stats, and corpus
+    reads. Existence checks go through the Hadoop FileSystem API.
+
+    Reference analogue: the per-flow update-topic publication loop
+    (ryu/testing/global_view_and_timing/TestCase_6/timeStamp.py:305)."""
+    from ..functions.dedup import _write_batch_partitions
+    from ..functions.tfidf import (
+        append_to_tfidf_index,
+        load_tfidf_index,
+        save_tfidf_index,
+        tfidf_probe_topk,
+    )
+
+    def _fs(spark, path: str):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fs, jvm = _fs(spark, index_path)
+        marker = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_batches/{batch_id}")
+        if fs.exists(marker):
+            return  # completed batch replayed after restart — no-op
+        batch = batch.persist()
+        batch_persists: list = []
+        try:
+            has_index = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta"))
+            if has_index:
+                postings, df_b, stats, meta = load_tfidf_index(spark, index_path)
+                # exclude THIS batch's own partitions everywhere: a
+                # mid-commit crash replay must not see the half-committed
+                # batch on the corpus side (partition-pruned filters)
+                postings = postings.where(F.col("ingest_batch") != batch_id)
+                df_b = df_b.where(F.col("ingest_batch") != batch_id)
+                stats = stats.where(F.col("ingest_batch") != batch_id)
+                n_old = (stats.agg(F.sum("n_docs")).collect()[0][0]) or 0  # bounded-collect: one scalar
+                corpus_fs, _ = _fs(spark, corpus_path)
+                if corpus_fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_path)):
+                    old = spark.read.parquet(corpus_path).where(
+                        F.col("ingest_batch") != batch_id
+                    )
+                else:
+                    old = spark.createDataFrame([], batch.schema)
+                results = tfidf_probe_topk(
+                    batch,
+                    old,
+                    postings,
+                    df_b,
+                    n_old,
+                    k=k,
+                    id_col=id_col,
+                    text_col=text_col,
+                    n_buckets=meta["n_buckets"],
+                    max_df_frac=max_df_frac,
+                    persisted_out=batch_persists,
+                )
+            else:
+                # bootstrap: no corpus yet — within-batch retrieval only
+                # (empty old side; df/N come entirely from the batch)
+                empty_postings = spark.createDataFrame(
+                    [], "doc_id long, t string, tf long, tb int, ingest_batch int"
+                )
+                empty_df = spark.createDataFrame(
+                    [], "t string, df long, ingest_batch int"
+                )
+                results = tfidf_probe_topk(
+                    batch,
+                    spark.createDataFrame([], batch.schema),
+                    empty_postings,
+                    empty_df,
+                    0,
+                    k=k,
+                    id_col=id_col,
+                    text_col=text_col,
+                    n_buckets=n_buckets,
+                    max_df_frac=max_df_frac,
+                    persisted_out=batch_persists,
+                )
+            _write_batch_partitions(results, results_path, batch_id)
+            if has_index:
+                append_to_tfidf_index(batch, index_path, batch_id, id_col, text_col)
+            else:
+                save_tfidf_index(
+                    batch,
+                    index_path,
+                    id_col,
+                    text_col,
+                    n_buckets=n_buckets,
+                    ingest_batch=batch_id,
+                )
+            _write_batch_partitions(batch, corpus_path, batch_id)
+            fs.mkdirs(marker)
+        finally:
+            batch.unpersist()
+            for h in batch_persists:
+                try:
+                    h.unpersist()
+                except Exception:  # session tearing down — nothing to release
+                    pass
+
+    return fn
+
+
 def streaming_quality_gate(docs: DataFrame, min_score: float = 0.0) -> DataFrame:
     """Model-based quality filter for an unbounded document stream: keep
     docs whose hashed-linear classifier score clears *min_score*. Pure

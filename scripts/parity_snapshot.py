@@ -50,6 +50,76 @@ ANN_RECALL_FLOORS = {
     "ann_topk_ivfpq_neighbors": 0.15,
 }
 
+#: Clustered-fixture recall floors — the MEANINGFUL quality numbers (same
+#: deterministic 20×10 seeded-centroid corpus and method configs as the
+#: pytest contracts in tests/test_dedup.py), recorded beside the
+#: regression-floor corpus numbers so the artifact carries both.
+CLUSTERED_RECALL_FLOORS = {
+    "ann_topk_lsh_neighbors": 0.8,
+    "ann_topk_ivf_neighbors": 0.85,
+    "ann_topk_pq_neighbors": 0.65,
+    "ann_topk_ivfpq_neighbors": 0.6,
+}
+
+
+def clustered_ann_recalls(spark) -> dict[str, float]:
+    """recall@5 of each production ANN method on the deterministic
+    clustered fixture (20 clusters × 10 members, seed 11 — identical to
+    tests/test_dedup.py::clustered_vectors), exactly the configurations
+    the pytest contracts pin. Isotropic-corpus recall (above) is a
+    regression floor; THIS is the quality measurement."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        build_ivf_index,
+        ivf_search,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_search,
+        pq_encode,
+        pq_search_adc,
+        train_pq,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+        ann_topk_lsh,
+        cosine_scores,
+        recall_at_k,
+        topk,
+    )
+
+    rng = random.Random(11)
+    rows, vid = [], 0
+    for _ in range(20):
+        c = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(10):
+            rows.append((vid, [x + rng.gauss(0, 0.15) for x in c]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "e"])
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = topk(cosine_scores(corpus, queries), 5)
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=16)
+    cb = train_pq(corpus, dim=64, m=8, ksub=32)
+    return {
+        "ann_topk_lsh_neighbors": recall_at_k(
+            ann_topk_lsh(corpus, queries, dim=64, k=5, n_planes=8, probe_radius=2),
+            exact,
+            5,
+        ),
+        "ann_topk_ivf_neighbors": recall_at_k(
+            ivf_search(assigned, centroids, queries, k=5, n_probe=4), exact, 5
+        ),
+        "ann_topk_pq_neighbors": recall_at_k(
+            pq_search_adc(pq_encode(corpus, cb), cb, queries, k=5), exact, 5
+        ),
+        "ann_topk_ivfpq_neighbors": recall_at_k(
+            ivfpq_search(assigned, centroids, cb, queries, k=5, n_probe=4), exact, 5
+        ),
+    }
+
 
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "0"
@@ -125,6 +195,28 @@ def main() -> int:
             n_fail += 1
         print(f"{name} recall@5={out[name].get('recall_at_5')} "
               f"floor={floor}", flush=True)
+
+    # Clustered-fixture recall (round 8): the artifact's corpus recall is a
+    # regression floor on isotropic testdata embeddings; record the
+    # QUALITY number from the deterministic clustered fixture beside it.
+    try:
+        clustered = clustered_ann_recalls(spark)
+        for name, r in sorted(clustered.items()):
+            if name not in out:
+                continue
+            floor = CLUSTERED_RECALL_FLOORS[name]
+            out[name]["recall_clustered"] = round(r, 4)
+            out[name]["recall_clustered_floor"] = floor
+            if r < floor and out[name]["status"] != "FAIL":
+                out[name]["status"] = "FAIL"
+                n_ok -= 1
+                n_fail += 1
+            print(f"{name} recall_clustered={round(r, 4)} floor={floor}",
+                  flush=True)
+    except Exception as e:  # noqa: BLE001 - gate reports, not raises
+        out["__clustered_recall__"] = {"status": "FAIL", "detail": f"EXCEPTION: {e}"}
+        n_fail += 1
+
     artifact = {
         "round": rnd,
         "sf_dir": sf_dir,

@@ -950,6 +950,127 @@ def test_streaming_incremental_dedup_reports_each_pair_once(spark, tmp_path):
     assert spark.read.parquet(paths["pairs"]).count() == len(want)
 
 
+def test_streaming_incremental_tfidf_matches_batch_operator(spark, tmp_path):
+    """Streaming lexical retrieval (the sparse twin of the incremental
+    dedup loop): replay a corpus in 3 micro-batches through
+    incremental_tfidf_sink; EVERY batch's persisted results must equal the
+    batch operator tfidf_topk run over the corpus-so-far with that batch
+    as the query set (probe-then-verify over the persisted inverted index
+    is exact, not approximate), a planted near-copy must retrieve its
+    earlier twin at rank 1, and a full re-run of the same stream (fresh
+    checkpoint, same index) must add nothing."""
+    import random as _random
+
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe8 import tfidf_topk
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        incremental_tfidf_sink,
+    )
+    from dipa_collaborative_pulsar_idps_spark.streaming.replay import (
+        replay_stream,
+        write_replay_chunks,
+    )
+
+    rng = _random.Random(23)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30))))
+        for i in range(45)
+    ]
+    # planted: doc 40 (batch 3) is a near-copy of doc 2 (batch 1)
+    rows[40] = (40, rows[2][1] + " zzz")
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    replay_dir = str(tmp_path / "replay")
+    write_replay_chunks(docs, replay_dir, n_chunks=3, order_col="doc_id")
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus", "results")}
+    fn = incremental_tfidf_sink(
+        index_path=paths["idx"],
+        corpus_path=paths["corpus"],
+        results_path=paths["results"],
+        k=5,
+    )
+
+    def run(ckpt: str) -> None:
+        q = (
+            replay_stream(spark, replay_dir, "doc_id long, text string")
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    corpus = spark.read.parquet(paths["corpus"])
+    results = spark.read.parquet(paths["results"])
+    batch_ids = sorted(r.ingest_batch for r in corpus.select("ingest_batch").distinct().collect())
+    assert len(batch_ids) == 3
+    for b in batch_ids:
+        prefix = corpus.where(F.col("ingest_batch") <= b).select("doc_id", "text")
+        qids = [r.doc_id for r in corpus.where(F.col("ingest_batch") == b).collect()]
+        want = sorted(
+            (r.query_id, r.neighbor_id, r.cosine, r.rk)
+            for r in tfidf_topk(prefix, query_ids=qids, k=5).collect()
+        )
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.cosine, r.rk)
+            for r in results.where(F.col("ingest_batch") == b).collect()
+        )
+        assert got == want and got, f"batch {b}"
+    # planted near-copy: doc 40 retrieves doc 2 first, with high cosine
+    top = results.where((F.col("query_id") == 40) & (F.col("rk") == 1)).collect()
+    assert len(top) == 1 and top[0].neighbor_id == 2 and top[0].cosine > 0.9
+
+    n_before = results.count()
+    run("ckpt2")  # markers short-circuit: replaying the stream adds nothing
+    assert spark.read.parquet(paths["results"]).count() == n_before
+
+
+def test_streaming_incremental_tfidf_mid_commit_replay_is_idempotent(spark, tmp_path):
+    """Crash INSIDE the TF-IDF commit sequence: after a fully-processed
+    batch, delete its marker (crash after the data writes, before the
+    marker) and re-run the same batch — results, postings, df, stats, and
+    corpus rows must be count-identical (dynamic partition overwrite
+    rewrites the batch's own partitions, never appends)."""
+    import shutil
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        incremental_tfidf_sink,
+    )
+
+    rows = [(i, f"alpha{i % 7} beta{i % 5} gamma{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    half_a = docs.where("doc_id < 15")
+    half_b = docs.where("doc_id >= 15")
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus", "results")}
+    fn = incremental_tfidf_sink(
+        index_path=paths["idx"],
+        corpus_path=paths["corpus"],
+        results_path=paths["results"],
+        k=3,
+    )
+    fn(half_a, 0)
+    fn(half_b, 1)
+
+    def counts():
+        return {
+            p: spark.read.parquet(path).count()
+            for p, path in [
+                ("results", paths["results"]),
+                ("postings", paths["idx"] + "/postings"),
+                ("df", paths["idx"] + "/df"),
+                ("stats", paths["idx"] + "/stats"),
+                ("corpus", paths["corpus"]),
+            ]
+        }
+
+    before = counts()
+    assert before["corpus"] == 30 and before["stats"] == 2
+    shutil.rmtree(f"{paths['idx']}/_batches/1")
+    fn(half_b, 1)
+    assert counts() == before
+
+
 def test_streaming_incremental_dedup_mid_commit_replay_is_idempotent(spark, tmp_path):
     """Crash INSIDE the commit sequence: after a fully-processed batch,
     delete its marker (simulating a crash after the data writes but before
