@@ -194,27 +194,29 @@ def tfidf_probe_topk(
     new_tf = _tokens(new_docs, id_col, text_col).persist()
     if persisted_out is not None:
         persisted_out.append(new_tf)
-    # global document frequencies and N = stored batches + this batch
+    # global document frequencies = stored per-batch increments + this
+    # batch, in ONE keyed aggregate (the per-(t, batch) rows are already
+    # partial counts, so pre-aggregating the stored side first would just
+    # add a shuffle)
     df_all = (
-        df_batches.groupBy("t")
-        .agg(F.sum("df").alias("df"))
+        df_batches.select("t", "df")
         .unionByName(new_tf.groupBy("t").agg(F.count("*").alias("df")))
         .groupBy("t")
         .agg(F.sum("df").alias("df"))
     )
-    n_new = new_tf.select("doc_id").distinct().count()
-    n_total = int(n_old) + int(n_new)
+    # one driver job yields both probe scalars: batch doc count (for N)
+    # and the token-bucket set (≤ n_buckets ints, drives partition pruning)
+    probe_stats = new_tf.agg(
+        F.countDistinct("doc_id").alias("n_new"),
+        F.collect_set(
+            F.pmod(F.xxhash64("t"), F.lit(n_buckets)).cast("int")
+        ).alias("buckets"),
+    ).collect()[0]  # bounded-collect: one row, ≤ n_buckets + 1 values
+    n_total = int(n_old) + int(probe_stats["n_new"])
+    buckets = list(probe_stats["buckets"])
 
     # 1. candidate generation over pruned posting buckets
     qtok = new_tf.select("t").distinct()
-    buckets = [
-        r.tb
-        for r in qtok.select(
-            F.pmod(F.xxhash64("t"), F.lit(n_buckets)).cast("int").alias("tb")
-        )
-        .distinct()
-        .collect()  # bounded-collect: ≤ n_buckets ints, drives partition pruning
-    ]
     cand_ids = (
         postings.where(F.col("tb").isin(buckets))
         .join(F.broadcast(qtok), "t", "semi")
@@ -241,7 +243,12 @@ def tfidf_probe_topk(
             "t",
             (F.col("tf") * F.log(F.lit(float(n_total)) / F.col("df"))).alias("w"),
         )
+        # three consumers below (norms + both join sides) — without the
+        # persist each re-runs the candidate fetch + tokenize + df join
+        .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(w)
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     new_ids = new_tf.select("doc_id").distinct()
     q = w.join(F.broadcast(new_ids), "doc_id", "semi").alias("q")
@@ -275,6 +282,8 @@ def tfidf_probe_topk(
     out = scored.withColumn("rk", rk).where(F.col("rk") <= k)
     if persisted_out is None:
         # no owner offered: the eager counts above already used the cache;
-        # release it now (the lazy result re-derives new_tf if re-run)
+        # release the handles now (the lazy result re-derives them if
+        # re-run — callers wanting the fast path pass persisted_out)
         new_tf.unpersist()
+        w.unpersist()
     return out

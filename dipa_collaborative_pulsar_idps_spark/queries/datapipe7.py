@@ -12,6 +12,43 @@ from pyspark.sql.window import Window
 from ..tables import Tables
 from .registry import query
 
+#: Memoized (node, component) MinHash-LSH cluster labels over the document
+#: corpus — `near_dup_keep_best_quality`'s clustering (same rationale and
+#: lifecycle as datapipe4's embedding-component cache: the labels frame is
+#: executor-materialized by connected_components' final localCheckpoint,
+#: the cache holds the reference, `clear_doc_component_cache()` — wired
+#: into queries.clear_all_caches — drops it and blocks free on GC).
+_DOC_COMPONENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_doc_component_cache() -> None:
+    """Drop memoized document cluster-label frames (lifecycle end)."""
+    _DOC_COMPONENT_CACHE.clear()
+
+
+def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..functions.dedup import minhash_near_dup_pairs
+    from ..operators.components import connected_components
+    from .datapipe2 import _shingles
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _DOC_COMPONENT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = Tables(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        t.documents, threshold=0.8, shingled=_shingles(spark, sf_dir)
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        nodes=t.documents.select("doc_id"),
+    )
+    _DOC_COMPONENT_CACHE[key] = comp
+    return comp
+
+
 _SAMPLE_K = 20
 
 
@@ -798,20 +835,13 @@ def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB order of operations: cluster sizes gate FIRST (clusters ≥ 2 are
     a tiny fraction of the corpus), the multi-member set broadcasts into a
     semi-join, and only those docs are scored — the classifier never runs
-    over the full corpus here."""
+    over the full corpus here. The labels frame is memoized per
+    (appId, sf_dir) like the embedding clustering in datapipe4 —
+    production materializes cluster labels once."""
     from ..functions.classifier import hashed_linear_score
-    from ..functions.dedup import minhash_near_dup_pairs
-    from ..operators.components import connected_components
-    from .datapipe2 import _shingles
 
     t = Tables(spark, sf_dir)
-    pairs = minhash_near_dup_pairs(
-        t.documents, threshold=0.8, shingled=_shingles(spark, sf_dir)
-    )
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-        nodes=t.documents.select("doc_id"),
-    )
+    comp = _doc_components(spark, sf_dir)
     sizes = (
         comp.groupBy("component")
         .agg(F.count("*").alias("cluster_size"))
