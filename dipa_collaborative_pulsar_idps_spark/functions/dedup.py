@@ -84,13 +84,17 @@ def minhash_signatures(
     withh = shingled.withColumn(
         "h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_PRIME)))
-            )
+    # one parsed SQL string instead of num_perm composed Column trees:
+    # identical expressions (bit-equality pinned in tests), but ~1 Py4J
+    # call instead of ~8·num_perm — the same driver-build fix as the
+    # simhash 64-vote aggregate (measured 2.33→0.78 s there)
+    sig = F.expr(
+        "array("
+        + ",".join(
+            f"array_min(transform(h, x -> pmod({a}L * x + {b}L, {_PRIME}L)))"
             for (a, b) in perms
-        ]
+        )
+        + ")"
     )
     return withh.select("id", sig.alias("sig"))
 

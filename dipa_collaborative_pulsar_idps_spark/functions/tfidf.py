@@ -217,19 +217,16 @@ def tfidf_probe_topk(
 
     # 1. candidate generation over pruned posting buckets
     qtok = new_tf.select("t").distinct()
+    # no .distinct() on the candidate ids: the semi-join below already
+    # dedupes, and the aggregate would cost one more exchange
     cand_ids = (
         postings.where(F.col("tb").isin(buckets))
         .join(F.broadcast(qtok), "t", "semi")
-        .select("doc_id")
-        .distinct()
+        .select(F.col("doc_id").alias(id_col))
     )
     # 2. fetch + re-tokenize just the candidates
     cand_tf = _tokens(
-        old_docs.join(
-            cand_ids.withColumnRenamed("doc_id", id_col), id_col, "semi"
-        ),
-        id_col,
-        text_col,
+        old_docs.join(cand_ids, id_col, "semi"), id_col, text_col
     )
     # 3. exact tfidf cosine under GLOBAL (df, N) — same math/rounding as
     # tfidf_topk, with df supplied instead of re-derived

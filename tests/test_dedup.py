@@ -1065,6 +1065,39 @@ def test_trim_duplicate_spans_planted_truth(spark):
     assert out[4].text_trimmed == tiny and out[4].n_tokens_after == 3
 
 
+def test_minhash_signature_expr_form_bit_equals_column_form(spark):
+    """minhash_signatures builds its per-permutation mins as ONE parsed
+    SQL string (Py4J build-cost fix); the signatures must stay bit-equal
+    to the composed-Column formulation it replaced."""
+    from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
+        _PRIME,
+        _permutations,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i % 7} alpha beta gamma delta") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    sh = shingle_sets(docs)
+    got = {r.id: list(r.sig) for r in minhash_signatures(sh, 16).collect()}
+    perms = _permutations(16, 42)
+    withh = sh.where(F.size("shingles") > 0).withColumn(
+        "h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_PRIME)))
+            )
+            for (a, b) in perms
+        ]
+    )
+    want = {r.id: list(r.sig) for r in withh.select("id", sig.alias("sig")).collect()}
+    assert got == want and got
+
+
 def test_trim_duplicate_spans_null_text_counts_zero(spark):
     """A null text column must report n_tokens_before = 0 (the original
     explode+count contract) — the map-side size() fast path returns -1
