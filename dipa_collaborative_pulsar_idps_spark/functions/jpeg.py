@@ -1,0 +1,463 @@
+"""Pure-numpy baseline JPEG codec — no PIL, no external libs.
+
+Closes the last gated image format: baseline sequential DCT JPEG
+(SOF0, Huffman entropy coding, 8-bit, grayscale or YCbCr with any
+h/v chroma subsampling, restart markers) decodes natively; progressive
+(SOF2), arithmetic coding, and 12-bit stay behind the honest
+NotImplementedError gate (PIL handles them when present).
+
+Pieces (ITU-T T.81 baseline):
+- segment walk: DQT / SOF0 / DHT / DRI / SOS, APPn+COM skipped;
+- canonical Huffman decode over the byte-stuffed entropy stream
+  (0xFF00 unstuffing, RSTn resets DC predictors + bit alignment);
+- per-block: DC diff (size category + EXTEND sign rule) and AC
+  (run/size, EOB, ZRL) in zigzag order → dequantize → 8×8 IDCT as two
+  matrix products against the orthonormal DCT-II basis;
+- MCU raster: each component contributes h×v blocks per MCU; chroma
+  nearest-upsampled to full resolution; BT.601 YCbCr→RGB.
+
+The encoder (baseline 4:4:4, Annex-K quantization + Huffman tables,
+quality-scaled) exists so synthetic corpora and tests can generate real
+compressed payloads in-sandbox; decode correctness is certified by an
+analytic DC-only golden (a solid-color block's bitstream is hand-
+derivable) plus round-trip PSNR bounds — see tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag index order: zigzag[k] = (row, col) of the k-th coefficient
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8x8 DCT-II basis: C[u, x] = a(u) cos((2x+1)uπ/16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+# Annex K.1/K.2 example quantization tables (luma, chroma)
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], huffval)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: {(length, code) → symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: {symbol → (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first reader over the byte-stuffed entropy segment."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None  # pending RST/EOI marker
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) | 0  # pad past end
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:  # stuffed 0xFF data byte
+                    self.pos += 2
+                else:  # real marker: stop consuming
+                    self.marker = nxt
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.bitbuf >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Consume a pending RSTn marker and realign."""
+        if self.marker is None:
+            # marker not yet reached: drop residual bits, scan for it
+            self.bitbuf, self.nbits = 0, 0
+            while self.pos + 1 < len(self.data):
+                if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                    break
+                self.pos += 1
+        else:
+            self.bitbuf, self.nbits = 0, 0
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            self.pos += 2
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    """ITU T.81 EXTEND: map *size*-bit magnitude to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W, 3) uint8 RGB (grayscale replicated)."""
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", payload, i + 2)[0]
+        seg = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables need PIL")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, j + 1).astype(np.int64)
+                j += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG needs PIL")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + c * 3], seg[7 + c * 3], seg[8 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("progressive/extended JPEG needs PIL")
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + c * 2], seg[2 + c * 2]
+                comp = next(x for x in frame["comps"] if x["id"] == cid)
+                scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
+            data_start = i + 2 + seglen
+            return _decode_scan(
+                payload, data_start, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            )
+        i += 2 + seglen
+    raise ValueError("JPEG has no SOS segment")
+
+
+def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in scan
+    }
+    rd = _BitReader(payload, start)
+    pred = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rd.restart()
+                pred = {c["id"]: 0 for c in scan}
+            for c in scan:
+                dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        s = rd.huff(dct)
+                        diff = _extend(rd.read(s), s)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(act)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _extend(rd.read(size), size)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[_ZZ] = zz * q
+                        block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    # upsample to full resolution and crop
+    out = {}
+    for c in scan:
+        p = planes[c["id"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out[c["id"]] = p[:h, :w]
+    if len(scan) == 1:
+        g = np.clip(out[scan[0]["id"]], 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=-1)
+    y, cb, cr = (out[c["id"]] for c in scan[:3])
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.buf >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.buf &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+
+
+def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((qt * s + 50) // 100, 1, 255)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JPEG (4:4:4, Annex-K tables scaled
+    by *quality*). Exists to generate real compressed fixtures/corpora;
+    the engine's decode path is :func:`decode_jpeg`."""
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qly = _quality_scale(_QT_LUMA, quality)
+    qlc = _quality_scale(_QT_CHROMA, quality)
+    dc_l, ac_l = _huff_encode_table(*_DC_LUMA), _huff_encode_table(*_AC_LUMA)
+    dc_c, ac_c = _huff_encode_table(*_DC_CHROMA), _huff_encode_table(*_AC_CHROMA)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    head = b"\xff\xd8"
+    # DQT stores the table in zigzag order
+    head += seg(0xDB, bytes([0]) + qly[_ZZ].astype(np.uint8).tobytes())
+    head += seg(0xDB, bytes([1]) + qlc[_ZZ].astype(np.uint8).tobytes())
+    head += seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    head += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+    head += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1]))
+    head += seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1]))
+    head += seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA[0]) + bytes(_AC_CHROMA[1]))
+    head += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    wr = _BitWriter()
+    pred = [0, 0, 0]
+    by_max, bx_max = -(-h // 8), -(-w // 8)
+    comps = [(y, qly, dc_l, ac_l), (cb, qlc, dc_c, ac_c), (cr, qlc, dc_c, ac_c)]
+
+    def pad_block(plane, y0, x0):
+        blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+        if blk.shape != (8, 8):  # edge replicate
+            out = np.empty((8, 8))
+            out[: blk.shape[0], : blk.shape[1]] = blk
+            out[blk.shape[0] :, : blk.shape[1]] = blk[-1:, :]
+            out[:, blk.shape[1] :] = out[:, blk.shape[1] - 1 : blk.shape[1]]
+            blk = out
+        return blk
+
+    def emit(value, table):
+        size = abs(int(value)).bit_length()
+        code, length = table[size]
+        wr.write(code, length)
+        if size:
+            v = value if value > 0 else value + (1 << size) - 1
+            wr.write(v, size)
+
+    for yb in range(by_max):
+        for xb in range(bx_max):
+            for ci, (plane, q, dct, act) in enumerate(comps):
+                blk = pad_block(plane, yb * 8, xb * 8) - 128.0
+                coef = _C @ blk @ _C.T
+                zz = np.round(coef.reshape(-1)[_ZZ] / q[_ZZ]).astype(np.int64)
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                emit(diff, dct)
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and zz[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        code, length = act[0x00]  # EOB
+                        wr.write(code, length)
+                        break
+                    while run >= 16:
+                        code, length = act[0xF0]  # ZRL
+                        wr.write(code, length)
+                        run -= 16
+                    v = int(zz[k])
+                    size = abs(v).bit_length()
+                    code, length = act[(run << 4) | size]
+                    wr.write(code, length)
+                    vv = v if v > 0 else v + (1 << size) - 1
+                    wr.write(vv, size)
+                    k += 1
+    wr.flush()
+    return head + bytes(wr.out) + b"\xff\xd9"
+

@@ -2,12 +2,14 @@
 metadata struct (SURVEY.md §7 Phase 6).
 
 First-class, not plumbing-only:
-- REAL image decode for PPM (P6), uncompressed 24-bit BMP, and PNG
+- REAL image decode for PPM (P6), uncompressed 24-bit BMP, PNG
   (8-bit non-interlaced, all 5 scanline filters, color types
-  0/2/3/4/6 — stdlib zlib + numpy, no PIL) plus a real PNG encoder
-  (min-SAD filter heuristic); JPEG and exotic PNG (16-bit, Adam7)
-  route through PIL when importable (gated import — this container
-  ships without it, production swaps it in with no shape change).
+  0/2/3/4/6 — stdlib zlib + numpy) and baseline JPEG (Huffman + IDCT +
+  chroma upsampling, pure numpy — functions/jpeg.py), plus real PNG and
+  JPEG encoders; only the residual exotics (16-bit/Adam7 PNG,
+  progressive/12-bit JPEG) route through PIL when importable (gated
+  import — this container ships without it, production swaps it in with
+  no shape change).
 - REAL audio decode for PCM16 WAV (RIFF parse → int16 samples).
 - REAL nearest-neighbor resize + PPM re-encode.
 - REAL features: channel means/stds + luminance histogram (images),
@@ -307,10 +309,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image bytes → (H, W, 3) uint8 RGB. PPM/BMP/PNG natively (PNG is
-    stdlib zlib + per-scanline de-filter — no PIL); JPEG (and exotic PNG:
-    16-bit, Adam7) via PIL when available, else NotImplementedError
-    (clearly-marked gap)."""
+    """Image bytes → (H, W, 3) uint8 RGB. PPM/BMP/PNG/baseline-JPEG
+    natively (PNG: stdlib zlib + per-scanline de-filter; JPEG: pure-numpy
+    Huffman + IDCT, functions/jpeg.py — no PIL for either); the residual
+    exotics (16-bit/Adam7 PNG, progressive/12-bit JPEG) route via PIL
+    when available, else NotImplementedError (clearly-marked gap)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -318,6 +321,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_SIG:
         try:
             return _decode_png(payload)
+        except NotImplementedError:
+            if _PILImage is None:
+                raise
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
         except NotImplementedError:
             if _PILImage is None:
                 raise
@@ -821,8 +832,9 @@ def media_stats(media: DataFrame) -> DataFrame:
 
 def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) -> DataFrame:
     """n_items rows cycling image/audio/video. Images are 32×24 gradients
-    parameterized by id, container-cycled PPM/BMP/PNG (three real codecs
-    over the same pixel family); audio is a 440+id Hz, 0.25 s PCM16 sine;
+    parameterized by id, container-cycled PPM/BMP/PNG/JPEG (four real
+    codecs over the same pixel family); audio is a 440+id Hz, 0.25 s
+    PCM16 sine;
     videos are REAL 4-frame 16×12 PPM streams (a gradient translating one
     pixel per frame, so motion features are non-trivial) with duration
     metadata; every 5th video is an opaque blob to keep the
@@ -840,11 +852,20 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                         [(x * 8 + i) % 256, (y * 10 + 2 * i) % 256, np.full_like(x, i % 256)],
                         axis=-1,
                     ).astype(np.uint8)
-                    # cycle the container: PPM / BMP / PNG — same pixels,
-                    # three real codecs, so every declared media query
-                    # exercises the whole native decode surface (and
-                    # perceptual hashes must collapse across encodings)
-                    enc = (encode_ppm, encode_bmp, encode_png)[(i // 3) % 3]
+                    # cycle the container: PPM / BMP / PNG / JPEG — same
+                    # pixel family, four real codecs, so every declared
+                    # media query exercises the whole native decode
+                    # surface (dHash is bit-stable for these gradients at
+                    # JPEG q90 — margins ≫ quantization error — so the
+                    # perceptual-collapse probe holds across all four)
+                    from .jpeg import encode_jpeg
+
+                    enc = (
+                        encode_ppm,
+                        encode_bmp,
+                        encode_png,
+                        lambda a: encode_jpeg(a, 90),
+                    )[(i // 3) % 4]
                     rows.append((f"m{i}", kind, enc(img), 32, 24, None))
                 elif kind == "audio":
                     t = np.arange(0, 4000) / 16000.0

@@ -146,15 +146,23 @@ def test_image_codecs_roundtrip_and_golden():
     assert decoded.shape == (2, 2, 3)
     assert all(tuple(decoded[r, c]) == v for (r, c), v in px.items())
 
-    # unsupported magic without PIL → clearly-marked gap (JPEG; PNG now
-    # decodes natively, so a garbage PNG body is MALFORMED — ValueError —
-    # rather than a capability gap)
+    # capability gates vs malformed payloads: PNG and baseline JPEG now
+    # decode natively, so garbage bodies under their magic are MALFORMED
+    # (ValueError); only genuinely un-decodable formats (progressive
+    # JPEG without PIL) raise the clearly-marked NotImplementedError gap
+    import struct as _struct
+
     import pytest as _pytest
 
+    progressive = (
+        b"\xff\xd8\xff\xc2" + _struct.pack(">H", 12) + bytes(10) + b"\xff\xd9"
+    )
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 32)
+        decode_image(progressive)
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 32)
 
     # WAV round-trip
     samples = (np.sin(np.arange(800) / 5.0) * 20000).astype(np.int16)
@@ -960,6 +968,170 @@ def test_bmp_roundtrip_including_row_padding():
     for shape in [(5, 7, 3), (24, 32, 3), (1, 1, 3)]:
         img = rng.integers(0, 256, shape).astype(np.uint8)
         assert (_decode_bmp(encode_bmp(img)) == img).all()
+
+
+def _bits_to_entropy(bitstr: str) -> bytes:
+    """Pack a hand-written bit string into the byte-stuffed entropy form."""
+    bitstr += "1" * (-len(bitstr) % 8)  # pad with 1s per T.81
+    raw = bytes(int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8))
+    return raw.replace(b"\xff", b"\xff\x00")
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    import struct as _struct
+
+    return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+
+def test_jpeg_decoder_golden_hand_assembled_dc_only():
+    """Spec-derived golden, independent of our encoder: a single-component
+    8×8 JPEG with an all-ones quantization table and the Annex-K luma
+    Huffman tables, whose entropy bits are written BY HAND from T.81
+    (DC category 9 code '1111110' + 9 magnitude bits of 256, AC EOB
+    '1010'). DC-only dequantizes to a uniform block: pixel = DC/8 + 128 =
+    160 exactly. Certifies canonical-code construction, bit parsing,
+    EXTEND, dequantization, and the IDCT path with no self-consistency
+    loophole."""
+    import struct
+
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        _AC_LUMA,
+        _DC_LUMA,
+        decode_jpeg,
+    )
+
+    qt = bytes([0]) + bytes([1] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1])
+    dht_ac = bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    entropy = _bits_to_entropy("1111110" + "100000000" + "1010")
+    jpg = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, qt)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, dht_dc)
+        + _jpeg_seg(0xC4, dht_ac)
+        + _jpeg_seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8, 3)
+    assert (out == 160).all(), np.unique(out)
+
+
+def test_jpeg_decoder_420_subsampling_and_restart_markers():
+    """Two more hand-assembled spec paths the 4:4:4 encoder never emits:
+    (a) a 16×16 4:2:0 three-component MCU (Y×4 + Cb + Cr block order,
+    chroma upsampling) of uniform gray, and (b) a two-MCU grayscale scan
+    with DRI=1 — an RST0 marker between MCUs must realign the bit reader
+    and reset the DC predictor (both MCUs carry the same absolute-DC
+    bits, which is only correct after a reset)."""
+    import struct
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        _AC_CHROMA,
+        _AC_LUMA,
+        _DC_CHROMA,
+        _DC_LUMA,
+        decode_jpeg,
+    )
+
+    dhts = (
+        _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1]))
+        + _jpeg_seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1]))
+        + _jpeg_seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA[0]) + bytes(_AC_CHROMA[1]))
+    )
+    qts = _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64)) + _jpeg_seg(
+        0xDB, bytes([1]) + bytes([1] * 64)
+    )
+
+    # (a) 4:2:0, Y=160 (DC 256, cat 9), Cb=Cr=128 (DC diff 0, cat 0).
+    # Per-MCU block order Y1 Y2 Y3 Y4 Cb Cr; Y2-4 diffs are 0.
+    sof = bytes([8]) + struct.pack(">HH", 16, 16) + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    y1 = "1111110" + "100000000" + "1010"   # DC cat9=256 + AC EOB (luma)
+    yn = "00" + "1010"                       # DC cat0 + EOB (luma)
+    ch = "00" + "00"                         # DC cat0 + EOB (chroma)
+    jpg = (
+        b"\xff\xd8" + qts
+        + _jpeg_seg(0xC0, sof) + dhts + _jpeg_seg(0xDA, sos)
+        + _bits_to_entropy(y1 + yn * 3 + ch * 2)
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)
+    assert out.shape == (16, 16, 3) and (out == 160).all()
+
+    # (b) grayscale 16×8 = two MCUs, DRI=1 → RST0 between them; each MCU
+    # writes ABSOLUTE DC 256 (valid only because the predictor resets)
+    sof_g = bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    sos_g = bytes([1, 1, 0x00, 0, 63, 0])
+    mcu = _bits_to_entropy("1111110" + "100000000" + "1010")
+    jpg_g = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _jpeg_seg(0xC0, sof_g)
+        + dhts
+        + _jpeg_seg(0xDD, struct.pack(">H", 1))
+        + _jpeg_seg(0xDA, sos_g)
+        + mcu + b"\xff\xd0" + mcu
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg_g)
+    assert out.shape == (8, 16, 3) and (out == 160).all()
+
+
+def test_jpeg_roundtrip_quality_ladder():
+    """encode_jpeg → decode_image round trips: solid color within ±1
+    (DC-only), smooth content ≥ 40 dB PSNR at q90, PSNR monotone in
+    quality, non-multiple-of-8 dimensions preserved, and progressive
+    JPEG raises through the honest gate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import decode_image
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    solid = np.full((16, 16, 3), (120, 64, 200), np.uint8)
+    out = decode_image(encode_jpeg(solid, 90))
+    assert np.abs(out.astype(int) - solid.astype(int)).max() <= 1
+
+    y, x = np.mgrid[0:40, 0:56]
+    grad = np.stack([(x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256], -1).astype(
+        np.uint8
+    )
+    assert psnr(grad, decode_jpeg(encode_jpeg(grad, 90))) > 40
+
+    rng = np.random.default_rng(1)
+    img = np.zeros((48, 64, 3))
+    yy, xx = np.mgrid[0:48, 0:64]
+    for _ in range(6):
+        cy, cx = rng.integers(0, 48), rng.integers(0, 64)
+        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 200.0)[..., None] * rng.integers(0, 256, 3)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    ladder = [psnr(img, decode_jpeg(encode_jpeg(img, q))) for q in (50, 75, 90)]
+    assert ladder == sorted(ladder) and ladder[-1] > 40
+
+    odd = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, 90)).shape == (17, 23, 3)
+
+    # progressive (SOF2) stays behind the honest gate
+    prog = b"\xff\xd8" + _jpeg_seg(0xC2, bytes(10))
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog + b"\xff\xd9")
 
 
 def test_dhash_invariant_across_containers(spark):
