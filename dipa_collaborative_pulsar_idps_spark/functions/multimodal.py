@@ -62,6 +62,11 @@ MEDIA_SCHEMA = StructType(
 
 _FEATURE_DIM = 16
 
+#: One malformed/corrupt blob degrades ITS row, never the task: the
+#: exception net every per-payload kernel shares (KeyError covers corrupt
+#: JPEGs whose scan references an undefined Huffman/quantization table).
+_DEGRADE_ERRORS = (ValueError, NotImplementedError, struct.error, IndexError, KeyError)
+
 
 # ---------------------------------------------------------------------------
 # Codecs (numpy; PIL only as gated fallback for compressed formats).
@@ -438,7 +443,7 @@ def video_features(payload: bytes) -> np.ndarray:
         return _video_features_stub(payload)
     try:
         return _video_features_ppm(payload)
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except _DEGRADE_ERRORS:
         return _video_features_stub(payload)
 
 
@@ -484,10 +489,12 @@ def _safe_features(kernel, payload: bytes) -> np.ndarray:
     mapInPandas task — at 100 TB of scraped media, corrupt blobs are a
     certainty, task-retry storms are the failure mode. Capability gates
     (NotImplementedError: PIL-less JPEG, exotic WAV fmt) degrade the same
-    way here; callers wanting loud failures call the kernels directly."""
+    way here; callers wanting loud failures call the kernels directly.
+    KeyError is in the net for corrupt JPEGs whose scan references a
+    Huffman/quantization table id the stream never defined."""
     try:
         return kernel(payload)
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except _DEGRADE_ERRORS:
         return _video_features_stub(payload)
 
 
@@ -677,7 +684,7 @@ def media_feature_pipeline(media: DataFrame, width: int, height: int) -> DataFra
                     # so fused ≡ composed holds on corrupt blobs too
                     try:
                         f, n = fused_image(p)
-                    except (ValueError, NotImplementedError, struct.error, IndexError):
+                    except _DEGRADE_ERRORS:
                         f, n = _video_features_stub(p), len(p)
                 else:
                     f, n = _safe_features(plain[t], p), len(p)
@@ -707,7 +714,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     def _resize_or_keep(p: bytes) -> tuple[bytes, bool]:
         try:
             return encode_ppm(resize_nearest(decode_image(p), width, height)), True
-        except (ValueError, NotImplementedError, struct.error, IndexError):
+        except _DEGRADE_ERRORS:
             return p, False
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -779,7 +786,7 @@ def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                                 )
                             )
                         idx += 1
-                except (ValueError, NotImplementedError, struct.error, IndexError):
+                except _DEGRADE_ERRORS:
                     continue
                 rows.extend(vid_rows)
             yield pd.DataFrame(

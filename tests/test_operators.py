@@ -822,12 +822,24 @@ def test_media_ops_degrade_on_corrupt_blobs(spark):
         ("good", "image", bytearray(b"P6\n2 2\n255\n" + bytes(12)), 2, 2, None),
         ("torn", "image", bytearray(b"P6\n9 9\n255\nxx"), 9, 9, None),  # truncated
         ("png", "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\0" * 16), 4, 4, None),
+        # scan references Huffman tables the stream never defines (KeyError net)
+        (
+            "jpg",
+            "image",
+            bytearray(
+                b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+                b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00\xaa\xff\xd9"
+            ),
+            8,
+            8,
+            None,
+        ),
         ("wav", "audio", bytearray(b"RIFFxxxxWAVE"), None, None, 100),  # no fmt/data
     ]
     m = spark.createDataFrame(rows, MEDIA_SCHEMA)
     feats = {r.media_id: r for r in extract_features(m).collect()}
-    assert len(feats) == 4  # no task failure, every row present
-    for bad in ("torn", "png", "wav"):
+    assert len(feats) == 5  # no task failure, every row present
+    for bad in ("torn", "png", "jpg", "wav"):
         payload = bytes(dict((r[0], r[2]) for r in rows)[bad])
         assert feats[bad].feature == list(_video_features_stub(payload))
     assert feats["good"].feature[0] == 2.0  # real decode still real
