@@ -15,10 +15,12 @@ First-class, not plumbing-only:
 - REAL features: channel means/stds + luminance histogram (images),
   RMS/zero-crossing-rate + amplitude histogram (audio).
 - REAL video decode for PPM streams (concatenated P6 frames — the
-  container-free format ffmpeg's ``-f image2pipe -vcodec ppm`` emits):
-  streaming per-frame luminance/motion features and true frame
-  extraction (``extract_frames``). Opaque containers (mp4/mkv) still
-  route through the clearly-marked stub until a demuxer (pyav) lands.
+  container-free format ffmpeg's ``-f image2pipe -vcodec ppm`` emits)
+  AND animated GIF (pure-Python LZW + canvas composition,
+  functions/gif.py): streaming per-frame luminance/motion features and
+  true frame extraction (``extract_frames``) over both. Opaque
+  containers (mp4/mkv) still route through the clearly-marked stub
+  until a demuxer (pyav) lands.
 
 All batch transforms are Arrow-batched ``mapInPandas`` over the canonical
 MEDIA_SCHEMA; binary payloads dominate task memory, so repartition upstream
@@ -337,6 +339,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         except NotImplementedError:
             if _PILImage is None:
                 raise
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     if _PILImage is not None:  # pragma: no cover - PIL absent here
         import io
 
@@ -431,14 +437,23 @@ def _video_features_stub(payload: bytes) -> np.ndarray:
 
 
 def video_features(payload: bytes) -> np.ndarray:
-    """16-dim REAL video signature for PPM-stream payloads:
-    [n_frames, w, h, mean luminance, luminance std, motion (mean |Δ|
-    between consecutive frames), 10-bin luminance histogram (density)].
-    Luminance stats stream frame-by-frame (one decoded frame + its
-    predecessor in memory — bounded regardless of clip length). Opaque
-    containers fall back to the marked stub, and so does a MALFORMED
-    PPM stream (truncated frame / garbage trailer): one corrupt blob in
-    100 TB of media must degrade that row, not fail the whole task."""
+    """16-dim REAL video signature for PPM-stream AND animated-GIF
+    payloads: [n_frames, w, h, mean luminance, luminance std, motion
+    (mean |Δ| between consecutive frames), 10-bin luminance histogram
+    (density)]. PPM luminance stats stream frame-by-frame (one decoded
+    frame + its predecessor in memory — bounded regardless of clip
+    length); GIF frames come canvas-composed from functions/gif.py and
+    run through the SAME accumulation kernel. Opaque containers fall
+    back to the marked stub, and so does a MALFORMED stream (truncated
+    frame / garbage trailer): one corrupt blob in 100 TB of media must
+    degrade that row, not fail the whole task."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            from .gif import decode_gif_frames
+
+            return _video_features_frames(decode_gif_frames(payload))
+        except _DEGRADE_ERRORS:
+            return _video_features_stub(payload)
     if payload[:2] != b"P6":
         return _video_features_stub(payload)
     try:
@@ -448,15 +463,27 @@ def video_features(payload: bytes) -> np.ndarray:
 
 
 def _video_features_ppm(payload: bytes) -> np.ndarray:
+    def gen():
+        i = 0
+        while i < len(payload):
+            img, j = _decode_ppm_at(payload, i)
+            i = j
+            yield img
+
+    return _video_features_frames(gen())
+
+
+def _video_features_frames(frames) -> np.ndarray:
+    """The shared per-frame accumulation kernel: any iterable of
+    (H, W, 3) uint8 frames (streamed PPM walk or composed GIF list) —
+    one frame + its predecessor in memory."""
     lum_w = np.array([0.299, 0.587, 0.114])
     n = s = s2 = 0.0
     hist = np.zeros(10)
     motion_sum, motion_n = 0.0, 0
     prev = None
     n_frames, w, h = 0, 0, 0
-    i = 0
-    while i < len(payload):
-        img, i = _decode_ppm_at(payload, i)
+    for img in frames:
         n_frames += 1
         h, w = img.shape[:2]
         lum = img.reshape(-1, 3).astype(np.float64) @ lum_w
@@ -737,17 +764,20 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL video frame extraction: every ``every_n``-th frame of each
-    PPM-stream video becomes an image row (single-frame PPM payload), so
-    downstream image ops (resize/feature) apply unchanged — the classic
-    frame-sampling stage of a multimodal training pipeline.
+    PPM-stream or animated-GIF video becomes an image row (single-frame
+    PPM payload), so downstream image ops (resize/feature) apply
+    unchanged — the classic frame-sampling stage of a multimodal
+    training pipeline.
 
     Output: (media_id, frame_index int, frame_ts_ms int, payload, width,
     height); frame_ts_ms assumes uniform frame spacing over duration_ms.
-    The stream is walked header-by-header WITHOUT materializing all
-    frames (one frame in memory at a time); opaque containers are
-    skipped (demux needs pyav — the honest gate, not a fake frame).
-    Partitioning: payloads dominate task memory — repartition upstream
-    to O(batch) videos per task like every op here."""
+    A PPM stream is walked header-by-header WITHOUT materializing all
+    frames (one frame in memory at a time); a GIF is canvas-composed
+    (functions/gif.py) so its memory is bounded by clip size; opaque
+    containers are skipped (demux needs pyav — the honest gate, not a
+    fake frame). Partitioning: payloads dominate task memory —
+    repartition upstream to O(batch) videos per task like every op
+    here."""
     out_schema = (
         "media_id string, frame_index int, frame_ts_ms int, "
         "payload binary, width int, height int"
@@ -758,13 +788,33 @@ def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
             rows = []
             for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 p = bytes(p)
-                if p[:2] != b"P6":
+                is_gif = p[:6] in (b"GIF87a", b"GIF89a")
+                if p[:2] != b"P6" and not is_gif:
                     continue  # opaque container: no demuxer in this build
                 # per-video staging + try/except: a malformed stream
                 # (truncated frame, garbage trailer) skips THAT video in
                 # full — no partial frame rows, no task failure.
                 vid_rows = []
                 try:
+                    if is_gif:
+                        from .gif import decode_gif_frames
+
+                        gif_frames = decode_gif_frames(p)
+                        step_ms = (dur or 0) / max(len(gif_frames), 1)
+                        for idx, img in enumerate(gif_frames):
+                            if idx % every_n == 0:
+                                vid_rows.append(
+                                    (
+                                        mid,
+                                        idx,
+                                        int(idx * step_ms),
+                                        encode_ppm(img),
+                                        img.shape[1],
+                                        img.shape[0],
+                                    )
+                                )
+                        rows.extend(vid_rows)
+                        continue
                     # count frames first (header walk is cheap vs pixel copy)
                     n_frames, i = 0, 0
                     while i < len(p):
@@ -894,9 +944,16 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                         ).astype(np.uint8)
                         for f in range(4)
                     ]
-                    rows.append(
-                        (f"m{i}", kind, encode_ppm_stream(frames), 16, 12, 1000 + i)
-                    )
+                    # container-cycle the video too: PPM stream / animated
+                    # GIF (the frame family stays ≤256 colors, so the GIF
+                    # round trip is lossless and the feature probes hold)
+                    if (i // 3) % 2 == 0:
+                        vid = encode_ppm_stream(frames)
+                    else:
+                        from .gif import encode_gif
+
+                        vid = encode_gif(frames, delay_cs=25)
+                    rows.append((f"m{i}", kind, vid, 16, 12, 1000 + i))
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"]
             )

@@ -1146,6 +1146,152 @@ def test_jpeg_roundtrip_quality_ladder():
         decode_jpeg(prog + b"\xff\xd9")
 
 
+def _pack_lsb(codes: list[tuple[int, int]]) -> bytes:
+    """LSB-first bit packing per the GIF spec — independent of gif.py."""
+    buf = n = 0
+    out = bytearray()
+    for code, width in codes:
+        buf |= code << n
+        n += width
+        while n >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            n -= 8
+    if n:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def test_gif_decoder_golden_hand_assembled_lzw():
+    """Spec-derived golden, independent of our encoder: a 2×2 two-color
+    GIF whose LZW code stream (CLEAR, 0, 1, 1, 0, EOI with the width
+    growth at dictionary size 8) and bit packing are written by hand.
+    Certifies the variable-width LSB-first reader, dictionary growth,
+    and palette mapping with no self-consistency loophole."""
+    import struct
+
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.gif import decode_gif
+
+    # palette: 0=black, 1=red (table size 4 → size_bits 2, min code size 2)
+    palette = bytes([0, 0, 0, 255, 0, 0, 9, 9, 9, 7, 7, 7])
+    codes = [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)]
+    lzw = _pack_lsb(codes)
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 2)
+        + bytes([0x81, 0, 0])  # GCT present, size bits 1 → 4 entries
+        + palette
+        + bytes([0x2C])
+        + struct.pack("<HHHH", 0, 0, 2, 2)
+        + bytes([0x00])  # no LCT, not interlaced
+        + bytes([2])     # LZW min code size
+        + bytes([len(lzw)]) + lzw + bytes([0])
+        + bytes([0x3B])
+    )
+    out = decode_gif(gif)
+    expected = np.array(
+        [[[0, 0, 0], [255, 0, 0]], [[255, 0, 0], [0, 0, 0]]], np.uint8
+    )
+    assert (out == expected).all()
+
+
+def test_gif_roundtrip_interlace_transparency_and_video_paths(spark):
+    """GIF as the second real video format: lossless static + animated
+    round trips, 4-pass interlace de-ordering, transparency keeping the
+    underlying canvas, and the Spark video ops (extract_frames,
+    video_features through extract_features) treating an animated GIF
+    exactly like a PPM stream of the same frames."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.functions.gif import (
+        _lzw_encode,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        decode_image,
+        encode_ppm_stream,
+        extract_features,
+        extract_frames,
+    )
+
+    rng = np.random.default_rng(4)
+    img = (rng.integers(0, 5, (12, 16, 1)) * np.array([(31, 17, 5)])).astype(
+        np.uint8
+    ).reshape(12, 16, 3)
+    assert (decode_gif(encode_gif(img)) == img).all()
+    assert (decode_image(encode_gif(img)) == img).all()  # image dispatch
+
+    frames = [np.roll(img, s, axis=0) for s in range(4)]
+    back = decode_gif_frames(encode_gif(frames, delay_cs=4))
+    assert len(back) == 4 and all((a == b).all() for a, b in zip(frames, back))
+
+    # interlaced: rows written in 4-pass order must come back de-interlaced
+    rows8 = (np.arange(8)[:, None, None] * np.array([(30, 1, 2)])).astype(np.uint8)
+    plain = np.repeat(rows8, 4, axis=1)  # 8×4, one color per row
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, 8, step)]
+    idx, palette = np.unique(plain.reshape(-1, 3), axis=0, return_inverse=True)
+    grid = palette.astype(np.uint8).reshape(8, 4)[order]  # interlace write order
+    pal = np.zeros((8, 3), np.uint8)
+    pal[: len(idx)] = idx
+    lzw = _lzw_encode(3, grid)
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 4, 8) + bytes([0x82, 0, 0]) + pal.tobytes()
+        + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 4, 8)
+        + bytes([0x40])  # interlaced, no LCT
+        + bytes([3]) + bytes([len(lzw)]) + lzw + bytes([0]) + bytes([0x3B])
+    )
+    assert (decode_gif(gif) == plain).all()
+
+    # transparency: a second 1×1 frame whose only pixel is transparent
+    # (index 0, declared transparent in the GCE) leaves the canvas
+    # unchanged at that position
+    one = np.zeros((1, 1), np.uint8)
+    lzw1 = _lzw_encode(3, palette.astype(np.uint8).reshape(8, 4))
+    lzw2 = _lzw_encode(2, one)
+    gif2 = (
+        b"GIF89a" + struct.pack("<HH", 4, 8) + bytes([0x82, 0, 0]) + pal.tobytes()
+        + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 4, 8) + bytes([0x00])
+        + bytes([3]) + bytes([len(lzw1)]) + lzw1 + bytes([0])
+        + bytes([0x21, 0xF9, 4, 0x01]) + struct.pack("<H", 5) + bytes([0, 0])
+        + bytes([0x2C]) + struct.pack("<HHHH", 1, 1, 1, 1) + bytes([0x00])
+        + bytes([2]) + bytes([len(lzw2)]) + lzw2 + bytes([0])
+        + bytes([0x3B])
+    )
+    fr = decode_gif_frames(gif2)
+    assert len(fr) == 2 and (fr[1] == fr[0]).all()  # transparent overlay = no-op
+
+    # Spark video paths: animated GIF ≡ PPM stream of the same frames
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("gifv", "video", encode_gif(frames, delay_cs=25), 16, 12, 1000),
+                ("ppmv", "video", encode_ppm_stream(frames), 16, 12, 1000),
+            ],
+            columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"],
+        )
+    )
+    fx = {r.media_id: r for r in extract_frames(media, every_n=2).collect()}
+    assert len(fx) == 0 or True  # dict keyed by id collapses; count below
+    got = extract_frames(media, every_n=2).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id["gifv"]) == len(by_id["ppmv"]) == 2
+    gif_frames = {r.frame_index: bytes(r.payload) for r in by_id["gifv"]}
+    ppm_frames = {r.frame_index: bytes(r.payload) for r in by_id["ppmv"]}
+    assert gif_frames == ppm_frames  # identical extracted PPM payloads
+
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert feats["gifv"] == feats["ppmv"]  # same 16-dim signature
+
+
 def test_dhash_invariant_across_containers(spark):
     """The same pixels encoded as PPM, BMP, and PNG must produce ONE
     dhash (perceptual identity is about pixels, not bytes) — the property
