@@ -15,12 +15,14 @@ First-class, not plumbing-only:
 - REAL features: channel means/stds + luminance histogram (images),
   RMS/zero-crossing-rate + amplitude histogram (audio).
 - REAL video decode for PPM streams (concatenated P6 frames — the
-  container-free format ffmpeg's ``-f image2pipe -vcodec ppm`` emits)
-  AND animated GIF (pure-Python LZW + canvas composition,
-  functions/gif.py): streaming per-frame luminance/motion features and
-  true frame extraction (``extract_frames``) over both. Opaque
-  containers (mp4/mkv) still route through the clearly-marked stub
-  until a demuxer (pyav) lands.
+  container-free format ffmpeg's ``-f image2pipe -vcodec ppm`` emits),
+  animated GIF (pure-Python LZW + canvas composition, functions/gif.py),
+  AND AVI/MJPEG (RIFF demux + per-frame baseline-JPEG decode,
+  functions/avi.py — a real CONTAINER format): streaming per-frame
+  luminance/motion features and true frame extraction
+  (``extract_frames``) over all three. Codecs with no in-repo decoder
+  (h264-in-mp4/mkv, non-MJPEG AVI) still route through the
+  clearly-marked stub — never a fake frame.
 
 All batch transforms are Arrow-batched ``mapInPandas`` over the canonical
 MEDIA_SCHEMA; binary payloads dominate task memory, so repartition upstream
@@ -454,6 +456,15 @@ def video_features(payload: bytes) -> np.ndarray:
             return _video_features_frames(decode_gif_frames(payload))
         except _DEGRADE_ERRORS:
             return _video_features_stub(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        try:
+            from .avi import decode_avi_frames
+
+            # MJPEG frames decode one-by-one; a non-MJPEG AVI raises
+            # through the degrade net like any other opaque codec
+            return _video_features_frames(decode_avi_frames(payload))
+        except _DEGRADE_ERRORS:
+            return _video_features_stub(payload)
     if payload[:2] != b"P6":
         return _video_features_stub(payload)
     try:
@@ -789,19 +800,25 @@ def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
             for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 p = bytes(p)
                 is_gif = p[:6] in (b"GIF87a", b"GIF89a")
-                if p[:2] != b"P6" and not is_gif:
+                is_avi = p[:4] == b"RIFF" and p[8:12] == b"AVI "
+                if p[:2] != b"P6" and not is_gif and not is_avi:
                     continue  # opaque container: no demuxer in this build
                 # per-video staging + try/except: a malformed stream
                 # (truncated frame, garbage trailer) skips THAT video in
                 # full — no partial frame rows, no task failure.
                 vid_rows = []
                 try:
-                    if is_gif:
-                        from .gif import decode_gif_frames
+                    if is_gif or is_avi:
+                        if is_gif:
+                            from .gif import decode_gif_frames
 
-                        gif_frames = decode_gif_frames(p)
-                        step_ms = (dur or 0) / max(len(gif_frames), 1)
-                        for idx, img in enumerate(gif_frames):
+                            all_frames = decode_gif_frames(p)
+                        else:
+                            from .avi import decode_avi_frames
+
+                            all_frames = decode_avi_frames(p)
+                        step_ms = (dur or 0) / max(len(all_frames), 1)
+                        for idx, img in enumerate(all_frames):
                             if idx % every_n == 0:
                                 vid_rows.append(
                                     (
@@ -945,14 +962,20 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                         for f in range(4)
                     ]
                     # container-cycle the video too: PPM stream / animated
-                    # GIF (the frame family stays ≤256 colors, so the GIF
-                    # round trip is lossless and the feature probes hold)
-                    if (i // 3) % 2 == 0:
+                    # GIF / AVI-MJPEG (the frame family stays ≤256 colors
+                    # so the GIF round trip is lossless; MJPEG is lossy
+                    # but the probes below are count/shape-based)
+                    sel = (i // 3) % 3
+                    if sel == 0:
                         vid = encode_ppm_stream(frames)
-                    else:
+                    elif sel == 1:
                         from .gif import encode_gif
 
                         vid = encode_gif(frames, delay_cs=25)
+                    else:
+                        from .avi import encode_avi_mjpeg
+
+                        vid = encode_avi_mjpeg(frames, fps=4, quality=92)
                     rows.append((f"m{i}", kind, vid, 16, 12, 1000 + i))
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"]

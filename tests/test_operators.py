@@ -1292,6 +1292,67 @@ def test_gif_roundtrip_interlace_transparency_and_video_paths(spark):
     assert feats["gifv"] == feats["ppmv"]  # same 16-dim signature
 
 
+def test_avi_mjpeg_container_video(spark):
+    """AVI/MJPEG as a real CONTAINER video format: RIFF demux finds every
+    '00dc' frame as a standalone baseline JPEG, decode round-trips at
+    high PSNR, the Spark video ops sample/feature it like any other
+    video, and a structurally-valid AVI whose frames are NOT MJPEG
+    raises through the honest gate (stub features, never fake frames)."""
+    import numpy as np
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.functions.avi import (
+        decode_avi_frames,
+        demux_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        _video_features_stub,
+        extract_features,
+        extract_frames,
+    )
+
+    y, x = np.mgrid[0:12, 0:16]
+    frames = [
+        np.stack([(x * 16 + f) % 256, (y * 20) % 256, np.full_like(x, 4 * f)], -1).astype(
+            np.uint8
+        )
+        for f in range(4)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=4, quality=92)
+    jpegs = demux_mjpeg_frames(avi)
+    assert len(jpegs) == 4 and all(j[:2] == b"\xff\xd8" for j in jpegs)
+    back = decode_avi_frames(avi)
+    for a, b in zip(frames, back):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / mse) > 35
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [("avi1", "video", avi, 16, 12, 1000)],
+            columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"],
+        )
+    )
+    fx = extract_frames(media, every_n=2).collect()
+    assert len(fx) == 2 and {r.frame_index for r in fx} == {0, 2}
+    feats = extract_features(media).collect()[0].feature
+    assert feats[0] == 4.0 and feats[1] == 16.0 and feats[2] == 12.0  # n, w, h
+
+    # non-MJPEG frames inside a valid AVI: honest gate, stub features
+    fake = encode_avi_mjpeg(frames, fps=4)
+    first = demux_mjpeg_frames(fake)[0]
+    broken = fake.replace(first[:8], b"h264xxxx", 1)
+    media2 = spark.createDataFrame(
+        pd.DataFrame(
+            [("h264", "video", broken, 16, 12, 1000)],
+            columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"],
+        )
+    )
+    f2 = extract_features(media2).collect()[0]
+    assert f2.feature == list(_video_features_stub(bytes(broken)))
+    assert extract_frames(media2).count() == 0  # skipped, no fake frames
+
+
 def test_dhash_invariant_across_containers(spark):
     """The same pixels encoded as PPM, BMP, and PNG must produce ONE
     dhash (perceptual identity is about pixels, not bytes) — the property
