@@ -1383,6 +1383,29 @@ def test_dhash_invariant_across_containers(spark):
     assert len(set(hashes.values())) == 1 and len(hashes) == 3
 
 
+def test_dhash_stable_under_jpeg_for_corpus_family():
+    """The synthetic corpus cycles its image slots through a LOSSY codec
+    (JPEG q90); the perceptual-collapse property of image_phash_clusters
+    holds only if dHash is bit-stable under that quantization for the
+    corpus gradient family (strong slopes → comparison margins ≫ JPEG
+    error). Pin it for every image the corpus can generate."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import dhash64
+
+    y, x = np.mgrid[0:24, 0:32]
+    for i in range(0, 360, 3):  # every image id the sf0.01 corpus draws
+        img = np.stack(
+            [(x * 8 + i) % 256, (y * 10 + 2 * i) % 256, np.full_like(x, i % 256)],
+            axis=-1,
+        ).astype(np.uint8)
+        assert dhash64(decode_jpeg(encode_jpeg(img, 90))) == dhash64(img), i
+
+
 def test_phash_near_dup_pairs_planted_truth(spark):
     """dHash perceptual dedup: an exact copy AND a uniformly brightened
     re-render pair with the original at Hamming 0 (different payload
