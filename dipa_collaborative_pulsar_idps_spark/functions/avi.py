@@ -64,8 +64,10 @@ def demux_mjpeg_frames(payload: bytes) -> list[bytes]:
 def decode_avi_frames(payload: bytes) -> list[np.ndarray]:
     """AVI/MJPEG bytes → list of (H, W, 3) uint8 RGB frames. Non-JPEG
     frame payloads raise NotImplementedError (an honest gate — e.g. a
-    DIB-frame or h264 AVI), never a fake frame."""
-    from .jpeg import decode_jpeg
+    DIB-frame or h264 AVI), never a fake frame. Per-frame JPEG decode
+    goes through the production preference order (PIL/libjpeg-turbo
+    first when importable, pure-numpy fallback — multimodal.decode_jpeg_rgb)."""
+    from .multimodal import decode_jpeg_rgb
 
     out = []
     for f in demux_mjpeg_frames(payload):
@@ -73,7 +75,7 @@ def decode_avi_frames(payload: bytes) -> list[np.ndarray]:
             raise NotImplementedError(
                 f"AVI frame codec {f[:4]!r} is not MJPEG — needs a real decoder"
             )
-        out.append(decode_jpeg(f))
+        out.append(decode_jpeg_rgb(f))
     return out
 
 

@@ -226,6 +226,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {i}")
+        # T.81 B.1.1.2: any number of optional 0xFF fill bytes may pad
+        # before a marker code — skip them instead of misreading 0xFF as
+        # the marker (which would decode a bogus segment length).
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(payload):
+            break
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -265,6 +272,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            # Honest gate: this decoder handles exactly one interleaved
+            # scan covering the whole frame. A baseline JPEG with
+            # per-component non-interleaved scans (ns < frame components)
+            # or a 4-component Adobe CMYK/YCCK frame would decode
+            # silently wrong here — route those to the PIL fallback.
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG needs PIL"
+                )
+            if len(frame["comps"]) not in (1, 3):
+                raise NotImplementedError(
+                    f"{len(frame['comps'])}-component (CMYK/YCCK) JPEG needs PIL"
+                )
             scan = []
             for c in range(ns):
                 cid, tabs = seg[1 + c * 2], seg[2 + c * 2]
@@ -280,6 +300,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     h, w = frame["h"], frame["w"]
+    if len(scan) == 1:
+        # T.81 A.2.2: a single-component scan is non-interleaved — one
+        # 8x8 block per MCU in a ceil(w/8) x ceil(h/8) raster, regardless
+        # of the sampling factors declared in SOF (which only matter for
+        # interleaved multi-component MCU layout).
+        scan = [{**scan[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcux = -(-w // (8 * hmax))

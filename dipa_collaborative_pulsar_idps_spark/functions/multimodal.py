@@ -6,10 +6,14 @@ First-class, not plumbing-only:
   (8-bit non-interlaced, all 5 scanline filters, color types
   0/2/3/4/6 — stdlib zlib + numpy) and baseline JPEG (Huffman + IDCT +
   chroma upsampling, pure numpy — functions/jpeg.py), plus real PNG and
-  JPEG encoders; only the residual exotics (16-bit/Adam7 PNG,
-  progressive/12-bit JPEG) route through PIL when importable (gated
-  import — this container ships without it, production swaps it in with
-  no shape change).
+  JPEG encoders. PREFERENCE ORDER is production-first: when PIL is
+  importable its C codecs (libjpeg-turbo/libpng/giflib) decode
+  PNG/JPEG/GIF — 20-100× the throughput of a Python entropy loop —
+  and the pure-Python codecs are the PIL-less fallback + golden
+  certifiers; when PIL is absent (this container) the native codecs
+  carry everything and the residual exotics (16-bit/Adam7 PNG,
+  progressive/12-bit/CMYK/multi-scan JPEG) raise the honest
+  NotImplementedError gate.
 - REAL audio decode for PCM16 WAV (RIFF parse → int16 samples).
 - REAL nearest-neighbor resize + PPM re-encode.
 - REAL features: channel means/stds + luminance histogram (images),
@@ -317,38 +321,86 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return plte[px[..., 0]]
 
 
+def _pil_rgb(payload: bytes) -> np.ndarray:  # pragma: no cover - PIL absent here
+    """PIL decode (C-backed libjpeg-turbo/libpng/giflib) → (H, W, 3) RGB."""
+    import io
+
+    return np.asarray(_PILImage.open(io.BytesIO(payload)).convert("RGB"))
+
+
+def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
+    """JPEG → RGB with the PRODUCTION preference order: PIL/libjpeg-turbo
+    (~100+ MB/s/core) FIRST when importable; the pure-numpy decoder
+    (functions/jpeg.py — an inherently bit-serial Python Huffman loop,
+    ~1-5 MB/s/core) is the PIL-less fallback and remains the golden
+    certifier that the engine understands the bits. At 100 TB of
+    multimodal corpus the entropy decode is the throughput bound, so the
+    C path must win whenever it exists."""
+    if _PILImage is not None:  # pragma: no cover - PIL absent here
+        try:
+            return _pil_rgb(payload)
+        except Exception:
+            pass  # corrupt-for-PIL: let the native decoder try / raise
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
+def decode_gif_rgb_frames(payload: bytes) -> list[np.ndarray]:
+    """Animated-GIF frames with the same production preference order:
+    PIL frame iteration (giflib + its canvas compositor) first when
+    importable, the pure-Python LZW + canvas composition of
+    functions/gif.py as the PIL-less fallback and golden certifier."""
+    if _PILImage is not None:  # pragma: no cover - PIL absent here
+        try:
+            import io
+
+            from PIL import ImageSequence
+
+            im = _PILImage.open(io.BytesIO(payload))
+            return [np.asarray(f.convert("RGB")) for f in ImageSequence.Iterator(im)]
+        except Exception:
+            pass
+    from .gif import decode_gif_frames
+
+    return decode_gif_frames(payload)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image bytes → (H, W, 3) uint8 RGB. PPM/BMP/PNG/baseline-JPEG
-    natively (PNG: stdlib zlib + per-scanline de-filter; JPEG: pure-numpy
-    Huffman + IDCT, functions/jpeg.py — no PIL for either); the residual
-    exotics (16-bit/Adam7 PNG, progressive/12-bit JPEG) route via PIL
-    when available, else NotImplementedError (clearly-marked gap)."""
+    """Image bytes → (H, W, 3) uint8 RGB. PPM/BMP always native (raw
+    formats — a header parse + memcpy, nothing for C to win). For the
+    compressed formats the preference order is PRODUCTION-first: when
+    PIL is importable, PNG/JPEG/GIF route through it (libpng /
+    libjpeg-turbo / giflib — 20-100× the decode throughput of a Python
+    loop), with the pure-Python codecs as fallback; when PIL is absent
+    (this container), the native codecs decode baseline JPEG, 8-bit
+    non-interlaced PNG (all 5 filters, color types 0/2/3/4/6) and GIF,
+    and the residual exotics (16-bit/Adam7 PNG, progressive/12-bit/
+    CMYK/multi-scan JPEG) raise the honest NotImplementedError gate."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
-        try:
-            return _decode_png(payload)
-        except NotImplementedError:
-            if _PILImage is None:
-                raise
+        if _PILImage is not None:  # pragma: no cover - PIL absent here
+            try:
+                return _pil_rgb(payload)
+            except Exception:
+                pass
+        return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
-
-        try:
-            return decode_jpeg(payload)
-        except NotImplementedError:
-            if _PILImage is None:
-                raise
+        return decode_jpeg_rgb(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if _PILImage is not None:  # pragma: no cover - PIL absent here
+            try:
+                return _pil_rgb(payload)
+            except Exception:
+                pass
         from .gif import decode_gif
 
         return decode_gif(payload)
     if _PILImage is not None:  # pragma: no cover - PIL absent here
-        import io
-
-        return np.asarray(_PILImage.open(io.BytesIO(payload)).convert("RGB"))
+        return _pil_rgb(payload)
     raise NotImplementedError(
         f"compressed image format {payload[:4]!r} needs PIL (not in this container)"
     )
@@ -451,9 +503,7 @@ def video_features(payload: bytes) -> np.ndarray:
     degrade that row, not fail the whole task."""
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         try:
-            from .gif import decode_gif_frames
-
-            return _video_features_frames(decode_gif_frames(payload))
+            return _video_features_frames(decode_gif_rgb_frames(payload))
         except _DEGRADE_ERRORS:
             return _video_features_stub(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -540,10 +590,13 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     """payload → fixed-dim feature vector via Arrow-batched mapInPandas.
 
     Output: (media_id, media_type, feature array<double>, n_bytes int).
-    Real decode for image (PPM/BMP/PNG, PIL-gated for JPEG) and audio
-    (PCM16 WAV); video uses the marked stub. Partitioning note: repartition
-    upstream so each task holds O(batch_hint) blobs — binary columns
-    dominate memory, not row count."""
+    Real decode for image (PPM/BMP/PNG/baseline-JPEG/GIF — native codecs,
+    PIL preferred when importable), audio (PCM16 WAV), and video
+    (PPM streams, animated GIF, AVI/MJPEG — streamed per-frame stats);
+    only opaque containers with no in-repo demuxer (h264-in-mp4/mkv,
+    non-MJPEG AVI) degrade to the marked deterministic stub. Partitioning
+    note: repartition upstream so each task holds O(batch_hint) blobs —
+    binary columns dominate memory, not row count."""
     out_schema = "media_id string, media_type string, feature array<double>, n_bytes int"
     kernels = {"image": image_features, "audio": audio_features, "video": video_features}
 
@@ -810,9 +863,7 @@ def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                 try:
                     if is_gif or is_avi:
                         if is_gif:
-                            from .gif import decode_gif_frames
-
-                            all_frames = decode_gif_frames(p)
+                            all_frames = decode_gif_rgb_frames(p)
                         else:
                             from .avi import decode_avi_frames
 

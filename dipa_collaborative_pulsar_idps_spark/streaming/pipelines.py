@@ -471,6 +471,35 @@ def streaming_session_counts(
     )
 
 
+def _read_stamped_corpus(spark, corpus_path: str, batch: DataFrame, batch_id: int):
+    """Read the batch-stamped corpus store with an EXPLICIT schema
+    (batch.schema + the ingest_batch partition column), excluding the
+    replaying batch's own half-committed partitions.
+
+    The explicit schema matters for crash recovery: a crash during the
+    very first corpus ``_write_batch_partitions`` can leave corpus_path
+    holding only a ``_temporary`` dir (zero data files). A schema-less
+    read then fails inference on EVERY replay — a permanent crash loop —
+    while a schema'd read of the same path is simply an empty frame, the
+    correct recovery (the index-side replay filters already dropped the
+    half-committed batch)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(batch.schema.fields) + [StructField("ingest_batch", IntegerType())]
+    )
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(corpus_path)
+        .where(F.col("ingest_batch") != batch_id)
+    )
+
+
 def incremental_dedup_sink(
     *,
     index_path: str,
@@ -551,16 +580,12 @@ def incremental_dedup_sink(
                 index = index.where(F.col("ingest_batch") != batch_id)
                 # The corpus write commits AFTER the index meta: a crash on
                 # the bootstrap batch between those two writes leaves meta
-                # present with no corpus path at all, and the replay lands
-                # here. An empty corpus is the correct recovery (the index
-                # filter above already removed the half-committed batch).
-                corpus_fs, _ = _fs(spark, corpus_path)
-                if corpus_fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_path)):
-                    old = spark.read.parquet(corpus_path).where(
-                        F.col("ingest_batch") != batch_id
-                    )
-                else:
-                    old = spark.createDataFrame([], batch.schema)
+                # present with a missing (or _temporary-only) corpus path,
+                # and the replay lands here. An empty corpus is the correct
+                # recovery (the index filter above already removed the
+                # half-committed batch) — _read_stamped_corpus's explicit
+                # schema keeps that replay from dying on inference.
+                old = _read_stamped_corpus(spark, corpus_path, batch, batch_id)
                 pairs = incremental_near_dup_pairs(
                     batch,
                     old,
@@ -671,13 +696,7 @@ def incremental_tfidf_sink(
                 df_b = df_b.where(F.col("ingest_batch") != batch_id)
                 stats = stats.where(F.col("ingest_batch") != batch_id)
                 n_old = (stats.agg(F.sum("n_docs")).collect()[0][0]) or 0  # bounded-collect: one scalar
-                corpus_fs, _ = _fs(spark, corpus_path)
-                if corpus_fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_path)):
-                    old = spark.read.parquet(corpus_path).where(
-                        F.col("ingest_batch") != batch_id
-                    )
-                else:
-                    old = spark.createDataFrame([], batch.schema)
+                old = _read_stamped_corpus(spark, corpus_path, batch, batch_id)
                 results = tfidf_probe_topk(
                     batch,
                     old,

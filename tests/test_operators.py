@@ -1099,6 +1099,137 @@ def test_jpeg_decoder_420_subsampling_and_restart_markers():
     assert out.shape == (8, 16, 3) and (out == 160).all()
 
 
+def test_jpeg_gates_and_fill_bytes_r9():
+    """Round-9 advisor closures on the segment walk and scan layout:
+    (a) a non-interleaved multi-scan baseline JPEG (3-component SOF, SOS
+    covering 1 component) raises the honest NotImplementedError gate —
+    it would otherwise decode silently wrong as Y-only grayscale;
+    (b) a 4-component (Adobe CMYK) frame gates the same way instead of
+    applying YCbCr math to CMYK;
+    (c) legal 0xFF fill bytes padding a marker (T.81 B.1.1.2) are skipped,
+    not misread as a marker code;
+    (d) a single-component scan is NON-interleaved per T.81 A.2.2 — one
+    8x8 block per MCU regardless of SOF sampling factors, so a grayscale
+    JPEG declaring 2x2 sampling still decodes with correct geometry."""
+    import struct
+
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        _AC_LUMA,
+        _DC_LUMA,
+        decode_jpeg,
+    )
+
+    qt = _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+    dhts = _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1])) + _jpeg_seg(
+        0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1])
+    )
+    entropy = _bits_to_entropy("1111110" + "100000000" + "1010")
+
+    # (a) 3-component frame, single-component scan → gate to PIL path
+    sof3 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos1 = bytes([1, 1, 0x00, 0, 63, 0])
+    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof3) + dhts + _jpeg_seg(0xDA, sos1) + entropy + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(jpg)
+
+    # (b) 4-component Adobe CMYK/YCCK frame → gate
+    sof4 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
+        [4, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    sos4 = bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0])
+    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof4) + dhts + _jpeg_seg(0xDA, sos4) + entropy + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="CMYK"):
+        decode_jpeg(jpg)
+
+    # (c) 0xFF fill padding before markers decodes identically
+    sof1 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    jpg_pad = (
+        b"\xff\xd8"
+        + b"\xff" + qt                     # one fill byte before DQT
+        + b"\xff\xff\xff" + _jpeg_seg(0xC0, sof1)  # three before SOF0
+        + dhts
+        + b"\xff" + _jpeg_seg(0xDA, sos1)
+        + entropy
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg_pad)
+    assert out.shape == (8, 8, 3) and (out == 160).all()
+
+    # (d) grayscale frame declaring 2x2 sampling: the single-component
+    # scan must still be one block per MCU (same golden bitstream as the
+    # DC-only case — under the interleaved layout it would demand 4
+    # blocks and decode garbage geometry)
+    sof_g22 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x22, 0])
+    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof_g22) + dhts + _jpeg_seg(0xDA, sos1) + entropy + b"\xff\xd9"
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8, 3) and (out == 160).all()
+
+    # (d') two-block 16-wide variant: raster is ceil(w/8) blocks across
+    mcu = _bits_to_entropy("1111110" + "100000000" + "1010")
+    sof_w = bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x22, 0])
+    jpg = (
+        b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof_w) + dhts + _jpeg_seg(0xDA, sos1)
+        + _bits_to_entropy(
+            "1111110" + "100000000" + "1010"  # block 1: DC 256 abs
+            + "00" + "1010"                    # block 2: DC diff 0
+        )
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 16, 3) and (out == 160).all()
+
+
+def test_pil_equivalence_on_golden_corpus_when_present():
+    """Production-preference certification (gated: skips without PIL).
+    When PIL is importable the decode paths route PNG/JPEG/GIF through
+    its C codecs FIRST — this pins that swap to the native decoders'
+    outputs on encoder-round-trip payloads: bit-identical pixels for the
+    lossless formats (PNG, GIF), and within IDCT-rounding tolerance for
+    JPEG (T.81 does not fully pin decoder rounding)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.functions import multimodal as mm
+
+    if mm._PILImage is None:
+        _pytest.skip("PIL not installed in this container")
+
+    from dipa_collaborative_pulsar_idps_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        decode_image,
+        encode_png,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        _decode_png,
+    )
+
+    y, x = np.mgrid[0:24, 0:32]
+    img = np.stack([(x * 7) % 256, (y * 11) % 256, ((x + y) * 5) % 256], -1).astype(
+        np.uint8
+    )
+    png = encode_png(img)
+    assert (decode_image(png) == _decode_png(png)).all()  # lossless: exact
+
+    jpg = encode_jpeg(img, 90)
+    native = decode_jpeg(jpg)
+    via_pref = decode_image(jpg)  # PIL path when present
+    assert np.abs(via_pref.astype(int) - native.astype(int)).max() <= 2
+
+    gif = encode_gif(img)
+    assert (decode_image(gif) == decode_gif(gif)).all()  # lossless: exact
+
+
 def test_jpeg_roundtrip_quality_ladder():
     """encode_jpeg → decode_image round trips: solid color within ±1
     (DC-only), smooth content ≥ 40 dB PSNR at q90, PSNR monotone in

@@ -1167,6 +1167,66 @@ def test_streaming_incremental_dedup_bootstrap_crash_before_corpus_write(
     assert after <= before, f"sink leaked cached RDDs: {after - before}"
 
 
+def test_streaming_sinks_recover_from_temporary_only_corpus(spark, tmp_path):
+    """Round-9 advisor closure: a crash DURING the first corpus
+    _write_batch_partitions can leave corpus_path holding only a
+    ``_temporary`` staging dir — zero data files, but the path EXISTS.
+    With a schema-less read that state is a permanent crash loop (meta
+    exists → has_index; fs.exists(corpus) → true; read.parquet fails
+    schema inference on every replay). Both incremental sinks must read
+    the corpus with an explicit schema instead, recover with an empty
+    corpus, and commit the same content a crash-free run would."""
+    import os
+    import shutil
+
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        incremental_dedup_sink,
+        incremental_tfidf_sink,
+    )
+
+    # --- dedup sink ---
+    rows = [(i, f"tok{i} " * 30) for i in range(20)]
+    rows.append((100, rows[0][1]))  # within-batch near-dup of doc 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    paths = {k: str(tmp_path / ("d_" + k)) for k in ("idx", "corpus", "pairs")}
+    fn = incremental_dedup_sink(
+        index_path=paths["idx"], corpus_path=paths["corpus"], pairs_path=paths["pairs"]
+    )
+    fn(docs, 0)
+    want_pairs = {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(paths["pairs"]).collect()
+    }
+    assert want_pairs == {(0, 100)}
+    # crash window: corpus dir exists but holds ONLY _temporary, no marker
+    shutil.rmtree(paths["corpus"])
+    os.makedirs(paths["corpus"] + "/_temporary/0")
+    shutil.rmtree(f"{paths['idx']}/_batches/0")
+    fn(docs, 0)  # replay — must not die on schema inference
+    assert {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(paths["pairs"]).collect()
+    } == want_pairs
+    assert spark.read.parquet(paths["corpus"]).count() == 21
+
+    # --- tfidf sink ---
+    trows = [(i, f"alpha{i % 7} beta{i % 5} gamma{i % 3}") for i in range(20)]
+    tdocs = spark.createDataFrame(trows, ["doc_id", "text"])
+    tpaths = {k: str(tmp_path / ("t_" + k)) for k in ("idx", "corpus", "results")}
+    tfn = incremental_tfidf_sink(
+        index_path=tpaths["idx"],
+        corpus_path=tpaths["corpus"],
+        results_path=tpaths["results"],
+        k=3,
+    )
+    tfn(tdocs, 0)
+    want_results = spark.read.parquet(tpaths["results"]).count()
+    shutil.rmtree(tpaths["corpus"])
+    os.makedirs(tpaths["corpus"] + "/_temporary/0")
+    shutil.rmtree(f"{tpaths['idx']}/_batches/0")
+    tfn(tdocs, 0)  # replay — must not die on schema inference
+    assert spark.read.parquet(tpaths["results"]).count() == want_results
+    assert spark.read.parquet(tpaths["corpus"]).count() == 20
+
+
 def test_streaming_quality_gate_matches_batch_filter(spark, tmp_path):
     """The stateless classifier gate on a replayed stream must pass exactly
     the docs the batch scorer keeps at the same threshold (plus drop
