@@ -519,3 +519,23 @@ def test_counter_delta_tws_matches_sharded_machine(spark, replay_dir, rocksdb_st
     a = sorted(map(tuple, spark.table("cd_shard").collect()))
     b = sorted(map(tuple, spark.table("cd_tws").collect()))
     assert a and a == b
+
+
+def test_coverage_doc_names_every_registry_query():
+    """COVERAGE.md is the auditor's map and must never drift from the
+    declared surface: every name in queries/registry.py appears verbatim
+    somewhere in the document (counts themselves are never hand-pinned
+    there — this test IS the completeness gate)."""
+    import os
+
+    from dipa_collaborative_pulsar_idps_spark.queries.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    missing = sorted(n for n in REGISTRY if n not in doc)
+    assert not missing, f"COVERAGE.md is missing registry queries: {missing}"
