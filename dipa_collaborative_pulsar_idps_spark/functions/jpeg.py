@@ -2,9 +2,11 @@
 
 Closes the last gated image format: baseline sequential DCT JPEG
 (SOF0, Huffman entropy coding, 8-bit, grayscale or YCbCr with any
-h/v chroma subsampling, restart markers) decodes natively; progressive
-(SOF2), arithmetic coding, and 12-bit stay behind the honest
-NotImplementedError gate (PIL handles them when present).
+h/v chroma subsampling, restart markers, interleaved OR per-component
+non-interleaved multi-scan files — r9) decodes natively; progressive
+(SOF2), arithmetic coding, 12-bit, 4-component CMYK/YCCK, and
+partially-interleaved scans stay behind the honest NotImplementedError
+gate (PIL handles them when present).
 
 Pieces (ITU-T T.81 baseline):
 - segment walk: DQT / SOF0 / DHT / DRI / SOS, APPn+COM skipped;
@@ -223,6 +225,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
+    planes: dict[int, np.ndarray] = {}  # accumulated across (multi-)scans
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {i}")
@@ -272,18 +275,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            # Honest gate: this decoder handles exactly one interleaved
-            # scan covering the whole frame. A baseline JPEG with
-            # per-component non-interleaved scans (ns < frame components)
-            # or a 4-component Adobe CMYK/YCCK frame would decode
-            # silently wrong here — route those to the PIL fallback.
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan baseline JPEG needs PIL"
-                )
+            # Honest gates: 4-component Adobe CMYK/YCCK would get YCbCr
+            # math applied to CMYK (silently wrong) — route to PIL.
+            # Partially-interleaved scans (1 < ns < frame components) are
+            # legal per T.81 but vanishingly rare — also gated.
             if len(frame["comps"]) not in (1, 3):
                 raise NotImplementedError(
                     f"{len(frame['comps'])}-component (CMYK/YCCK) JPEG needs PIL"
+                )
+            if 1 < ns < len(frame["comps"]):
+                raise NotImplementedError(
+                    "partially-interleaved baseline JPEG scan needs PIL"
                 )
             scan = []
             for c in range(ns):
@@ -291,27 +293,75 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
             data_start = i + 2 + seglen
-            return _decode_scan(
-                payload, data_start, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            # A single-component scan is non-interleaved per T.81 A.2.2
+            # (one block per MCU over the COMPONENT's own raster) even
+            # when it is the frame's only scan; a full-component scan is
+            # the common interleaved baseline. Per-component scans
+            # accumulate planes until the frame is complete.
+            new_planes, i = _decode_scan(
+                payload,
+                data_start,
+                frame,
+                scan,
+                qt,
+                huff_dc,
+                huff_ac,
+                restart_interval,
             )
+            planes.update(new_planes)
+            if len(planes) == len(frame["comps"]):
+                return _planes_to_rgb(frame, planes)
+            continue
         i += 2 + seglen
+    if frame is not None and planes:
+        raise ValueError("JPEG truncated: not all components scanned")
     raise ValueError("JPEG has no SOS segment")
 
 
+def _next_marker_pos(payload: bytes, pos: int) -> int:
+    """First byte offset at/after *pos* holding a real segment marker —
+    skips byte-stuffed 0xFF00 data, RSTn markers, and 0xFF fill bytes, so
+    the segment walk can resume after a scan's entropy data."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+        elif payload[pos + 1] == 0x00:
+            pos += 2  # stuffed data byte
+        elif 0xD0 <= payload[pos + 1] <= 0xD7:
+            pos += 2  # restart marker inside entropy data
+        elif payload[pos + 1] == 0xFF:
+            pos += 1  # fill byte
+        else:
+            return pos
+    return n
+
+
 def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    """Entropy-decode ONE scan → ({component id: plane}, next segment
+    offset). Interleaved scan (all frame components): each MCU carries
+    h×v blocks per component over the frame MCU grid. Single-component
+    scan: NON-interleaved per T.81 A.2.2 — one 8x8 block per MCU over
+    the COMPONENT's own raster ceil(cw/8) × ceil(ch/8), where cw/ch are
+    the component's subsampled dimensions (T.81 A.1.1) — regardless of
+    the SOF sampling factors. Per-component scans let the caller
+    accumulate planes across a multi-scan baseline file."""
     h, w = frame["h"], frame["w"]
-    if len(scan) == 1:
-        # T.81 A.2.2: a single-component scan is non-interleaved — one
-        # 8x8 block per MCU in a ceil(w/8) x ceil(h/8) raster, regardless
-        # of the sampling factors declared in SOF (which only matter for
-        # interleaved multi-component MCU layout).
-        scan = [{**scan[0], "h": 1, "v": 1}]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if len(scan) > 1:  # interleaved: frame MCU grid, h×v blocks per comp
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        geo = [(c, c["h"], c["v"]) for c in scan]
+    else:  # non-interleaved: the component's own block raster
+        c0 = scan[0]
+        cw = -(-(w * c0["h"]) // hmax)
+        chh = -(-(h * c0["v"]) // vmax)
+        mcux = -(-cw // 8)
+        mcuy = -(-chh // 8)
+        geo = [(c0, 1, 1)]
     planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in scan
+        c["id"]: np.zeros((mcuy * cv * 8, mcux * ch_ * 8)) for c, ch_, cv in geo
     }
     rd = _BitReader(payload, start)
     pred = {c["id"]: 0 for c in scan}
@@ -321,11 +371,11 @@ def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_inte
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 rd.restart()
                 pred = {c["id"]: 0 for c in scan}
-            for c in scan:
+            for c, ch_, cv in geo:
                 dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
                 q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
+                for by in range(cv):
+                    for bx in range(ch_):
                         zz = np.zeros(64, np.int64)
                         s = rd.huff(dct)
                         diff = _extend(rd.read(s), s)
@@ -348,21 +398,30 @@ def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_inte
                         coef = np.zeros(64)
                         coef[_ZZ] = zz * q
                         block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch_ + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    # upsample to full resolution and crop
+    return planes, _next_marker_pos(payload, rd.pos)
+
+
+def _planes_to_rgb(frame, planes) -> np.ndarray:
+    """Upsample each component plane to full frame resolution (nearest),
+    crop block padding, and color-convert (BT.601 for 3 components,
+    replication for grayscale)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     out = {}
-    for c in scan:
+    for c in frame["comps"]:
         p = planes[c["id"]]
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out[c["id"]] = p[:h, :w]
-    if len(scan) == 1:
-        g = np.clip(out[scan[0]["id"]], 0, 255).astype(np.uint8)
+    if len(frame["comps"]) == 1:
+        g = np.clip(out[frame["comps"][0]["id"]], 0, 255).astype(np.uint8)
         return np.repeat(g[..., None], 3, axis=-1)
-    y, cb, cr = (out[c["id"]] for c in scan[:3])
+    y, cb, cr = (out[c["id"]] for c in frame["comps"][:3])
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

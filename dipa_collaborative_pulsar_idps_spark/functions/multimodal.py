@@ -3,17 +3,17 @@ metadata struct (SURVEY.md §7 Phase 6).
 
 First-class, not plumbing-only:
 - REAL image decode for PPM (P6), uncompressed 24-bit BMP, PNG
-  (8-bit non-interlaced, all 5 scanline filters, color types
-  0/2/3/4/6 — stdlib zlib + numpy) and baseline JPEG (Huffman + IDCT +
-  chroma upsampling, pure numpy — functions/jpeg.py), plus real PNG and
-  JPEG encoders. PREFERENCE ORDER is production-first: when PIL is
-  importable its C codecs (libjpeg-turbo/libpng/giflib) decode
-  PNG/JPEG/GIF — 20-100× the throughput of a Python entropy loop —
-  and the pure-Python codecs are the PIL-less fallback + golden
+  (8- and 16-bit, non-interlaced AND Adam7, all 5 scanline filters,
+  color types 0/2/3/4/6 — stdlib zlib + numpy) and baseline JPEG
+  (Huffman + IDCT + chroma upsampling, pure numpy — functions/jpeg.py),
+  plus real PNG and JPEG encoders. PREFERENCE ORDER is production-first:
+  when PIL is importable its C codecs (libjpeg-turbo/libpng/giflib)
+  decode PNG/JPEG/GIF — 20-100× the throughput of a Python entropy
+  loop — and the pure-Python codecs are the PIL-less fallback + golden
   certifiers; when PIL is absent (this container) the native codecs
-  carry everything and the residual exotics (16-bit/Adam7 PNG,
-  progressive/12-bit/CMYK/multi-scan JPEG) raise the honest
-  NotImplementedError gate.
+  carry everything and the residual exotics (sub-8-bit PNG,
+  progressive/12-bit/CMYK JPEG) raise the honest NotImplementedError
+  gate.
 - REAL audio decode for PCM16 WAV (RIFF parse → int16 samples).
 - REAL nearest-neighbor resize + PPM re-encode.
 - REAL features: channel means/stds + luminance histogram (images),
@@ -166,12 +166,12 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 # --- PNG (pure stdlib-zlib + numpy; no PIL) --------------------------------
 #
 # PNG's only compression is stdlib `zlib` over filtered scanlines, so the
-# full 8-bit non-interlaced decode needs no external codec: signature →
-# chunk walk (IHDR/PLTE/tRNS-free IDAT/IEND) → inflate → per-scanline
-# de-filter (all 5 spec filters) → color-type assembly. Covers color types
-# 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); 16-bit and
-# Adam7 interlace stay behind the honest gate (rare in web corpora, and
-# PIL handles them when present).
+# full decode needs no external codec: signature → chunk walk
+# (IHDR/PLTE/tRNS-free IDAT/IEND) → inflate → per-scanline de-filter
+# (all 5 spec filters) → color-type assembly. Covers color types 0
+# (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at 8- and
+# 16-bit depth, non-interlaced and Adam7 (r9); only sub-8-bit depths
+# stay behind the honest gate (rare in web corpora, PIL handles them).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -244,10 +244,88 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def _png_defilter(raw: np.ndarray, n_rows: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering: *raw* is (n_rows, 1 + stride) uint8
+    (filter byte + filtered bytes per row), *bpp* the filter unit in
+    BYTES (channels × bytes-per-sample). Returns (n_rows, stride) uint8.
+    Shared by the non-interlaced path and each Adam7 sub-image (which is
+    filtered as an independent image per the spec). Filters 0/1/2 are
+    fully vectorized; Average/Paeth depend on the just-reconstructed left
+    neighbor, so those rows run a tight pure-Python byte loop (bytearray
+    int arithmetic — several times faster than per-pixel numpy slicing)."""
+    out = np.zeros((n_rows, stride), np.uint8)
+    prev_np = np.zeros(stride, np.int16)
+    prev_b = bytes(stride)
+    lanes = stride // bpp
+    for r in range(n_rows):
+        f = int(raw[r, 0])
+        if f == 0:
+            recon = raw[r, 1:].astype(np.int16)
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            line = raw[r, 1:].astype(np.int64)
+            recon = (
+                np.cumsum(line.reshape(lanes, bpp), axis=0).reshape(-1) % 256
+            ).astype(np.int16)
+        elif f == 2:  # Up
+            recon = (raw[r, 1:].astype(np.int16) + prev_np) % 256
+        elif f == 3:  # Average
+            ln = raw[r, 1:].tobytes()
+            pr = prev_b
+            rec = bytearray(stride)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (ln[i] + ((left + pr[i]) >> 1)) & 0xFF
+            out[r] = np.frombuffer(bytes(rec), np.uint8)
+            prev_np = out[r].astype(np.int16)
+            prev_b = bytes(rec)
+            continue
+        elif f == 4:  # Paeth
+            ln = raw[r, 1:].tobytes()
+            pr = prev_b
+            rec = bytearray(stride)
+            for i in range(stride):
+                if i >= bpp:
+                    left, ul = rec[i - bpp], pr[i - bpp]
+                else:
+                    left = ul = 0
+                up = pr[i]
+                p = left + up - ul
+                pa = p - left if p >= left else left - p
+                pb = p - up if p >= up else up - p
+                pc = p - ul if p >= ul else ul - p
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                rec[i] = (ln[i] + pred) & 0xFF
+            out[r] = np.frombuffer(bytes(rec), np.uint8)
+            prev_np = out[r].astype(np.int16)
+            prev_b = bytes(rec)
+            continue
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[r] = recon.astype(np.uint8)
+        prev_np = recon
+        prev_b = out[r].tobytes()
+    return out
+
+
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, 3) uint8 RGB, pure stdlib zlib + numpy.
-    8-bit non-interlaced color types 0/2/3/4/6; 16-bit depth and Adam7
-    route to the PIL gate via NotImplementedError."""
+    Color types 0/2/3/4/6 at 8- AND 16-bit depth (16-bit samples keep the
+    high byte, libpng strip_16 semantics), non-interlaced AND Adam7
+    (each pass de-filtered as its own sub-image, then re-rastered per the
+    spec's pass geometry). Sub-8-bit depths (1/2/4) route to the PIL gate
+    via NotImplementedError."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -271,44 +349,45 @@ def _decode_png(payload: bytes) -> np.ndarray:
         i += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+    if depth not in (8, 16) or interlace not in (0, 1) or ctype not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG depth={depth}/interlace={interlace}/color={ctype} needs PIL"
         )
+    if ctype == 3 and depth == 16:
+        raise ValueError("PNG palette color type forbids 16-bit depth")
     ch = _PNG_CHANNELS[ctype]
-    stride = w * ch
+    sb = depth // 8  # bytes per sample
+    bpp = ch * sb  # filter unit in bytes
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload length mismatch")
-    raw = raw.reshape(h, stride + 1)
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int16)
-    for r in range(h):
-        f, line = int(raw[r, 0]), raw[r, 1:].astype(np.int16)
-        if f == 0:
-            recon = line
-        elif f == 1:  # Sub: per-lane cumulative sum mod 256
-            recon = np.cumsum(line.reshape(w, ch).astype(np.int64), axis=0).reshape(-1) % 256
-        elif f == 2:  # Up
-            recon = (line + prev) % 256
-        elif f in (3, 4):  # Average / Paeth: left-dependent, serial in x
-            recon = np.zeros(stride, np.int16)
-            for px in range(w):
-                sl = slice(px * ch, (px + 1) * ch)
-                left = recon[px * ch - ch : px * ch] if px else np.zeros(ch, np.int16)
-                up = prev[sl]
-                if f == 3:
-                    recon[sl] = (line[sl] + (left + up) // 2) % 256
-                else:
-                    ul = prev[px * ch - ch : px * ch] if px else np.zeros(ch, np.int16)
-                    recon[sl] = (line[sl] + _paeth(left, up, ul)) % 256
-        else:
-            raise ValueError(f"PNG filter type {f} invalid")
-        out[r] = recon.astype(np.uint8)
-        prev = recon.astype(np.int16)
-    px = out.reshape(h, w, ch)
+
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline payload length mismatch")
+        out = _png_defilter(raw.reshape(h, stride + 1), h, stride, bpp)
+        px = out.reshape(h, w, ch, sb)[..., 0]  # high byte == 8-bit value at sb=1
+    else:  # Adam7: 7 independently-filtered sub-images, re-rastered
+        px = np.zeros((h, w, ch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes NO bytes, not even filter bytes
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG Adam7 payload truncated")
+            sub = _png_defilter(
+                raw[pos : pos + need].reshape(ph, stride + 1), ph, stride, bpp
+            )
+            pos += need
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch, sb)[..., 0]
+        if pos != len(raw):
+            raise ValueError("PNG Adam7 payload length mismatch")
+
     if ctype == 2:
-        return px
+        return np.ascontiguousarray(px)
     if ctype == 6:
         return np.ascontiguousarray(px[..., :3])
     if ctype == 0:
@@ -373,10 +452,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     PIL is importable, PNG/JPEG/GIF route through it (libpng /
     libjpeg-turbo / giflib — 20-100× the decode throughput of a Python
     loop), with the pure-Python codecs as fallback; when PIL is absent
-    (this container), the native codecs decode baseline JPEG, 8-bit
-    non-interlaced PNG (all 5 filters, color types 0/2/3/4/6) and GIF,
-    and the residual exotics (16-bit/Adam7 PNG, progressive/12-bit/
-    CMYK/multi-scan JPEG) raise the honest NotImplementedError gate."""
+    (this container), the native codecs decode baseline JPEG, PNG at 8-
+    and 16-bit / non-interlaced and Adam7 (all 5 filters, color types
+    0/2/3/4/6) and GIF, and the residual exotics (sub-8-bit PNG,
+    progressive/12-bit/CMYK JPEG) raise the honest gate."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":

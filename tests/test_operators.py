@@ -911,8 +911,10 @@ def test_png_roundtrip_and_color_types():
     """encode_png → decode_image is lossless for noise, gradients, and
     flat fields (the min-SAD heuristic picks different filters per shape);
     gray / gray+alpha / RGBA / paletted PNGs decode to the spec's RGB
-    projection; 16-bit depth and Adam7 interlace stay behind the honest
-    capability gate."""
+    projection; 16-bit depth decodes natively (high byte kept — libpng
+    strip_16 semantics) and Adam7 interlace decodes natively from a
+    spec-derived pass construction built independently of the decoder;
+    sub-8-bit depths stay behind the honest capability gate."""
     import struct
     import zlib
 
@@ -957,13 +959,49 @@ def test_png_roundtrip_and_color_types():
     idx = rng.integers(0, 7, (4, 5, 1)).astype(np.uint8)
     assert (_decode_png(manual(5, 4, 3, idx, plte)) == plte[idx[..., 0]]).all()
 
-    # capability gates: 16-bit depth / Adam7 interlace
-    for depth, interlace in [(16, 0), (8, 1)]:
-        bad = _PNG_SIG + _png_chunk(
-            b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
-        )
-        with _pytest.raises(NotImplementedError):
-            _decode_png(bad + _png_chunk(b"IEND", b""))
+    # 16-bit depth decodes natively: high byte kept (libpng strip_16)
+    r16 = rng.integers(0, 65536, (4, 5, 3)).astype(">u2")
+    raw16 = b"".join(b"\x00" + r16[r].tobytes() for r in range(4))
+    p16 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw16))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (_decode_png(p16) == (r16 >> 8).astype(np.uint8)).all()
+
+    # Adam7 decodes natively. The pass construction below follows the
+    # spec's pass geometry directly (start/step tables transcribed from
+    # PNG §8.2), NOT the decoder's table — a shared systematic error in
+    # the geometry would show as a pixel-position mismatch here.
+    h7, w7 = 10, 9
+    img7 = (np.arange(h7 * w7 * 3, dtype=np.uint64) * 97 % 256).astype(
+        np.uint8
+    ).reshape(h7, w7, 3)
+    spec_passes = [  # (x_start, y_start, x_step, y_step) per PNG §8.2
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw7 = b""
+    for x0, y0, dx, dy in spec_passes:
+        sub = img7[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue  # empty pass contributes no bytes
+        raw7 += b"".join(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+    p7 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w7, h7, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(raw7))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (_decode_png(p7) == img7).all()
+
+    # residual capability gate: sub-8-bit depth
+    bad = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    )
+    with _pytest.raises(NotImplementedError):
+        _decode_png(bad + _png_chunk(b"IEND", b""))
 
 
 def test_bmp_roundtrip_including_row_padding():
@@ -1101,11 +1139,13 @@ def test_jpeg_decoder_420_subsampling_and_restart_markers():
 
 def test_jpeg_gates_and_fill_bytes_r9():
     """Round-9 advisor closures on the segment walk and scan layout:
-    (a) a non-interleaved multi-scan baseline JPEG (3-component SOF, SOS
-    covering 1 component) raises the honest NotImplementedError gate —
-    it would otherwise decode silently wrong as Y-only grayscale;
-    (b) a 4-component (Adobe CMYK) frame gates the same way instead of
-    applying YCbCr math to CMYK;
+    (a) a non-interleaved multi-scan baseline JPEG (3-component SOF, one
+    SOS per component) decodes NATIVELY — hand-assembled DC-only scans
+    must reconstruct the uniform frame, including a 4:2:0 variant where
+    the Y scan rasters the component's own 2×2-block grid;
+    (a') a partially-interleaved scan (2 of 3 components) gates to PIL;
+    (b) a 4-component (Adobe CMYK) frame gates instead of applying YCbCr
+    math to CMYK;
     (c) legal 0xFF fill bytes padding a marker (T.81 B.1.1.2) are skipped,
     not misread as a marker code;
     (d) a single-component scan is NON-interleaved per T.81 A.2.2 — one
@@ -1116,24 +1156,66 @@ def test_jpeg_gates_and_fill_bytes_r9():
     import pytest as _pytest
 
     from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        _AC_CHROMA,
         _AC_LUMA,
+        _DC_CHROMA,
         _DC_LUMA,
         decode_jpeg,
     )
 
     qt = _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
-    dhts = _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1])) + _jpeg_seg(
-        0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1])
+    dhts = (
+        _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1]))
+        + _jpeg_seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1]))
+        + _jpeg_seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA[0]) + bytes(_AC_CHROMA[1]))
     )
     entropy = _bits_to_entropy("1111110" + "100000000" + "1010")
 
-    # (a) 3-component frame, single-component scan → gate to PIL path
+    # (a) 3 per-component scans, 4:4:4 8×8: Y DC=256 (→160), Cb/Cr DC
+    # diff 0 (→128) ⇒ uniform gray 160 after BT.601
     sof3 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
         [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
     )
     sos1 = bytes([1, 1, 0x00, 0, 63, 0])
-    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof3) + dhts + _jpeg_seg(0xDA, sos1) + entropy + b"\xff\xd9"
-    with _pytest.raises(NotImplementedError, match="non-interleaved"):
+    scans = (
+        _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + entropy
+        + _jpeg_seg(0xDA, bytes([1, 2, 0x11, 0, 63, 0])) + _bits_to_entropy("00" + "00")
+        + _jpeg_seg(0xDA, bytes([1, 3, 0x11, 0, 63, 0])) + _bits_to_entropy("00" + "00")
+    )
+    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof3) + dhts + scans + b"\xff\xd9"
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8, 3) and (out == 160).all()
+
+    # (a) 4:2:0 multi-scan 16×16: the Y scan rasters ITS OWN 2×2-block
+    # component grid (4 blocks: abs DC then 3 zero diffs); chroma scans
+    # are one 8×8 block each
+    sof420 = bytes([8]) + struct.pack(">HH", 16, 16) + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    y_scan = _bits_to_entropy(
+        "1111110" + "100000000" + "1010" + ("00" + "1010") * 3
+    )
+    scans420 = (
+        _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + y_scan
+        + _jpeg_seg(0xDA, bytes([1, 2, 0x11, 0, 63, 0])) + _bits_to_entropy("00" + "00")
+        + _jpeg_seg(0xDA, bytes([1, 3, 0x11, 0, 63, 0])) + _bits_to_entropy("00" + "00")
+    )
+    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof420) + dhts + scans420 + b"\xff\xd9"
+    out = decode_jpeg(jpg)
+    assert out.shape == (16, 16, 3) and (out == 160).all()
+
+    # (a) truncated multi-scan (chroma scans missing) fails loudly
+    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof3) + dhts + _jpeg_seg(
+        0xDA, sos1
+    ) + entropy + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="not all components"):
+        decode_jpeg(jpg)
+
+    # (a') partially-interleaved scan (2 of 3 components) → gate
+    sos2 = bytes([2, 1, 0x00, 2, 0x11, 0, 63, 0])
+    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof3) + dhts + _jpeg_seg(0xDA, sos2) + entropy + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="partially-interleaved"):
         decode_jpeg(jpg)
 
     # (b) 4-component Adobe CMYK/YCCK frame → gate
