@@ -1,12 +1,14 @@
 """Pure-numpy baseline JPEG codec — no PIL, no external libs.
 
-Closes the last gated image format: baseline sequential DCT JPEG
-(SOF0, Huffman entropy coding, 8-bit, grayscale or YCbCr with any
-h/v chroma subsampling, restart markers, interleaved OR per-component
-non-interleaved multi-scan files — r9) decodes natively; progressive
-(SOF2), arithmetic coding, 12-bit, 4-component CMYK/YCCK, and
-partially-interleaved scans stay behind the honest NotImplementedError
-gate (PIL handles them when present).
+Closes the last gated image format: sequential baseline (SOF0 —
+interleaved OR per-component non-interleaved multi-scan, r9) AND
+progressive (SOF2 — spectral selection, successive approximation,
+EOB runs; r9) DCT JPEG, Huffman entropy coding, 8-bit, grayscale or
+YCbCr with any h/v chroma subsampling, restart markers — all decode
+natively. Arithmetic coding, 12-bit, 4-component CMYK/YCCK,
+partially-interleaved scans, and lossless/hierarchical processes stay
+behind the honest NotImplementedError gate (PIL handles them when
+present).
 
 Pieces (ITU-T T.81 baseline):
 - segment walk: DQT / SOF0 / DHT / DRI / SOS, APPn+COM skipped;
@@ -226,6 +228,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None
     planes: dict[int, np.ndarray] = {}  # accumulated across (multi-)scans
+    coefs: dict[int, np.ndarray] = {}  # progressive coefficient planes
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {i}")
@@ -249,7 +252,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise NotImplementedError("16-bit quantization tables need PIL")
                 qt[tq] = np.frombuffer(seg, np.uint8, 64, j + 1).astype(np.int64)
                 j += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG needs PIL")
@@ -257,9 +260,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + c * 3], seg[7 + c * 3], seg[8 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("progressive/extended JPEG needs PIL")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("lossless/arithmetic/hierarchical JPEG needs PIL")
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -293,6 +296,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
             data_start = i + 2 + seglen
+            if frame.get("progressive"):
+                # progressive scan header: spectral band [Ss, Se] +
+                # successive-approximation bit positions Ah (prior) / Al
+                ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+                ah, al = seg[3 + ns * 2] >> 4, seg[3 + ns * 2] & 0xF
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                if not coefs:
+                    coefs = _alloc_coef_arrays(frame)
+                i = _decode_prog_scan(
+                    payload, data_start, frame, scan, huff_dc, huff_ac,
+                    restart_interval, coefs, ss, se, ah, al,
+                )
+                continue
             # A single-component scan is non-interleaved per T.81 A.2.2
             # (one block per MCU over the COMPONENT's own raster) even
             # when it is the frame's only scan; a full-component scan is
@@ -313,6 +330,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 return _planes_to_rgb(frame, planes)
             continue
         i += 2 + seglen
+    if coefs:
+        # progressive: coefficients accumulate across every scan and the
+        # image is reconstructed once, at EOI (a stream that stops early
+        # still renders — that is the format's point — but every
+        # component must have had at least its DC scan)
+        return _prog_finish(frame, coefs, qt)
     if frame is not None and planes:
         raise ValueError("JPEG truncated: not all components scanned")
     raise ValueError("JPEG has no SOS segment")
@@ -403,6 +426,182 @@ def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_inte
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
     return planes, _next_marker_pos(payload, rd.pos)
+
+
+def _alloc_coef_arrays(frame) -> dict[int, np.ndarray]:
+    """Per-component zigzag-order coefficient arrays for progressive
+    accumulation, sized to the frame's MCU-padded block grid (covers both
+    interleaved DC-scan addressing and each component's own raster)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+        for c in frame["comps"]
+    }
+
+
+def _comp_block_raster(frame, c) -> tuple[int, int]:
+    """Non-interleaved block raster of component *c*: ceil over the
+    component's subsampled dimensions (T.81 A.1.1 / A.2.2)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    chh = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _refine_nonzero(rd: _BitReader, block: np.ndarray, k: int, se: int, p1: int, r: int = -1):
+    """The AC-refinement correction loop (T.81 G.1.2.3, the libjpeg
+    decode_mcu_AC_refine inner walk): advance from *k* to the (r+1)-th
+    ZERO-HISTORY coefficient (or past *se* when r < 0 means 'to the
+    end'), consuming one correction bit for every already-nonzero
+    coefficient passed — set bits add ±p1 toward larger magnitude when
+    the p1 bit isn't already set. Returns the stopping index."""
+    while k <= se:
+        v = int(block[k])
+        if v != 0:
+            if rd.read(1) and (v & p1) == 0:
+                block[k] = v + (p1 if v >= 0 else -p1)
+        else:
+            if r == 0:
+                break
+            r -= 1
+        k += 1
+    return k
+
+
+def _decode_prog_scan(
+    payload, start, frame, scan, huff_dc, huff_ac, restart_interval,
+    coefs, ss, se, ah, al,
+):
+    """One progressive scan (T.81 Annex G) → next segment offset,
+    accumulating into *coefs* (zigzag order, successive-approximation
+    bit positions included — dequantize + IDCT happen once at EOI):
+
+    - DC scans (Ss=Se=0), possibly interleaved over the frame MCU grid:
+      first pass (Ah=0) decodes DC diffs shifted left by Al; refinements
+      (Ah>0) read ONE bit per block, OR-ing in the Al bit plane.
+    - AC scans (Ss≥1), always single-component over the component's own
+      block raster: first pass (Ah=0) is run/size coding with EOB-run
+      symbols (EOBn skips whole blocks); refinement (Ah>0) inserts new
+      ±(1<<Al) coefficients and spends correction bits on every nonzero
+      coefficient it walks past — the libjpeg AC-refine algorithm.
+    Restart markers reset DC predictors, the EOB run, and bit alignment.
+    """
+    rd = _BitReader(payload, start)
+    p1 = 1 << al
+
+    if ss == 0:  # ---- DC scan ----
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        h, w = frame["h"], frame["w"]
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        if len(scan) > 1:  # interleaved over the frame MCU grid
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            geo = [(c, c["h"], c["v"]) for c in scan]
+        else:
+            mcuy, mcux = _comp_block_raster(frame, scan[0])
+            geo = [(scan[0], 1, 1)]
+        pred = {c["id"]: 0 for c in scan}
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    rd.restart()
+                    pred = {c["id"]: 0 for c in scan}
+                for c, ch_, cv in geo:
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            blk = coefs[c["id"]][my * cv + by, mx * ch_ + bx]
+                            if ah == 0:
+                                s = rd.huff(huff_dc[c["dc"]])
+                                pred[c["id"]] += _extend(rd.read(s), s)
+                                blk[0] = pred[c["id"]] << al
+                            elif rd.read(1):
+                                blk[0] = int(blk[0]) | p1
+                mcu_count += 1
+        return _next_marker_pos(payload, rd.pos)
+
+    # ---- AC scan: single component over its own raster ----
+    c = scan[0]
+    act = huff_ac[c["ac"]]
+    by_n, bx_n = _comp_block_raster(frame, c)
+    arr = coefs[c["id"]]
+    eobrun = 0
+    blk_count = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if restart_interval and blk_count and blk_count % restart_interval == 0:
+                rd.restart()
+                eobrun = 0
+            blk_count += 1
+            block = arr[by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = rd.huff(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:  # EOBn: run of (1<<r)+bits end-of-bands
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.read(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    block[k] = _extend(rd.read(s), s) << al
+                    k += 1
+            else:  # refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = rd.huff(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r  # includes THIS block
+                                if r:
+                                    eobrun += rd.read(r)
+                                break
+                            val = 0  # ZRL: 16 zero-history skips
+                        else:
+                            if s != 1:
+                                raise ValueError("AC refinement size must be 1")
+                            val = p1 if rd.read(1) else -p1
+                        k = _refine_nonzero(rd, block, k, se, p1, r)
+                        if val and k <= se:
+                            block[k] = val
+                        k += 1
+                if eobrun > 0:
+                    _refine_nonzero(rd, block, k, se, p1)
+                    eobrun -= 1
+    return _next_marker_pos(payload, rd.pos)
+
+
+def _prog_finish(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + de-zigzag + batched IDCT of the accumulated
+    progressive coefficient arrays, then the shared upsample/convert."""
+    planes = {}
+    for c in frame["comps"]:
+        arr = coefs[c["id"]]
+        q = qt[c["tq"]]
+        by, bx = arr.shape[:2]
+        deq = np.zeros((by, bx, 64))
+        deq[:, :, _ZZ] = arr * q  # zigzag k → (row, col), dequantized
+        blocks = _C.T @ deq.reshape(by, bx, 8, 8) @ _C + 128.0
+        planes[c["id"]] = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return _planes_to_rgb(frame, planes)
 
 
 def _planes_to_rgb(frame, planes) -> np.ndarray:
@@ -546,3 +745,111 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     wr.flush()
     return head + bytes(wr.out) + b"\xff\xd9"
 
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) uint8 RGB → PROGRESSIVE JPEG (SOF2, 4:4:4,
+    spectral-selection organization: one interleaved DC scan followed by
+    one full-band AC scan per component, no successive approximation).
+    The quantized coefficients are computed exactly as in
+    :func:`encode_jpeg`, only the scan organization differs — so a
+    correct progressive decoder must reproduce the baseline encoding's
+    decode BIT-FOR-BIT (the equivalence the tests pin). Exists to
+    generate real progressive fixtures in-sandbox."""
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qly = _quality_scale(_QT_LUMA, quality)
+    qlc = _quality_scale(_QT_CHROMA, quality)
+    dc_l, ac_l = _huff_encode_table(*_DC_LUMA), _huff_encode_table(*_AC_LUMA)
+    dc_c, ac_c = _huff_encode_table(*_DC_CHROMA), _huff_encode_table(*_AC_CHROMA)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    by_n, bx_n = -(-h // 8), -(-w // 8)
+
+    def zz_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+        padded = np.pad(plane, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
+        blocks = padded.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = _C @ blocks @ _C.T
+        flat = coef.reshape(by_n, bx_n, 64)
+        return np.round(flat[:, :, _ZZ] / q[_ZZ]).astype(np.int64)
+
+    planes = [
+        (1, zz_blocks(y, qly), dc_l, ac_l, 0x00),
+        (2, zz_blocks(cb, qlc), dc_c, ac_c, 0x11),
+        (3, zz_blocks(cr, qlc), dc_c, ac_c, 0x11),
+    ]
+
+    head = b"\xff\xd8"
+    head += seg(0xDB, bytes([0]) + qly[_ZZ].astype(np.uint8).tobytes())
+    head += seg(0xDB, bytes([1]) + qlc[_ZZ].astype(np.uint8).tobytes())
+    head += seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    head += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+    head += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1]))
+    head += seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1]))
+    head += seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA[0]) + bytes(_AC_CHROMA[1]))
+    out = head
+
+    def emit(wr: _BitWriter, value: int, table) -> None:
+        size = abs(int(value)).bit_length()
+        code, length = table[size]
+        wr.write(code, length)
+        if size:
+            v = value if value > 0 else value + (1 << size) - 1
+            wr.write(v, size)
+
+    # scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    wr = _BitWriter()
+    pred = [0, 0, 0]
+    for yb in range(by_n):
+        for xb in range(bx_n):
+            for ci, (_cid, zz, dct, _act, _tabs) in enumerate(planes):
+                dc = int(zz[yb, xb, 0])
+                emit(wr, dc - pred[ci], dct)
+                pred[ci] = dc
+    wr.flush()
+    out += bytes(wr.out)
+
+    # scans 2-4: one full-band AC scan per component (Ss=1, Se=63).
+    # Per-block trailing zeros end with the EOB0 symbol — an EOB run of
+    # exactly one band, so the bit pattern matches baseline EOB.
+    for cid, zz, _dct, act, tabs in planes:
+        out += seg(0xDA, bytes([1, cid, tabs, 1, 63, 0]))
+        wr = _BitWriter()
+        for yb in range(by_n):
+            for xb in range(bx_n):
+                blk = zz[yb, xb]
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and blk[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        code, length = act[0x00]  # EOB0
+                        wr.write(code, length)
+                        break
+                    while run >= 16:
+                        code, length = act[0xF0]  # ZRL
+                        wr.write(code, length)
+                        run -= 16
+                    v = int(blk[k])
+                    size = abs(v).bit_length()
+                    code, length = act[(run << 4) | size]
+                    wr.write(code, length)
+                    vv = v if v > 0 else v + (1 << size) - 1
+                    wr.write(vv, size)
+                    k += 1
+        wr.flush()
+        out += bytes(wr.out)
+    return out + b"\xff\xd9"

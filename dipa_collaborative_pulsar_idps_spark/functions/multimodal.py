@@ -3,17 +3,18 @@ metadata struct (SURVEY.md §7 Phase 6).
 
 First-class, not plumbing-only:
 - REAL image decode for PPM (P6), uncompressed 24-bit BMP, PNG
-  (8- and 16-bit, non-interlaced AND Adam7, all 5 scanline filters,
-  color types 0/2/3/4/6 — stdlib zlib + numpy) and baseline JPEG
-  (Huffman + IDCT + chroma upsampling, pure numpy — functions/jpeg.py),
-  plus real PNG and JPEG encoders. PREFERENCE ORDER is production-first:
+  (every legal depth 1/2/4/8/16, non-interlaced AND Adam7, all 5
+  scanline filters, color types 0/2/3/4/6 — stdlib zlib + numpy) and
+  JPEG (baseline + progressive: Huffman + IDCT + chroma upsampling,
+  pure numpy — functions/jpeg.py), plus real PNG and JPEG (baseline +
+  progressive) encoders. PREFERENCE ORDER is production-first:
   when PIL is importable its C codecs (libjpeg-turbo/libpng/giflib)
   decode PNG/JPEG/GIF — 20-100× the throughput of a Python entropy
   loop — and the pure-Python codecs are the PIL-less fallback + golden
   certifiers; when PIL is absent (this container) the native codecs
-  carry everything and the residual exotics (sub-8-bit PNG,
-  progressive/12-bit/CMYK JPEG) raise the honest NotImplementedError
-  gate.
+  carry everything — baseline AND progressive JPEG, every legal PNG
+  depth/interlace — and the residual exotics (12-bit/arithmetic/CMYK
+  JPEG) raise the honest NotImplementedError gate.
 - REAL audio decode for PCM16 WAV (RIFF parse → int16 samples).
 - REAL nearest-neighbor resize + PPM re-encode.
 - REAL features: channel means/stds + luminance histogram (images),
@@ -169,9 +170,9 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 # full decode needs no external codec: signature → chunk walk
 # (IHDR/PLTE/tRNS-free IDAT/IEND) → inflate → per-scanline de-filter
 # (all 5 spec filters) → color-type assembly. Covers color types 0
-# (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at 8- and
-# 16-bit depth, non-interlaced and Adam7 (r9); only sub-8-bit depths
-# stay behind the honest gate (rare in web corpora, PIL handles them).
+# (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at every legal
+# depth (1/2/4/8/16), non-interlaced and Adam7 (r9) — the full PNG
+# decode surface, no gates left.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -319,13 +320,32 @@ _ADAM7 = (
 )
 
 
+def _png_rows_to_samples(
+    rows: np.ndarray, width: int, depth: int, ch: int
+) -> np.ndarray:
+    """De-filtered scanline bytes (n_rows, row_bytes) → (n_rows, width, ch)
+    uint8 samples. depth 8: plain reshape; depth 16: high byte kept
+    (libpng strip_16); depths 1/2/4 (gray/palette only): MSB-first bit
+    unpacking, padding bits at row end discarded. Sub-8-bit GRAY samples
+    are left as raw values — the caller scales by 255/(2^depth-1)."""
+    n = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(n, width, ch)
+    if depth == 16:
+        return rows.reshape(n, width, ch, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth * ch]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(n, width * ch, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(n, width, ch)
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, 3) uint8 RGB, pure stdlib zlib + numpy.
-    Color types 0/2/3/4/6 at 8- AND 16-bit depth (16-bit samples keep the
-    high byte, libpng strip_16 semantics), non-interlaced AND Adam7
-    (each pass de-filtered as its own sub-image, then re-rastered per the
-    spec's pass geometry). Sub-8-bit depths (1/2/4) route to the PIL gate
-    via NotImplementedError."""
+    Color types 0/2/3/4/6 at every legal bit depth — 8, 16 (high byte
+    kept, libpng strip_16 semantics), and 1/2/4 for gray/palette (gray
+    scaled to full range) — non-interlaced AND Adam7 (each pass
+    de-filtered as its own sub-image, then re-rastered per the spec's
+    pass geometry)."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -349,23 +369,32 @@ def _decode_png(payload: bytes) -> np.ndarray:
         i += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth not in (8, 16) or interlace not in (0, 1) or ctype not in _PNG_CHANNELS:
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or interlace not in (0, 1)
+        or ctype not in _PNG_CHANNELS
+    ):
         raise NotImplementedError(
             f"PNG depth={depth}/interlace={interlace}/color={ctype} needs PIL"
         )
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(f"PNG color type {ctype} forbids depth {depth}")
     if ctype == 3 and depth == 16:
         raise ValueError("PNG palette color type forbids 16-bit depth")
     ch = _PNG_CHANNELS[ctype]
-    sb = depth // 8  # bytes per sample
-    bpp = ch * sb  # filter unit in bytes
+    # filter unit in bytes: max(1, channels × bytes-per-sample) per spec
+    bpp = max(1, ch * depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
 
+    def row_bytes(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
     if interlace == 0:
-        stride = w * bpp
+        stride = row_bytes(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG scanline payload length mismatch")
         out = _png_defilter(raw.reshape(h, stride + 1), h, stride, bpp)
-        px = out.reshape(h, w, ch, sb)[..., 0]  # high byte == 8-bit value at sb=1
+        px = _png_rows_to_samples(out, w, depth, ch)
     else:  # Adam7: 7 independently-filtered sub-images, re-rastered
         px = np.zeros((h, w, ch), np.uint8)
         pos = 0
@@ -374,7 +403,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue  # empty pass contributes NO bytes, not even filter bytes
-            stride = pw * bpp
+            stride = row_bytes(pw)
             need = ph * (stride + 1)
             if pos + need > len(raw):
                 raise ValueError("PNG Adam7 payload truncated")
@@ -382,9 +411,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
                 raw[pos : pos + need].reshape(ph, stride + 1), ph, stride, bpp
             )
             pos += need
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch, sb)[..., 0]
+            px[y0::dy, x0::dx] = _png_rows_to_samples(sub, pw, depth, ch)
         if pos != len(raw):
             raise ValueError("PNG Adam7 payload length mismatch")
+    if ctype == 0 and depth < 8:  # scale raw gray levels to full range
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
 
     if ctype == 2:
         return np.ascontiguousarray(px)
@@ -452,10 +483,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     PIL is importable, PNG/JPEG/GIF route through it (libpng /
     libjpeg-turbo / giflib — 20-100× the decode throughput of a Python
     loop), with the pure-Python codecs as fallback; when PIL is absent
-    (this container), the native codecs decode baseline JPEG, PNG at 8-
-    and 16-bit / non-interlaced and Adam7 (all 5 filters, color types
-    0/2/3/4/6) and GIF, and the residual exotics (sub-8-bit PNG,
-    progressive/12-bit/CMYK JPEG) raise the honest gate."""
+    (this container), the native codecs decode baseline AND progressive
+    JPEG, PNG at every legal depth/interlace (all 5 filters, color types
+    0/2/3/4/6) and GIF; the residual exotics (12-bit/arithmetic/CMYK
+    JPEG) raise the honest gate."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -1036,9 +1067,9 @@ def media_stats(media: DataFrame) -> DataFrame:
 
 def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) -> DataFrame:
     """n_items rows cycling image/audio/video. Images are 32×24 gradients
-    parameterized by id, container-cycled PPM/BMP/PNG/JPEG (four real
-    codecs over the same pixel family); audio is a 440+id Hz, 0.25 s
-    PCM16 sine;
+    parameterized by id, container-cycled PPM/BMP/PNG/JPEG/progressive-
+    JPEG (five real codecs over the same pixel family); audio is a
+    440+id Hz, 0.25 s PCM16 sine;
     videos are REAL 4-frame 16×12 PPM streams (a gradient translating one
     pixel per frame, so motion features are non-trivial) with duration
     metadata; every 5th video is an opaque blob to keep the
@@ -1056,20 +1087,23 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                         [(x * 8 + i) % 256, (y * 10 + 2 * i) % 256, np.full_like(x, i % 256)],
                         axis=-1,
                     ).astype(np.uint8)
-                    # cycle the container: PPM / BMP / PNG / JPEG — same
-                    # pixel family, four real codecs, so every declared
-                    # media query exercises the whole native decode
-                    # surface (dHash is bit-stable for these gradients at
-                    # JPEG q90 — margins ≫ quantization error — so the
-                    # perceptual-collapse probe holds across all four)
-                    from .jpeg import encode_jpeg
+                    # cycle the container: PPM / BMP / PNG / JPEG /
+                    # progressive JPEG — same pixel family, five real
+                    # codecs, so every declared media query exercises the
+                    # whole native decode surface (dHash is bit-stable for
+                    # these gradients at JPEG q90 — margins ≫ quantization
+                    # error — and progressive q90 decodes bit-identically
+                    # to baseline q90, so the perceptual-collapse probe
+                    # holds across all five)
+                    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
                     enc = (
                         encode_ppm,
                         encode_bmp,
                         encode_png,
                         lambda a: encode_jpeg(a, 90),
-                    )[(i // 3) % 4]
+                        lambda a: encode_jpeg_progressive(a, 90),
+                    )[(i // 3) % 5]
                     rows.append((f"m{i}", kind, enc(img), 32, 24, None))
                 elif kind == "audio":
                     t = np.arange(0, 4000) / 16000.0

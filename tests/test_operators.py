@@ -996,9 +996,35 @@ def test_png_roundtrip_and_color_types():
     )
     assert (_decode_png(p7) == img7).all()
 
-    # residual capability gate: sub-8-bit depth
+    # sub-8-bit depths decode natively (gray scaled to full range;
+    # MSB-first packing with row-end padding bits discarded per spec)
+    def manual_depth(w_, h_, depth_, ctype_, rows, plte_=None):
+        raw = b"".join(b"\x00" + r for r in rows)
+        out = _PNG_SIG + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w_, h_, depth_, ctype_, 0, 0, 0)
+        )
+        if plte_ is not None:
+            out += _png_chunk(b"PLTE", plte_.tobytes())
+        return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+    # 1-bit gray, 10 wide (2 bytes/row, 6 pad bits): alternating pattern
+    p1 = manual_depth(10, 2, 1, 0, [b"\xaa\x80", b"\x55\x40"])
+    want_row0 = np.array([255, 0] * 5, np.uint8)
+    got = _decode_png(p1)
+    assert (got[0, :, 0] == want_row0).all() and (got[1, :, 0] == 255 - want_row0).all()
+
+    # 2-bit gray: levels 0..3 scale to 0/85/170/255
+    p2 = manual_depth(4, 1, 2, 0, [bytes([0b00011011])])
+    assert (_decode_png(p2)[0, :, 0] == [0, 85, 170, 255]).all()
+
+    # 4-bit palette: two indexed pixels per byte
+    plte4 = np.array([[10, 20, 30], [200, 100, 50], [1, 2, 3]], np.uint8)
+    p4 = manual_depth(3, 1, 4, 3, [bytes([0x01, 0x20])], plte4)
+    assert (_decode_png(p4)[0] == plte4[[0, 1, 2]]).all()
+
+    # residual capability gate: an illegal/unknown depth still gates
     bad = _PNG_SIG + _png_chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     )
     with _pytest.raises(NotImplementedError):
         _decode_png(bad + _png_chunk(b"IEND", b""))
@@ -1263,6 +1289,92 @@ def test_jpeg_gates_and_fill_bytes_r9():
     )
     out = decode_jpeg(jpg)
     assert out.shape == (8, 16, 3) and (out == 160).all()
+
+
+def test_jpeg_progressive_decode():
+    """Progressive JPEG (SOF2) decodes natively, certified two ways.
+
+    (1) Spectral-selection equivalence: encode_jpeg_progressive reorders
+    the EXACT SAME quantized coefficients as encode_jpeg into DC + per-
+    component AC scans, so the progressive decode must equal the baseline
+    decode BIT-FOR-BIT across a quality ladder.
+
+    (2) Hand-assembled successive-approximation golden (T.81 Annex G,
+    independent of any encoder): a 2-block grayscale stream with four
+    scans — DC first at Al=1 (diffs 128, −1 → stored 256/254), DC
+    refinement (bits 0,1 → 254|1=255), AC first at Al=1 inserting
+    coef zz1=+1 (stored 2) then EOB0s, and an AC refinement that spends a
+    correction bit (2→3), inserts a new ±1 at zz3, and ends in an EOB
+    run. Expected pixels derive from the spec IDCT of those hand-stated
+    coefficients."""
+    import struct
+
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        _C,
+        _DC_LUMA,
+        _ZZ,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    # (1) reorganization equivalence
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:40, 0:56]
+    grad = np.stack([(x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256], -1).astype(
+        np.int16
+    )
+    img = np.clip(grad + rng.integers(-20, 21, grad.shape, dtype=np.int16), 0, 255).astype(
+        np.uint8
+    )
+    for q in (50, 85, 95):
+        assert (
+            decode_jpeg(encode_jpeg_progressive(img, q)) == decode_jpeg(encode_jpeg(img, q))
+        ).all()
+
+    # (2) hand-assembled SA golden
+    qt = _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+    dht_dc = _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+    # custom AC table holding exactly the symbols the golden needs:
+    # four len-2 codes 00→0x00(EOB0) 01→0x10(EOB1) 10→0x11 11→0x01
+    ac_bits = [0, 4] + [0] * 14
+    ac_vals = [0x00, 0x10, 0x11, 0x01]
+    dht_ac = _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sof2 = _jpeg_seg(
+        0xC2, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    scans = (
+        # DC first, Al=1: diffs +128 (size 8) and −1 (size 1)
+        _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + _bits_to_entropy("111110" + "10000000" + "010" + "0")
+        # DC refinement Ah=1→Al=0: bits 0 (DC stays 256), 1 (254|1=255)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + _bits_to_entropy("0" + "1")
+        # AC first, band 1-63, Al=1: block1 inserts zz1=+1 (stored 2),
+        # EOB0; block2 EOB0
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + _bits_to_entropy("11" + "1" + "00" + "00")
+        # AC refinement Ah=1→Al=0: block1 symbol (r=1,s=1) sign +, then
+        # the walk pays a correction bit at zz1 (set: 2→3), skips one
+        # zero-history slot, lands the new +1 at zz3, then EOB0 (EOB-run
+        # tail covers the block remainder); block2 EOB0
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + _bits_to_entropy("10" + "1" + "1" + "00" + "00")
+    )
+    jpg = b"\xff\xd8" + qt + sof2 + dht_dc + dht_ac + scans + b"\xff\xd9"
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 16, 3)
+    # expected: spec IDCT of the hand-stated final coefficients
+    zz1 = np.zeros(64)
+    zz1[0], zz1[1], zz1[3] = 256, 3, 1
+    full = np.zeros(64)
+    full[_ZZ] = zz1
+    block1 = np.clip(_C.T @ full.reshape(8, 8) @ _C + 128.0, 0, 255).astype(np.uint8)
+    assert (out[:, :8, 0] == block1).all()
+    assert (out[:, 8:] == 159).all()  # DC 255 → 128 + 255/8 → trunc 159
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 0] == out[..., 2]).all()
 
 
 def test_pil_equivalence_on_golden_corpus_when_present():
