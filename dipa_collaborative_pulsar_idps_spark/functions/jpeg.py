@@ -227,6 +227,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
+    adobe_transform: int | None = None  # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     planes: dict[int, np.ndarray] = {}  # accumulated across (multi-)scans
     coefs: dict[int, np.ndarray] = {}  # progressive coefficient planes
     while i + 4 <= len(payload):
@@ -274,22 +275,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14 color transform
+            adobe_transform = seg[11] if len(seg) > 11 else 0
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            # Honest gates: 4-component Adobe CMYK/YCCK would get YCbCr
-            # math applied to CMYK (silently wrong) — route to PIL.
-            # Partially-interleaved scans (1 < ns < frame components) are
-            # legal per T.81 but vanishingly rare — also gated.
-            if len(frame["comps"]) not in (1, 3):
+            # Frame component counts 1 (gray), 3 (YCbCr / Adobe RGB), and
+            # 4 (Adobe CMYK/YCCK via the APP14 transform) all decode;
+            # anything else is unknown color space. Partially-interleaved
+            # scans (1 < ns < frame components) are legal per T.81 but
+            # vanishingly rare — gated.
+            if len(frame["comps"]) not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{len(frame['comps'])}-component (CMYK/YCCK) JPEG needs PIL"
+                    f"{len(frame['comps'])}-component JPEG needs PIL"
                 )
             if 1 < ns < len(frame["comps"]):
                 raise NotImplementedError(
                     "partially-interleaved baseline JPEG scan needs PIL"
                 )
+            frame["adobe_transform"] = adobe_transform
             scan = []
             for c in range(ns):
                 cid, tabs = seg[1 + c * 2], seg[2 + c * 2]
@@ -606,8 +611,13 @@ def _prog_finish(frame, coefs, qt) -> np.ndarray:
 
 def _planes_to_rgb(frame, planes) -> np.ndarray:
     """Upsample each component plane to full frame resolution (nearest),
-    crop block padding, and color-convert (BT.601 for 3 components,
-    replication for grayscale)."""
+    crop block padding, and color-convert: grayscale replication,
+    BT.601 YCbCr (3 components; APP14 transform 0 means the components
+    are already RGB — Adobe RGB JPEG), or Adobe 4-component CMYK/YCCK
+    (values stored INVERTED per the Adobe convention, so
+    RGB = channel × K / 255 on the stored values; YCCK runs the BT.601
+    inverse on the first three channels first — the libjpeg/PIL
+    behavior)."""
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -617,13 +627,31 @@ def _planes_to_rgb(frame, planes) -> np.ndarray:
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out[c["id"]] = p[:h, :w]
+    transform = frame.get("adobe_transform")
     if len(frame["comps"]) == 1:
         g = np.clip(out[frame["comps"][0]["id"]], 0, 255).astype(np.uint8)
         return np.repeat(g[..., None], 3, axis=-1)
+
+    def ycc_to_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return r, g, b
+
+    if len(frame["comps"]) == 4:
+        c1, c2, c3, c4 = (out[c["id"]] for c in frame["comps"])
+        if transform == 2:  # YCCK: BT.601 inverse on YCC, K unchanged
+            c1, c2, c3 = ycc_to_rgb(c1, c2, c3)
+        k = np.clip(c4, 0.0, 255.0)
+        chans = [np.clip(x, 0.0, 255.0) * k / 255.0 for x in (c1, c2, c3)]
+        return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+    if transform == 0 and len(frame["comps"]) == 3:
+        # Adobe transform 0 with 3 components: stored RGB directly
+        return np.clip(
+            np.stack([out[c["id"]] for c in frame["comps"]], axis=-1), 0, 255
+        ).astype(np.uint8)
     y, cb, cr = (out[c["id"]] for c in frame["comps"][:3])
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r, g, b = ycc_to_rgb(y, cb, cr)
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 

@@ -12,9 +12,10 @@ First-class, not plumbing-only:
   decode PNG/JPEG/GIF — 20-100× the throughput of a Python entropy
   loop — and the pure-Python codecs are the PIL-less fallback + golden
   certifiers; when PIL is absent (this container) the native codecs
-  carry everything — baseline AND progressive JPEG, every legal PNG
-  depth/interlace — and the residual exotics (12-bit/arithmetic/CMYK
-  JPEG) raise the honest NotImplementedError gate.
+  carry everything — baseline AND progressive JPEG (incl. Adobe
+  CMYK/YCCK/RGB via APP14), every legal PNG depth/interlace — and the
+  residual exotics (12-bit/arithmetic JPEG) raise the honest
+  NotImplementedError gate.
 - REAL audio decode for PCM16 WAV (RIFF parse → int16 samples).
 - REAL nearest-neighbor resize + PPM re-encode.
 - REAL features: channel means/stds + luminance histogram (images),
@@ -25,9 +26,9 @@ First-class, not plumbing-only:
   AND AVI/MJPEG (RIFF demux + per-frame baseline-JPEG decode,
   functions/avi.py — a real CONTAINER format): streaming per-frame
   luminance/motion features and true frame extraction
-  (``extract_frames``) over all three. Codecs with no in-repo decoder
-  (h264-in-mp4/mkv, non-MJPEG AVI) still route through the
-  clearly-marked stub — never a fake frame.
+  (``extract_frames``) over all three (AVI: MJPEG + raw-DIB frames).
+  Codecs with no in-repo decoder (h264-in-mp4/mkv) still route through
+  the clearly-marked stub — never a fake frame.
 
 All batch transforms are Arrow-batched ``mapInPandas`` over the canonical
 MEDIA_SCHEMA; binary payloads dominate task memory, so repartition upstream
@@ -484,9 +485,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     libjpeg-turbo / giflib — 20-100× the decode throughput of a Python
     loop), with the pure-Python codecs as fallback; when PIL is absent
     (this container), the native codecs decode baseline AND progressive
-    JPEG, PNG at every legal depth/interlace (all 5 filters, color types
-    0/2/3/4/6) and GIF; the residual exotics (12-bit/arithmetic/CMYK
-    JPEG) raise the honest gate."""
+    JPEG (incl. Adobe CMYK/YCCK/RGB), PNG at every legal depth/interlace
+    (all 5 filters, color types 0/2/3/4/6) and GIF; the residual exotics
+    (12-bit/arithmetic JPEG) raise the honest gate."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -620,8 +621,8 @@ def video_features(payload: bytes) -> np.ndarray:
         try:
             from .avi import decode_avi_frames
 
-            # MJPEG frames decode one-by-one; a non-MJPEG AVI raises
-            # through the degrade net like any other opaque codec
+            # MJPEG/raw-DIB frames decode one-by-one; an opaque-codec
+            # AVI raises through the degrade net
             return _video_features_frames(decode_avi_frames(payload))
         except _DEGRADE_ERRORS:
             return _video_features_stub(payload)

@@ -1244,13 +1244,66 @@ def test_jpeg_gates_and_fill_bytes_r9():
     with _pytest.raises(NotImplementedError, match="partially-interleaved"):
         decode_jpeg(jpg)
 
-    # (b) 4-component Adobe CMYK/YCCK frame → gate
+    # (b) 4-component Adobe CMYK and YCCK frames decode natively via the
+    # APP14 transform (values stored inverted per the Adobe convention:
+    # RGB = channel × K / 255 on stored values — the libjpeg behavior)
     sof4 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
         [4, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
     )
     sos4 = bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0])
-    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof4) + dhts + _jpeg_seg(0xDA, sos4) + entropy + b"\xff\xd9"
-    with _pytest.raises(NotImplementedError, match="CMYK"):
+
+    def app14(transform: int) -> bytes:
+        return _jpeg_seg(
+            0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+        )
+
+    def dc_block(value: int) -> str:  # abs DC (pred 0) + EOB, luma tables
+        dc = (value - 128) * 8  # all-ones qt: pixel = DC/8 + 128
+        size = abs(dc).bit_length()
+        code = {9: "1111110", 10: "11111110"}[size]
+        mag = dc if dc > 0 else dc + (1 << size) - 1
+        return code + format(mag, f"0{size}b") + "1010"
+
+    # CMYK (transform 0): stored C=M=Y=200, K=255 → RGB = 200·255/255
+    ent4 = _bits_to_entropy(dc_block(200) * 3 + dc_block(255))
+    jpg = (
+        b"\xff\xd8" + app14(0) + qt + _jpeg_seg(0xC0, sof4) + dhts
+        + _jpeg_seg(0xDA, sos4) + ent4 + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8, 3) and (out == 200).all()
+
+    # YCCK (transform 2): Y=180, Cb=Cr=128 (DC diff 0), K=255 → RGB 180
+    ent_ycck = _bits_to_entropy(
+        dc_block(180) + ("00" + "1010") * 2 + dc_block(255)
+    )
+    jpg = (
+        b"\xff\xd8" + app14(2) + qt + _jpeg_seg(0xC0, sof4) + dhts
+        + _jpeg_seg(0xDA, sos4) + ent_ycck + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8, 3) and (out == 180).all()
+
+    # (b') Adobe transform 0 with 3 components: stored RGB directly
+    jpg = (
+        b"\xff\xd8" + app14(0) + qt + _jpeg_seg(0xC0, sof3) + dhts
+        + _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + _bits_to_entropy(dc_block(160) + dc_block(96) + dc_block(200))
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8, 3)
+    assert (out[..., 0] == 160).all() and (out[..., 1] == 96).all() and (
+        out[..., 2] == 200
+    ).all()
+
+    # a 5-component frame still gates
+    sof5 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
+        [5] + sum(([i, 0x11, 0] for i in range(1, 6)), [])
+    )
+    sos5 = bytes([5] + sum(([i, 0x00] for i in range(1, 6)), []) + [0, 63, 0])
+    jpg = b"\xff\xd8" + qt + _jpeg_seg(0xC0, sof5) + dhts + _jpeg_seg(0xDA, sos5) + entropy + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="component"):
         decode_jpeg(jpg)
 
     # (c) 0xFF fill padding before markers decodes identically
@@ -1676,6 +1729,42 @@ def test_avi_mjpeg_container_video(spark):
     f2 = extract_features(media2).collect()[0]
     assert f2.feature == list(_video_features_stub(bytes(broken)))
     assert extract_frames(media2).count() == 0  # skipped, no fake frames
+
+
+def test_avi_dib_uncompressed_video(spark):
+    """Raw-DIB AVI (BI_RGB 24-bit: bottom-up, 4-byte-padded BGR frames,
+    geometry from the stream's 'strf') is the container's second real
+    codec: the round trip is LOSSLESS — including an odd width that
+    forces row padding — and the Spark video ops treat it like any other
+    video. A sub-24-bit or non-BI_RGB DIB still gates."""
+    import numpy as np
+    import pandas as pd
+
+    from dipa_collaborative_pulsar_idps_spark.functions.avi import (
+        decode_avi_frames,
+        encode_avi_dib,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        extract_features,
+        extract_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (12, 17, 3)).astype(np.uint8) for _ in range(4)]
+    avi = encode_avi_dib(frames, fps=4)
+    back = decode_avi_frames(avi)
+    assert len(back) == 4 and all((a == b).all() for a, b in zip(frames, back))
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [("dib1", "video", avi, 17, 12, 1000)],
+            columns=["media_id", "media_type", "payload", "width", "height", "duration_ms"],
+        )
+    )
+    fx = extract_frames(media, every_n=2).collect()
+    assert len(fx) == 2 and {r.frame_index for r in fx} == {0, 2}
+    feats = extract_features(media).collect()[0].feature
+    assert feats[0] == 4.0 and feats[1] == 17.0 and feats[2] == 12.0  # n, w, h
 
 
 def test_dhash_invariant_across_containers(spark):
