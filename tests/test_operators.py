@@ -1927,3 +1927,143 @@ def test_audio_fingerprint_amplitude_invariant(spark):
     assert abs(got["loud"] - 440) <= 2
     assert abs(got["high"] - 1000) <= 3
     assert got["high"] != got["loud"]
+
+
+def test_png_adam7_and_depth_matrix_roundtrip():
+    """Property-style hardening of the PNG pass geometry and bit packing:
+    a test-side Adam7 interlacer + sub-8-bit packer (both written from
+    the spec, independent of the decoder) generate payloads across edge
+    geometries — dimensions smaller than one pass cell (empty passes),
+    single-row/column images, non-multiples of 8 — for RGB8, gray16,
+    gray 1/2/4-bit and palette; every one must decode to the source."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        _png_chunk,
+    )
+
+    spec_passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+
+    def pack_rows(sub: np.ndarray, depth: int) -> bytes:
+        """(rows, width, ch) samples → filter-0 scanline bytes, MSB-first
+        packing for sub-8-bit depths (spec 7.2), big-endian for 16."""
+        out = b""
+        for r in range(sub.shape[0]):
+            flat = sub[r].reshape(-1)
+            if depth == 8:
+                row = flat.astype(np.uint8).tobytes()
+            elif depth == 16:
+                row = flat.astype(">u2").tobytes()
+            else:
+                bits = np.unpackbits(
+                    flat.astype(np.uint8)[:, None], axis=1, count=8
+                )[:, 8 - depth :].reshape(-1)
+                pad = (-len(bits)) % 8
+                bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+                row = np.packbits(bits).tobytes()
+            out += b"\x00" + row
+        return out
+
+    def build(img: np.ndarray, depth: int, ctype: int, interlace: int,
+              plte: np.ndarray | None = None) -> bytes:
+        h_, w_ = img.shape[:2]
+        if interlace == 0:
+            raw = pack_rows(img, depth)
+        else:
+            raw = b""
+            for x0, y0, dx, dy in spec_passes:
+                sub = img[y0::dy, x0::dx]
+                if sub.size:
+                    raw += pack_rows(sub, depth)
+        out = _PNG_SIG + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w_, h_, depth, ctype, 0, 0, interlace)
+        )
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte.tobytes())
+        return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(23)
+    plte = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    for h_, w_ in [(1, 1), (1, 9), (9, 1), (3, 5), (7, 7), (8, 8), (13, 21)]:
+        for interlace in (0, 1):
+            # RGB 8-bit
+            img = rng.integers(0, 256, (h_, w_, 3)).astype(np.uint8)
+            got = _decode_png(build(img, 8, 2, interlace))
+            assert (got == img).all(), (h_, w_, interlace, "rgb8")
+            # gray 16-bit: high byte kept
+            g16 = rng.integers(0, 65536, (h_, w_, 1)).astype(np.uint32)
+            got = _decode_png(build(g16, 16, 0, interlace))
+            assert (got[..., 0] == (g16[..., 0] >> 8)).all(), (h_, w_, interlace, "g16")
+            # gray sub-8-bit: scaled to full range
+            for depth in (1, 2, 4):
+                mx = (1 << depth) - 1
+                g = rng.integers(0, mx + 1, (h_, w_, 1)).astype(np.uint8)
+                got = _decode_png(build(g, depth, 0, interlace))
+                want = (g[..., 0].astype(np.uint16) * 255 // mx).astype(np.uint8)
+                assert (got[..., 0] == want).all(), (h_, w_, interlace, depth)
+            # palette 4-bit
+            idx = rng.integers(0, 16, (h_, w_, 1)).astype(np.uint8)
+            got = _decode_png(build(idx, 4, 3, interlace, plte))
+            assert (got == plte[idx[..., 0]]).all(), (h_, w_, interlace, "p4")
+
+
+def test_jpeg_progressive_restart_markers():
+    """Progressive scans honor DRI restart intervals: a two-block
+    grayscale stream whose DC-first scan carries an RST0 between MCUs
+    (both blocks encode the same ABSOLUTE diff — only correct if the
+    predictor resets) and whose AC-first scan carries an RST0 that must
+    also reset the EOB run (block 1 emits EOB4, which would wrongly
+    swallow block 2's coefficients if the restart didn't clear it)."""
+    import struct
+
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        _C,
+        _DC_LUMA,
+        _ZZ,
+        decode_jpeg,
+    )
+
+    qt = _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+    dht_dc = _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+    ac_bits = [0, 4] + [0] * 14
+    ac_vals = [0x00, 0x30, 0x11, 0x01]  # EOB0, EOB4 (r=3), (1,1), (0,1)
+    dht_ac = _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sof2 = _jpeg_seg(
+        0xC2, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    dri = _jpeg_seg(0xDD, struct.pack(">H", 1))
+    # DC first (Al=0): both blocks write ABSOLUTE 256 — valid only after
+    # the RST0 resets the predictor
+    dc_bits = _bits_to_entropy("1111110" + "100000000")
+    scans = (
+        dri
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + dc_bits + b"\xff\xd0" + dc_bits
+        # AC first (Al=0): block1 emits EOB4 (r=3, +2 extra bits '00' →
+        # run of 4 end-of-bands); RST0 must CLEAR it so block2's
+        # coefficient zz1=+1 is decoded, not swallowed
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + _bits_to_entropy("01" + "00")  # EOB4: code '01' + 2 bits
+        + b"\xff\xd0"
+        + _bits_to_entropy("11" + "1" + "00")  # (0,1) +1 at zz1, EOB0
+    )
+    jpg = b"\xff\xd8" + qt + sof2 + dht_dc + dht_ac + scans + b"\xff\xd9"
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 16, 3)
+    assert (out[:, :8] == 160).all()  # block1: DC only
+    zz = np.zeros(64)
+    zz[0], zz[1] = 256, 1
+    full = np.zeros(64)
+    full[_ZZ] = zz
+    blk2 = np.clip(_C.T @ full.reshape(8, 8) @ _C + 128.0, 0, 255).astype(np.uint8)
+    assert (out[:, 8:, 0] == blk2).all()
