@@ -121,16 +121,26 @@ _AC_CHROMA = (
 )
 
 
-def _huff_decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman: {(length, code) → symbol}."""
-    table, code, k = {}, 0, 0
+def _huff_decode_table(bits: list[int], huffval: list[int]) -> list[int]:
+    """Canonical Huffman decode as a FLAT 16-bit lookup table:
+    ``lut[next16bits] = (code_length << 8) | symbol`` (0 = invalid code).
+    One list index replaces up to 16 bit-by-bit dict probes per symbol —
+    the entropy loop is the pure-Python decoder's throughput bound, and
+    this is the classic fix (every C decoder does the same). Exactly the
+    canonical prefix decode, so results are bit-identical to the
+    per-bit walk."""
+    lut = [0] * 65536
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = huffval[k]
+            prefix = code << (16 - length)
+            lut[prefix : prefix + (1 << (16 - length))] = [
+                (length << 8) | huffval[k]
+            ] * (1 << (16 - length))
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
 def _huff_encode_table(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
@@ -179,20 +189,24 @@ class _BitReader:
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        self._fill()
+        if self.nbits < n:
+            self._fill()
         v = (self.bitbuf >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
         self.bitbuf &= (1 << self.nbits) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+    def huff(self, lut: list[int]) -> int:
+        """Decode one symbol via the flat 16-bit LUT: peek 16 bits,
+        consume the entry's code length."""
+        if self.nbits < 16:
+            self._fill()
+        v = lut[(self.bitbuf >> (self.nbits - 16)) & 0xFFFF]
+        if v == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nbits -= v >> 8
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v & 0xFF
 
     def restart(self) -> None:
         """Consume a pending RSTn marker and realign."""
@@ -388,8 +402,12 @@ def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_inte
         mcux = -(-cw // 8)
         mcuy = -(-chh // 8)
         geo = [(c0, 1, 1)]
-    planes = {
-        c["id"]: np.zeros((mcuy * cv * 8, mcux * ch_ * 8)) for c, ch_, cv in geo
+    # Coefficients accumulate in zigzag order per block; dequantize +
+    # IDCT run ONCE, batched, at scan end (_idct_blocks) — per-block 8×8
+    # matmuls and their allocations were half the decode cost.
+    carr = {
+        c["id"]: np.zeros((mcuy * cv, mcux * ch_, 64), np.int64)
+        for c, ch_, cv in geo
     }
     rd = _BitReader(payload, start)
     pred = {c["id"]: 0 for c in scan}
@@ -401,10 +419,10 @@ def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_inte
                 pred = {c["id"]: 0 for c in scan}
             for c, ch_, cv in geo:
                 dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
-                q = qt[c["tq"]]
                 for by in range(cv):
                     for bx in range(ch_):
-                        zz = np.zeros(64, np.int64)
+                        zz = [0] * 64  # plain ints: element writes in the
+                        # entropy loop are ~3× faster than ndarray stores
                         s = rd.huff(dct)
                         diff = _extend(rd.read(s), s)
                         pred[c["id"]] += diff
@@ -423,14 +441,21 @@ def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_inte
                                 raise ValueError("JPEG AC run past block end")
                             zz[k] = _extend(rd.read(size), size)
                             k += 1
-                        coef = np.zeros(64)
-                        coef[_ZZ] = zz * q
-                        block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch_ + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+                        carr[c["id"]][my * cv + by, mx * ch_ + bx] = zz
             mcu_count += 1
+    planes = {c["id"]: _idct_blocks(carr[c["id"]], qt[c["tq"]]) for c in scan}
     return planes, _next_marker_pos(payload, rd.pos)
+
+
+def _idct_blocks(arr: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) zigzag coefficient array → (by*8, bx*8) pixel plane:
+    dequantize, de-zigzag, one BATCHED orthonormal IDCT (numpy broadcasts
+    the 8×8 basis matmuls over every block at once), +128 level shift."""
+    by, bx = arr.shape[:2]
+    deq = np.zeros((by, bx, 64))
+    deq[:, :, _ZZ] = arr * q
+    blocks = _C.T @ deq.reshape(by, bx, 8, 8) @ _C + 128.0
+    return blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
 
 def _alloc_coef_arrays(frame) -> dict[int, np.ndarray]:
@@ -597,15 +622,9 @@ def _decode_prog_scan(
 def _prog_finish(frame, coefs, qt) -> np.ndarray:
     """Dequantize + de-zigzag + batched IDCT of the accumulated
     progressive coefficient arrays, then the shared upsample/convert."""
-    planes = {}
-    for c in frame["comps"]:
-        arr = coefs[c["id"]]
-        q = qt[c["tq"]]
-        by, bx = arr.shape[:2]
-        deq = np.zeros((by, bx, 64))
-        deq[:, :, _ZZ] = arr * q  # zigzag k → (row, col), dequantized
-        blocks = _C.T @ deq.reshape(by, bx, 8, 8) @ _C + 128.0
-        planes[c["id"]] = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    planes = {
+        c["id"]: _idct_blocks(coefs[c["id"]], qt[c["tq"]]) for c in frame["comps"]
+    }
     return _planes_to_rgb(frame, planes)
 
 
