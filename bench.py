@@ -364,18 +364,24 @@ def main() -> None:
             single_sampled.append(name)
         timings[name] = round(statistics.median(times), 3)
 
-    # Tail-noise guard (round 9): the all-queries sweep is single-pass for
-    # the most expensive entries, and those single samples spike 3-4× on
-    # cold caches/GC within the 183-query session (r8: one query read
-    # 6.77 s in the sweep, 2.3 s solo-warm). Re-run every single-sampled
-    # query once at the end, record {first, rerun} so the artifact shows
-    # the spread, and keep the MIN — both runs execute identical
-    # deterministic work, so the larger one is box noise by construction.
+    # Tail-noise guard (round 9, r10 de-biased): the all-queries sweep is
+    # single-pass for the most expensive entries, and those single samples
+    # spike 3-4× on cold caches/GC within the 183-query session (r8: one
+    # query read 6.77 s in the sweep, 2.3 s solo-warm). Re-run every
+    # single-sampled query twice more at the end and keep the MEDIAN of 3
+    # — min-of-2 systematically biased the gate numbers low (it rewards
+    # one lucky sample); the median estimates typical cost while still
+    # shedding the one-off cold spike. All raw samples stay in the
+    # artifact so the spread is auditable.
     tail_reruns: dict[str, dict[str, float]] = {}
     for name in single_sampled:
-        rerun = run_once(name)
-        tail_reruns[name] = {"first": timings[name], "rerun": round(rerun, 3)}
-        timings[name] = round(min(timings[name], rerun), 3)
+        reruns = [round(run_once(name), 3) for _ in range(2)]
+        tail_reruns[name] = {
+            "first": timings[name],
+            "rerun": reruns[0],
+            "rerun2": reruns[1],
+        }
+        timings[name] = round(statistics.median([timings[name], *reruns]), 3)
 
     build_timings = {
         n: round(statistics.median(v), 3) for n, v in builds.items() if n in timings

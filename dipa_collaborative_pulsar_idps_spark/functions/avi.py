@@ -62,22 +62,29 @@ def demux_mjpeg_frames(payload: bytes) -> list[bytes]:
 
 
 def _video_strf(payload: bytes) -> tuple[int, int, int, int] | None:
-    """(biWidth, |biHeight|, biBitCount, biCompression) from the first
-    video stream's 'strf' BITMAPINFOHEADER, or None if absent."""
+    """(biWidth, biHeight, biBitCount, biCompression) from the first
+    VIDEO stream's 'strf' BITMAPINFOHEADER, or None if absent. biHeight
+    keeps its sign (negative = top-down DIB, rows already in display
+    order). An 'strf' is only a BITMAPINFOHEADER when the preceding
+    'strh' in the same 'strl' declares fccType 'vids' — an audio-first
+    AVI's 30-byte WAVEFORMATEX must not be misparsed as video geometry."""
     if not is_avi(payload):
         return None
     found: list[tuple[int, int, int, int]] = []
 
     def scan(start: int, end: int) -> None:
+        stream_type = b""
         for cc, ds, sz in _walk_chunks(payload, start, end):
             if cc.startswith(b"LIST:"):
                 if cc[5:] in (b"hdrl", b"strl"):
                     scan(ds, ds + sz)
-            elif cc == b"strf" and sz >= 20 and not found:
+            elif cc == b"strh" and sz >= 4:
+                stream_type = payload[ds : ds + 4]
+            elif cc == b"strf" and sz >= 20 and stream_type == b"vids" and not found:
                 _bi, w, h = struct.unpack_from("<Iii", payload, ds)
                 _planes, bpp = struct.unpack_from("<HH", payload, ds + 12)
                 (comp,) = struct.unpack_from("<I", payload, ds + 16)
-                found.append((w, abs(h), bpp, comp))
+                found.append((w, h, bpp, comp))
 
     scan(12, 8 + struct.unpack_from("<I", payload, 4)[0])
     return found[0] if found else None
@@ -100,13 +107,14 @@ def decode_avi_frames(payload: bytes) -> list[np.ndarray]:
             out.append(decode_jpeg_rgb(f))
             continue
         if strf is not None and strf[3] == 0 and strf[2] == 24:  # BI_RGB 24
-            w, h = strf[0], strf[1]
+            w, h = strf[0], abs(strf[1])
             stride = (w * 3 + 3) & ~3
             if len(f) < stride * h:
                 raise ValueError("AVI DIB frame shorter than its geometry")
             rows = np.frombuffer(f, np.uint8, count=stride * h)
             img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
-            out.append(img[::-1])  # bottom-up → top-down
+            # positive biHeight = bottom-up rows (flip); negative = top-down
+            out.append(img[::-1] if strf[1] > 0 else img)
             continue
         raise NotImplementedError(
             f"AVI frame codec {f[:4]!r} is not MJPEG or raw 24-bit DIB — "

@@ -244,6 +244,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     adobe_transform: int | None = None  # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     planes: dict[int, np.ndarray] = {}  # accumulated across (multi-)scans
     coefs: dict[int, np.ndarray] = {}  # progressive coefficient planes
+    dc_seen: set[int] = set()  # component ids with a first (Ah=0) DC scan
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {i}")
@@ -324,6 +325,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("progressive AC scan must be single-component")
                 if not coefs:
                     coefs = _alloc_coef_arrays(frame)
+                if ss == 0 and ah == 0:
+                    dc_seen.update(c["id"] for c in scan)
                 i = _decode_prog_scan(
                     payload, data_start, frame, scan, huff_dc, huff_ac,
                     restart_interval, coefs, ss, se, ah, al,
@@ -353,7 +356,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # progressive: coefficients accumulate across every scan and the
         # image is reconstructed once, at EOI (a stream that stops early
         # still renders — that is the format's point — but every
-        # component must have had at least its DC scan)
+        # component must have had at least its first DC scan, else the
+        # missing component would silently render flat mid-gray)
+        missing = [c["id"] for c in frame["comps"] if c["id"] not in dc_seen]
+        if missing:
+            raise ValueError(
+                f"JPEG truncated: progressive components {missing} never "
+                "received a DC (Ah=0) scan"
+            )
         return _prog_finish(frame, coefs, qt)
     if frame is not None and planes:
         raise ValueError("JPEG truncated: not all components scanned")

@@ -2067,3 +2067,90 @@ def test_jpeg_progressive_restart_markers():
     full[_ZZ] = zz
     blk2 = np.clip(_C.T @ full.reshape(8, 8) @ _C + 128.0, 0, 255).astype(np.uint8)
     assert (out[:, 8:, 0] == blk2).all()
+
+
+def test_jpeg_progressive_missing_dc_scan_raises():
+    """A progressive stream whose components never receive a first
+    (Ah=0) DC scan must raise — not silently render the missing
+    component(s) flat mid-gray. Surgery: drop the interleaved DC scan
+    (everything from the first SOS to the second) from a real encoded
+    progressive stream, leaving only the per-component AC scans."""
+    import numpy as np
+    import pytest
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    jpg = encode_jpeg_progressive(img, quality=90)
+    assert decode_jpeg(jpg).shape == (16, 16, 3)  # control: intact decodes
+    first_sos = jpg.index(b"\xff\xda")
+    second_sos = jpg.index(b"\xff\xda", first_sos + 2)
+    no_dc = jpg[:first_sos] + jpg[second_sos:]
+    with pytest.raises(ValueError, match="never.*DC"):
+        decode_jpeg(no_dc)
+
+
+def test_avi_audio_first_stream_and_top_down_dib():
+    """Two strf-parsing edges: (1) an AVI whose FIRST 'strl' is an audio
+    stream (strh fccType 'auds', 30-byte WAVEFORMATEX 'strf') must not
+    have that block misparsed as the video BITMAPINFOHEADER — geometry
+    comes from the 'vids' stream; (2) a legal TOP-DOWN DIB (negative
+    biHeight, rows already in display order) must decode without the
+    bottom-up flip."""
+    import struct
+
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.avi import (
+        _video_strf,
+        decode_avi_frames,
+        encode_avi_dib,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (10, 13, 3)).astype(np.uint8) for _ in range(2)]
+    avi = encode_avi_dib(frames, fps=4)
+    assert _video_strf(avi) == (13, 10, 24, 0)
+
+    # (1) splice an audio 'strl' BEFORE the video one inside 'hdrl'
+    def chunk(cc, data):
+        return cc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(tp, body):
+        return b"LIST" + struct.pack("<I", len(body) + 4) + tp + body
+
+    strh_a = b"auds" + b"\x00" * 52
+    # 30-byte WAVEFORMATEX (MP3-shaped): misparsed as BITMAPINFOHEADER it
+    # would read garbage geometry
+    strf_a = struct.pack("<HHIIHHH", 0x55, 2, 44100, 176400, 4, 16, 12) + b"\x00" * 12
+    audio_strl = lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+    hdrl_pos = avi.index(b"LIST") 
+    assert avi[hdrl_pos + 8 : hdrl_pos + 12] == b"hdrl"
+    (hdrl_size,) = struct.unpack_from("<I", avi, hdrl_pos + 4)
+    strl_pos = avi.index(b"strl") - 8  # the video strl's LIST header
+    patched = (
+        avi[:hdrl_pos + 4]
+        + struct.pack("<I", hdrl_size + len(audio_strl))
+        + avi[hdrl_pos + 8 : strl_pos]
+        + audio_strl
+        + avi[strl_pos:]
+    )
+    (riff_size,) = struct.unpack_from("<I", avi, 4)
+    patched = patched[:4] + struct.pack("<I", riff_size + len(audio_strl)) + patched[8:]
+    assert _video_strf(patched) == (13, 10, 24, 0)  # still the video strf
+    back = decode_avi_frames(patched)
+    assert all((a == b).all() for a, b in zip(frames, back))
+
+    # (2) negate biHeight in the video strf → rows are now declared
+    # top-down, so the (unchanged, bottom-up-stored) payload must decode
+    # as the VERTICAL MIRROR of the originals (no flip applied)
+    strf_data = avi.index(b"strf", avi.index(b"vids")) + 8
+    td = bytearray(avi)
+    struct.pack_into("<i", td, strf_data + 8, -10)
+    back_td = decode_avi_frames(bytes(td))
+    assert _video_strf(bytes(td)) == (13, -10, 24, 0)
+    assert all((a[::-1] == b).all() for a, b in zip(frames, back_td))
