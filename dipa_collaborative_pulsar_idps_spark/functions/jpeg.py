@@ -5,10 +5,10 @@ interleaved OR per-component non-interleaved multi-scan, r9) AND
 progressive (SOF2 — spectral selection, successive approximation,
 EOB runs; r9) DCT JPEG, Huffman entropy coding, 8-bit, grayscale or
 YCbCr with any h/v chroma subsampling, restart markers — all decode
-natively. Arithmetic coding, 12-bit, 4-component CMYK/YCCK,
-partially-interleaved scans, and lossless/hierarchical processes stay
-behind the honest NotImplementedError gate (PIL handles them when
-present).
+natively, as do 4-component Adobe CMYK/YCCK frames via the APP14
+transform (r9). Arithmetic coding, 12-bit, partially-interleaved scans,
+and lossless/hierarchical processes stay behind the honest
+NotImplementedError gate (PIL handles them when present).
 
 Pieces (ITU-T T.81 baseline):
 - segment walk: DQT / SOF0 / DHT / DRI / SOS, APPn+COM skipped;
@@ -910,3 +910,175 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
         wr.flush()
         out += bytes(wr.out)
     return out + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Round-10 encoder variants: the decoder's multi-scan baseline and Adobe
+# 4-component paths (functions above, golden-tested since r9) get REAL
+# in-corpus producers so declared media queries exercise them every run,
+# not just pytest.
+# ---------------------------------------------------------------------------
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _zz_grid(plane: np.ndarray, h: int, w: int, q: np.ndarray) -> np.ndarray:
+    """(ceil(h/8), ceil(w/8), 64) quantized zigzag coefficient grid of a
+    full-resolution component plane — identical math to encode_jpeg's
+    per-block loop (edge-replicate pad, DCT, round-divide by q)."""
+    by_n, bx_n = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
+    blocks = padded.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = _C @ blocks @ _C.T
+    return np.round(coef.reshape(by_n, bx_n, 64)[:, :, _ZZ] / q[_ZZ]).astype(np.int64)
+
+
+def _emit_baseline_block(wr: "_BitWriter", zz: np.ndarray, pred: int, dct, act) -> int:
+    """Baseline sequential run/size entropy coding of ONE zigzag block
+    (DC diff vs *pred*, then AC with ZRL/EOB); returns the new predictor."""
+
+    def emit(value: int, table) -> None:
+        size = abs(int(value)).bit_length()
+        code, length = table[size]
+        wr.write(code, length)
+        if size:
+            v = value if value > 0 else value + (1 << size) - 1
+            wr.write(v, size)
+
+    dc = int(zz[0])
+    emit(dc - pred, dct)
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and zz[k] == 0:
+            run += 1
+            k += 1
+        if k == 64:
+            code, length = act[0x00]  # EOB
+            wr.write(code, length)
+            break
+        while run >= 16:
+            code, length = act[0xF0]  # ZRL
+            wr.write(code, length)
+            run -= 16
+        v = int(zz[k])
+        size = abs(v).bit_length()
+        code, length = act[(run << 4) | size]
+        wr.write(code, length)
+        vv = v if v > 0 else v + (1 << size) - 1
+        wr.write(vv, size)
+        k += 1
+    return dc
+
+
+def _std_dhts() -> bytes:
+    return (
+        _seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+        + _seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1]))
+        + _seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1]))
+        + _seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA[0]) + bytes(_AC_CHROMA[1]))
+    )
+
+
+def encode_jpeg_multiscan(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) uint8 RGB → NON-INTERLEAVED multi-scan baseline JPEG
+    (SOF0, 4:4:4, one full-band SOS per component — the per-component
+    plane-accumulation decode path, T.81 A.2.2). Quantized coefficients
+    are computed exactly as in :func:`encode_jpeg`; only the scan
+    organization differs, so a correct decoder reproduces the interleaved
+    baseline decode BIT-FOR-BIT (the equivalence the tests pin)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qly, qlc = _quality_scale(_QT_LUMA, quality), _quality_scale(_QT_CHROMA, quality)
+    dc_l, ac_l = _huff_encode_table(*_DC_LUMA), _huff_encode_table(*_AC_LUMA)
+    dc_c, ac_c = _huff_encode_table(*_DC_CHROMA), _huff_encode_table(*_AC_CHROMA)
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + qly[_ZZ].astype(np.uint8).tobytes())
+    out += _seg(0xDB, bytes([1]) + qlc[_ZZ].astype(np.uint8).tobytes())
+    out += _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _std_dhts()
+    for cid, plane, q, dct, act, tabs in (
+        (1, y, qly, dc_l, ac_l, 0x00),
+        (2, cb, qlc, dc_c, ac_c, 0x11),
+        (3, cr, qlc, dc_c, ac_c, 0x11),
+    ):
+        out += _seg(0xDA, bytes([1, cid, tabs, 0, 63, 0]))
+        zz = _zz_grid(plane, h, w, q)
+        wr = _BitWriter()
+        pred = 0
+        for yb in range(zz.shape[0]):
+            for xb in range(zz.shape[1]):
+                pred = _emit_baseline_block(wr, zz[yb, xb], pred, dct, act)
+        wr.flush()
+        out += bytes(wr.out)
+    return out + b"\xff\xd9"
+
+
+def encode_jpeg_adobe(arr: np.ndarray, quality: int = 85, *, ycck: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB → 4-component ADOBE JPEG via APP14 (transform
+    2 = YCCK, 0 = CMYK; values stored INVERTED per the Adobe convention,
+    so the decoder's RGB = channel × K / 255 on stored values). The K
+    plane is constant 255 (no black ink), making the pixel content the
+    same family as the 3-component encodes — the corpus' perceptual
+    probes (dHash collapse) transfer. One interleaved 4-component scan,
+    the layout the r9 golden tests pin (functions above: _planes_to_rgb
+    4-component branch)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    if ycck:
+        c0 = 0.299 * r + 0.587 * g + 0.114 * b
+        c1 = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        c2 = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        transform = 2
+    else:  # CMYK inverted-ink: stored C/M/Y carry the RGB values directly
+        c0, c1, c2, transform = r, g, b, 0
+    k = np.full((h, w), 255.0)
+    qly, qlc = _quality_scale(_QT_LUMA, quality), _quality_scale(_QT_CHROMA, quality)
+    dc_l, ac_l = _huff_encode_table(*_DC_LUMA), _huff_encode_table(*_AC_LUMA)
+    dc_c, ac_c = _huff_encode_table(*_DC_CHROMA), _huff_encode_table(*_AC_CHROMA)
+    chroma_q = qlc if ycck else qly
+    chroma_huff = (dc_c, ac_c) if ycck else (dc_l, ac_l)
+    chroma_tq, chroma_tabs = (1, 0x11) if ycck else (0, 0x00)
+    out = b"\xff\xd8"
+    out += _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform]))
+    out += _seg(0xDB, bytes([0]) + qly[_ZZ].astype(np.uint8).tobytes())
+    if ycck:
+        out += _seg(0xDB, bytes([1]) + qlc[_ZZ].astype(np.uint8).tobytes())
+    out += _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes(
+            [4, 1, 0x11, 0, 2, 0x11, chroma_tq, 3, 0x11, chroma_tq, 4, 0x11, 0]
+        ),
+    )
+    out += _std_dhts()
+    out += _seg(
+        0xDA,
+        bytes([4, 1, 0x00, 2, chroma_tabs, 3, chroma_tabs, 4, 0x00, 0, 63, 0]),
+    )
+    comps = [
+        (c0, qly, dc_l, ac_l),
+        (c1, chroma_q, *chroma_huff),
+        (c2, chroma_q, *chroma_huff),
+        (k, qly, dc_l, ac_l),
+    ]
+    grids = [_zz_grid(p, h, w, q) for p, q, _d, _a in comps]
+    wr = _BitWriter()
+    pred = [0, 0, 0, 0]
+    for yb in range(grids[0].shape[0]):
+        for xb in range(grids[0].shape[1]):
+            for ci, (_p, _q, dct, act) in enumerate(comps):
+                pred[ci] = _emit_baseline_block(wr, grids[ci][yb, xb], pred[ci], dct, act)
+    wr.flush()
+    return out + bytes(wr.out) + b"\xff\xd9"

@@ -1069,8 +1069,8 @@ def media_stats(media: DataFrame) -> DataFrame:
 def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) -> DataFrame:
     """n_items rows cycling image/audio/video. Images are 32×24 gradients
     parameterized by id, container-cycled PPM/BMP/PNG/JPEG/progressive-
-    JPEG (five real codecs over the same pixel family); audio is a
-    440+id Hz, 0.25 s PCM16 sine;
+    JPEG/multi-scan-JPEG/Adobe-YCCK-JPEG (seven real codec variants over
+    the same pixel family); audio is a 440+id Hz, 0.25 s PCM16 sine;
     videos are REAL 4-frame 16×12 PPM streams (a gradient translating one
     pixel per frame, so motion features are non-trivial) with duration
     metadata; every 5th video is an opaque blob to keep the
@@ -1089,14 +1089,22 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                         axis=-1,
                     ).astype(np.uint8)
                     # cycle the container: PPM / BMP / PNG / JPEG /
-                    # progressive JPEG — same pixel family, five real
-                    # codecs, so every declared media query exercises the
-                    # whole native decode surface (dHash is bit-stable for
-                    # these gradients at JPEG q90 — margins ≫ quantization
-                    # error — and progressive q90 decodes bit-identically
-                    # to baseline q90, so the perceptual-collapse probe
-                    # holds across all five)
-                    from .jpeg import encode_jpeg, encode_jpeg_progressive
+                    # progressive JPEG / multi-scan JPEG / Adobe JPEG
+                    # (even ids YCCK, odd CMYK) — same pixel family, seven
+                    # real codec variants, so every declared media query
+                    # exercises the whole native decode surface (dHash is
+                    # bit-stable for these gradients at JPEG q90 — margins
+                    # ≫ quantization error — progressive/multi-scan q90
+                    # decode bit-identically to baseline q90, and the
+                    # Adobe variants are dHash-stable over every corpus id
+                    # by test, so the perceptual-collapse probe holds
+                    # across all seven)
+                    from .jpeg import (
+                        encode_jpeg,
+                        encode_jpeg_adobe,
+                        encode_jpeg_multiscan,
+                        encode_jpeg_progressive,
+                    )
 
                     enc = (
                         encode_ppm,
@@ -1104,7 +1112,9 @@ def synthetic_media(spark, n_items: int = 120, partitions: int | None = None) ->
                         encode_png,
                         lambda a: encode_jpeg(a, 90),
                         lambda a: encode_jpeg_progressive(a, 90),
-                    )[(i // 3) % 5]
+                        lambda a: encode_jpeg_multiscan(a, 90),
+                        lambda a: encode_jpeg_adobe(a, 90, ycck=i % 2 == 0),
+                    )[(i // 3) % 7]
                     rows.append((f"m{i}", kind, enc(img), 32, 24, None))
                 elif kind == "audio":
                     t = np.arange(0, 4000) / 16000.0

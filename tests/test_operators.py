@@ -1798,16 +1798,20 @@ def test_dhash_invariant_across_containers(spark):
 
 
 def test_dhash_stable_under_jpeg_for_corpus_family():
-    """The synthetic corpus cycles its image slots through a LOSSY codec
-    (JPEG q90); the perceptual-collapse property of image_phash_clusters
-    holds only if dHash is bit-stable under that quantization for the
-    corpus gradient family (strong slopes → comparison margins ≫ JPEG
-    error). Pin it for every image the corpus can generate."""
+    """The synthetic corpus cycles its image slots through LOSSY codecs
+    (baseline / progressive / multi-scan / Adobe CMYK+YCCK JPEG, all
+    q90); the perceptual-collapse property of image_phash_clusters holds
+    only if dHash is bit-stable under that quantization for the corpus
+    gradient family (strong slopes → comparison margins ≫ JPEG error).
+    Pin it for every image id the corpus can generate × every lossy
+    variant it cycles."""
     import numpy as np
 
     from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
         decode_jpeg,
         encode_jpeg,
+        encode_jpeg_adobe,
+        encode_jpeg_multiscan,
     )
     from dipa_collaborative_pulsar_idps_spark.functions.multimodal import dhash64
 
@@ -1817,7 +1821,56 @@ def test_dhash_stable_under_jpeg_for_corpus_family():
             [(x * 8 + i) % 256, (y * 10 + 2 * i) % 256, np.full_like(x, i % 256)],
             axis=-1,
         ).astype(np.uint8)
-        assert dhash64(decode_jpeg(encode_jpeg(img, 90))) == dhash64(img), i
+        want = dhash64(img)
+        assert dhash64(decode_jpeg(encode_jpeg(img, 90))) == want, i
+        assert dhash64(decode_jpeg(encode_jpeg_multiscan(img, 90))) == want, i
+        assert dhash64(decode_jpeg(encode_jpeg_adobe(img, 90, ycck=True))) == want, i
+        assert dhash64(decode_jpeg(encode_jpeg_adobe(img, 90, ycck=False))) == want, i
+
+
+def test_jpeg_multiscan_and_adobe_encoders():
+    """The round-10 in-corpus producers for the decoder's multi-scan and
+    Adobe 4-component paths: (a) encode_jpeg_multiscan reorganizes the
+    SAME quantized coefficients as encode_jpeg into one SOS per component,
+    so decode is BIT-IDENTICAL to the interleaved baseline decode; (b)
+    encode_jpeg_adobe(ycck=True) stores BT.601 Y/Cb/Cr + constant K=255
+    behind an APP14 transform-2 marker — the decoder's YCCK inverse must
+    land bit-identical to the baseline decode too; (c) the CMYK variant
+    (transform 0, inverted-ink RGB planes) skips the color transform
+    entirely and round-trips CLOSER to the source than baseline."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_adobe,
+        encode_jpeg_multiscan,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 90))
+
+    ms = encode_jpeg_multiscan(img, 90)
+    assert ms.count(b"\xff\xda") == 3  # one SOS per component
+    assert (decode_jpeg(ms) == base).all()
+
+    ycck = encode_jpeg_adobe(img, 90, ycck=True)
+    assert b"Adobe" in ycck[:64]
+    assert (decode_jpeg(ycck) == base).all()
+
+    cmyk = encode_jpeg_adobe(img, 90, ycck=False)
+    err_cmyk = np.abs(decode_jpeg(cmyk).astype(int) - img.astype(int)).mean()
+    err_base = np.abs(base.astype(int) - img.astype(int)).mean()
+    assert err_cmyk <= err_base  # no YCbCr round trip → at least as close
+
+    # odd geometry (edge-replicate padding) survives both layouts
+    odd = rng.integers(0, 256, (13, 19, 3)).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_multiscan(odd, 85))
+        == decode_jpeg(encode_jpeg(odd, 85))
+    ).all()
+    assert decode_jpeg(encode_jpeg_adobe(odd, 85, ycck=True)).shape == (13, 19, 3)
 
 
 def test_phash_near_dup_pairs_planted_truth(spark):
