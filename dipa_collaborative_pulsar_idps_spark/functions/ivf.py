@@ -74,6 +74,19 @@ def build_ivf_index(
 
     x = bounded_sample(corpus, sample_per_list * n_list, seed)
     cents = _lloyd(x, n_list, seed)
+    assigned = _assign_to_centroids(corpus, cents)
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def _assign_to_centroids(corpus: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(vec_id, e) → (vec_id, e, list_id): nearest-centroid assignment in
+    one Arrow pass, the centroid matrix closed over the UDF (tiny —
+    O(k·d) — so every executor gets it with the task, no join)."""
 
     @F.pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
@@ -83,13 +96,7 @@ def build_ivf_index(
         dist = -2 * mat @ cents.T + (cents**2).sum(1)[None, :]  # ‖v‖² constant per row
         return pd.Series(dist.argmin(1).astype("int32"))
 
-    assigned = corpus.select("vec_id", "e", assign(F.col("e")).alias("list_id"))
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
-        "list_id int, centroid array<double>",
-    )
-    return assigned, centroids
+    return corpus.select("vec_id", "e", assign(F.col("e")).alias("list_id"))
 
 
 def ivf_search(
@@ -135,16 +142,125 @@ def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None
     """Persist the index: inverted lists hive-partitioned by ``list_id`` —
     the layout that makes a probe a PARTITION-PRUNED scan (only the
     n_probe list directories are read; asserted in tests) — plus the tiny
-    centroid table. Build once, serve many: the k-means pass is amortized
-    across every subsequent query batch."""
+    centroid table and the build-time quantization-error baseline
+    (``stats/batch_id=base``) that :func:`ivf_append_batch` measures
+    assignment drift against. Build once, serve many: the k-means pass is
+    amortized across every subsequent query batch."""
     assigned.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{path}/lists")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    err, n = quantization_error(assigned, centroids)
+    _write_stats_row(centroids.sparkSession, path, "base", n, err)
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted index: (assigned, centroids), search-ready."""
+    """Load a persisted index: (assigned, centroids), search-ready. The
+    serving relation is the base lists UNION any appended delta batches
+    (``deltas/batch_id=*/list_id=*``) — both sides are hive-partitioned on
+    list_id, so a probe's list filter still prunes to only the probed
+    directories across base AND deltas."""
     assigned = spark.read.parquet(f"{path}/lists").select("vec_id", "e", "list_id")
+    deltas = _read_deltas(spark, path)
+    if deltas is not None:
+        assigned = assigned.unionByName(deltas)
     centroids = spark.read.parquet(f"{path}/centroids")
     return assigned, centroids
+
+
+def _read_deltas(spark, path: str) -> DataFrame | None:
+    """The appended delta lists, or None when no batch was ever appended.
+    Existence is checked through Hadoop's FileSystem API (not os.path), so
+    the layout works unchanged on HDFS/S3 at cluster scale."""
+    root = f"{path}/deltas"
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(root).select("vec_id", "e", "list_id")
+
+
+def quantization_error(assigned: DataFrame, centroids: DataFrame) -> tuple[float, int]:
+    """(mean squared L2 distance to the assigned centroid, row count) —
+    one broadcast join + one aggregate, all JVM-side built-ins. This is
+    the FAISS-style index-health number: it rises when incoming data
+    drifts away from the trained centroids."""
+    sq = F.aggregate(
+        F.zip_with("e", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        assigned.join(F.broadcast(centroids), "list_id")
+        .agg(F.avg(sq).alias("err"), F.count("*").alias("n"))
+        .collect()[0]  # bounded-collect: one scalar row
+    )
+    return (float(row["err"] or 0.0), int(row["n"]))
+
+
+def _write_stats_row(spark, path: str, batch_id: str, n: int, err: float) -> None:
+    """One (n, mean_sq_err) row at ``stats/batch_id=<id>`` — overwrite into
+    the batch's own directory, so a replayed commit rewrites the same
+    stamp instead of appending a duplicate (the exactly-once shape)."""
+    spark.createDataFrame(
+        [(n, err)], "n_vectors long, mean_sq_err double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats/batch_id={batch_id}")
+
+
+def ivf_append_batch(
+    spark,
+    path: str,
+    batch: DataFrame,
+    batch_id: str,
+    retrain_drift: float = 1.5,
+    retrain_mass: float = 0.5,
+) -> dict:
+    """Append new vectors to a PERSISTED IVF index without retraining —
+    the incremental-ingest path the text indexes (MinHash bands, TF-IDF
+    postings) already have.
+
+    ``batch``: (vec_id, e array<double>). Work is O(batch): assign against
+    the SAVED centroids (one Arrow pass, centroid matrix in the UDF
+    closure), write to ``deltas/batch_id=<id>/list_id=*/`` with mode
+    overwrite — the batch's own directory is the idempotent commit stamp
+    (a crashed or replayed batch rewrites the same directory, never
+    double-appends; same exactly-once shape as the streaming dedup/TF-IDF
+    sinks) — and record the batch's quantization error beside the build
+    baseline.
+
+    Returns drift stats including ``needs_retrain``, which trips when
+    (a) the batch's mean squared quantization error exceeds
+    ``retrain_drift`` × the build baseline (the data moved away from the
+    trained centroids), or (b) appended mass exceeds ``retrain_mass`` ×
+    the trained corpus (enough new data that k-means would place
+    centroids differently). Retrain = build_ivf_index over
+    load_ivf_index(...)[0] + save — the caller owns when."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/deltas/batch_id={batch_id}")
+    # measure the COMMITTED batch (read-back, not the in-memory frame), so
+    # the stat reflects exactly what serving will scan
+    committed = spark.read.parquet(f"{path}/deltas/batch_id={batch_id}").select(
+        "vec_id", "e", "list_id"
+    )
+    centroids = spark.read.parquet(f"{path}/centroids")
+    batch_err, batch_n = quantization_error(committed, centroids)
+    _write_stats_row(spark, path, batch_id, batch_n, batch_err)
+    stats = spark.read.parquet(f"{path}/stats").collect()  # bounded-collect: one row per committed batch
+    base = next(r for r in stats if r["batch_id"] == "base")
+    appended_n = sum(r["n_vectors"] for r in stats if r["batch_id"] != "base")
+    drift = batch_err / base["mean_sq_err"] if base["mean_sq_err"] > 0 else 1.0
+    appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
+    return {
+        "batch_id": batch_id,
+        "n_vectors": batch_n,
+        "mean_sq_err": batch_err,
+        "base_mean_sq_err": base["mean_sq_err"],
+        "drift_ratio": round(drift, 4),
+        "appended_frac": round(appended_frac, 4),
+        "needs_retrain": drift > retrain_drift or appended_frac > retrain_mass,
+    }

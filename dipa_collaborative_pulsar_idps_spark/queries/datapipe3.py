@@ -247,6 +247,85 @@ def clear_lsh_index_cache() -> None:
     _PROBE_PERSISTS.clear()
 
 
+#: Persisted-and-appended IVF serving index path per (appId, sf_dir) —
+#: the dense-ANN analogue of the MinHash/TF-IDF incremental index caches:
+#: built once on the even-vec_id half, odd half appended in two
+#: batch-stamped commits, then served from disk. clear_ivf_inc_cache()
+#: owns the temp-dir removal.
+_IVF_INC_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _incremental_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..functions.ivf import build_ivf_index, ivf_append_batch, save_ivf_index
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _IVF_INC_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = _corpus(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="dipa_collaborative_pulsar_idps_ivf_inc_")
+    assigned, centroids = build_ivf_index(base, dim=64, n_list=SCALE.ivf_n_list)
+    save_ivf_index(assigned, centroids, path)
+    # two appended "crawl" batches — each an idempotent batch-stamped
+    # commit against the persisted index. No retrain: the batches share
+    # the base distribution so the DRIFT trigger stays quiet (pinned in
+    # tests); the MASS trigger does report the doubled corpus as
+    # retrain-due, which a serving loop would act on — this fixture-scale
+    # query intentionally serves the un-retrained index to exercise the
+    # append path end-to-end.
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    ivf_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    ivf_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+    _IVF_INC_INDEX_CACHE[key] = path
+    return path
+
+
+def clear_ivf_inc_cache() -> None:
+    """Remove every materialized incremental-IVF index directory
+    (explicit lifecycle end, same contract as the unpersist clears)."""
+    import shutil
+
+    for path in _IVF_INC_INDEX_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _IVF_INC_INDEX_CACHE.clear()
+
+
+@query("ann_topk_ivf_incremental", survey="ext-sim")
+def ann_topk_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest dense ANN: the IVF serving index is BUILT on the
+    even-vec_id half, then the odd half arrives as two crawl batches
+    appended through `functions/ivf.ivf_append_batch` — assign-to-saved-
+    centroids only (O(batch) Arrow pass), hive-partitioned delta commits
+    (``deltas/batch_id=*/list_id=*``, overwrite-into-own-directory =
+    idempotent replay), assignment-drift stats against the build baseline
+    with a ``needs_retrain`` trigger. Search then serves from the
+    persisted base+delta union with the production n_probe. Rows-only by
+    design (k-means is iterative); recall-after-appends vs the
+    oracle-checked exhaustive twin is recorded in PARITY_r*.json, and the
+    planted-truth/idempotence/drift contracts live in tests/test_dedup.py.
+
+    Mirrors `minhash_lsh_incremental_near_dups` (text twin); closes the
+    round-9 design gap: dense serving indexes were batch-built only.
+
+    Reference analogue: the controller's continually-updated global-view
+    state (ryu/src/deployed_controller/DIPA_Controller.py)."""
+    from ..functions.ivf import ivf_search, load_ivf_index
+
+    path = _incremental_ivf_index(spark, sf_dir)
+    assigned, centroids = load_ivf_index(spark, path)
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return ivf_search(
+        assigned, centroids, q, k=5, n_probe=SCALE.ivf_n_probe
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+
+
 @query("ann_topk_ivf_neighbors", survey="ext-sim")
 def ann_topk_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted lists, seeded/deterministic) top-5 neighbors

@@ -28,6 +28,9 @@ ANN_EXHAUSTIVE_TWINS = {
     "ann_topk_ivf_neighbors": "ann_topk_ivf_exhaustive",
     "ann_topk_pq_neighbors": "ann_topk_pq_exhaustive",
     "ann_topk_ivfpq_neighbors": "ann_topk_ivfpq_exhaustive",
+    # r10: the incremental path (built on half, half appended through
+    # ivf_append_batch) — its recall-AFTER-APPENDS rides the same gate
+    "ann_topk_ivf_incremental": "ann_topk_ivf_exhaustive",
 }
 
 #: recall@5 floors ON THIS CORPUS. Two distinct contracts:
@@ -48,6 +51,9 @@ ANN_RECALL_FLOORS = {
     "ann_topk_ivf_neighbors": 0.5,
     "ann_topk_pq_neighbors": 0.15,
     "ann_topk_ivfpq_neighbors": 0.15,
+    # trained on the even half only, so marginally under the full-corpus
+    # IVF (measured 0.548 at sf0.01 vs 0.604)
+    "ann_topk_ivf_incremental": 0.4,
 }
 
 #: Clustered-fixture recall floors — the MEANINGFUL quality numbers (same
@@ -59,6 +65,7 @@ CLUSTERED_RECALL_FLOORS = {
     "ann_topk_ivf_neighbors": 0.85,
     "ann_topk_pq_neighbors": 0.65,
     "ann_topk_ivfpq_neighbors": 0.6,
+    "ann_topk_ivf_incremental": 0.8,  # recall-after-appends (pytest twin)
 }
 
 
@@ -103,7 +110,37 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
     exact = topk(cosine_scores(corpus, queries), 5)
     assigned, centroids = build_ivf_index(corpus, dim=64, n_list=16)
     cb = train_pq(corpus, dim=64, m=8, ksub=32)
+
+    # recall-AFTER-APPENDS (r10): build on the even half, append the odd
+    # half through the persisted batch-stamped delta path, serve from the
+    # base+delta union — the same recipe tests/test_dedup.py pins ≥ 0.8
+    import shutil
+    import tempfile
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        ivf_append_batch,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    inc_path = tempfile.mkdtemp(prefix="parity_ivf_inc_")
+    try:
+        half_a, half_c = build_ivf_index(
+            corpus.where(F.col("vec_id") % 2 == 0), dim=64, n_list=16
+        )
+        save_ivf_index(half_a, half_c, inc_path)
+        odd = corpus.where(F.col("vec_id") % 2 == 1)
+        ivf_append_batch(spark, inc_path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+        ivf_append_batch(spark, inc_path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+        l_assigned, l_centroids = load_ivf_index(spark, inc_path)
+        inc_recall = recall_at_k(
+            ivf_search(l_assigned, l_centroids, queries, k=5, n_probe=4), exact, 5
+        )
+    finally:
+        shutil.rmtree(inc_path, ignore_errors=True)
+
     return {
+        "ann_topk_ivf_incremental": inc_recall,
         "ann_topk_lsh_neighbors": recall_at_k(
             ann_topk_lsh(corpus, queries, dim=64, k=5, n_planes=8, probe_radius=2),
             exact,

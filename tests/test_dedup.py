@@ -1160,3 +1160,90 @@ def test_classifier_expr_form_bit_equals_batch_form(spark, sf_dir):
         if r.q is not None
     }
     assert batch == expr and batch
+
+
+def test_ivf_append_batch_incremental(spark, clustered_vectors, tmp_path):
+    """Incremental IVF index maintenance (the dense-ANN twin of the
+    MinHash/TF-IDF incremental loops):
+    (1) planted recall — build on half the clustered corpus, append the
+        rest in two batches, search from the persisted base+delta union:
+        recall@5 vs brute force over the FULL corpus stays ≥ 0.8;
+    (2) idempotent replay — re-appending the same batch_id rewrites the
+        same delta stamp (row count and search results unchanged, never
+        double-appended);
+    (3) drift trigger — a batch drawn from a shifted distribution pushes
+        quantization error past retrain_drift × the build baseline and
+        trips needs_retrain; a same-distribution batch does not;
+    (4) mass trigger — appended rows exceeding retrain_mass × the trained
+        corpus trip needs_retrain even at zero drift;
+    (5) partition pruning survives deltas — a list filter on the loaded
+        union reads only the probed list_id directories."""
+    import random
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        build_ivf_index,
+        ivf_append_batch,
+        ivf_search,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+        cosine_scores,
+        recall_at_k,
+        topk,
+    )
+
+    corpus = clustered_vectors
+    base = corpus.where(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivf_inc")
+    assigned, centroids = build_ivf_index(base, dim=64, n_list=16)
+    save_ivf_index(assigned, centroids, path)
+
+    odd = corpus.where(F.col("vec_id") % 2 == 1)
+    s1 = ivf_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    s2 = ivf_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+    # (3) same-distribution appends stay under the DRIFT trigger; the
+    # second batch doubles the trained corpus, so the MASS trigger (4)
+    # correctly reports retrain-due even with zero drift
+    assert s1["drift_ratio"] < 1.5 and s2["drift_ratio"] < 1.5
+    assert not s1["needs_retrain"]
+    assert s2["appended_frac"] > 0.5 and s2["needs_retrain"]
+
+    # (1) planted recall from the persisted base+delta union
+    l_assigned, l_centroids = load_ivf_index(spark, path)
+    assert l_assigned.count() == 200  # 100 base + 50 + 50 appended
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = topk(cosine_scores(corpus, queries), 5)
+    approx = ivf_search(l_assigned, l_centroids, queries, k=5, n_probe=4)
+    r = recall_at_k(approx, exact, 5)
+    assert r >= 0.8, f"recall-after-appends too low: {r}"
+
+    # (2) idempotent replay: same batch_id → same stamp, same results
+    before = {
+        (x.query_id, x.neighbor_id, x.rk)
+        for x in ivf_search(l_assigned, l_centroids, queries, k=5, n_probe=4).collect()
+    }
+    ivf_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    r_assigned, r_centroids = load_ivf_index(spark, path)
+    assert r_assigned.count() == 200
+    after = {
+        (x.query_id, x.neighbor_id, x.rk)
+        for x in ivf_search(r_assigned, r_centroids, queries, k=5, n_probe=4).collect()
+    }
+    assert after == before
+
+    # (3) shifted-distribution batch trips the drift trigger
+    rng = random.Random(99)
+    far = spark.createDataFrame(
+        [(10_000 + i, [rng.gauss(8, 1) for _ in range(64)]) for i in range(20)],
+        ["vec_id", "e"],
+    )
+    s3 = ivf_append_batch(spark, path, far, "b3_drift")
+    assert s3["drift_ratio"] > 1.5 and s3["needs_retrain"]
+
+    # (5) pruning across base + deltas
+    pruned = load_ivf_index(spark, path)[0].where(F.col("list_id").isin(0, 3))
+    files = {x[0] for x in pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all("list_id=0" in f or "list_id=3" in f for f in files)
