@@ -105,7 +105,12 @@ def run_streaming_bench(spark) -> dict:
     store and with RocksDB + changelog checkpointing — the 100 TB state
     path (`session.enable_rocksdb_state`), previously soak-tested but not
     perf-tracked. Keys: ``spine_*`` / ``alert_machine_*`` and the same
-    with a ``_rocksdb`` suffix."""
+    with a ``_rocksdb`` suffix; ``*_breakdown*`` carries the engine's own
+    per-batch duration/state-operator timings (r10). The streaming block
+    runs at ``spark.sql.shuffle.partitions = 8`` (recorded in the
+    artifact): the r10 soak showed per-instance state-store commit
+    dominating at 32 partitions for 64-shard state — size stateful-op
+    partitions to state volume, not core count."""
     import shutil
     import tempfile
 
@@ -122,7 +127,24 @@ def run_streaming_bench(spark) -> dict:
         ps = [p for p in progress if p["numInputRows"] > 0]
         return ps[1:] if len(ps) > 1 else ps
 
-    def measure(stream_df, ckpt: str) -> tuple[float, int]:
+    def breakdown(st) -> dict:
+        """Mean per-batch engine timings across steady batches — the r10
+        breakdown that showed state-store COMMIT dominating at 32 shuffle
+        partitions (SOAK_r10*.json): where the milliseconds go."""
+        bd: dict[str, float] = {}
+        for key in ("addBatch", "queryPlanning", "walCommit", "commitOffsets",
+                    "triggerExecution"):
+            vals = [p["durationMs"].get(key, 0) for p in st if "durationMs" in p]
+            if vals:
+                bd[f"durationMs.{key}"] = round(statistics.mean(vals), 1)
+        for key in ("allUpdatesTimeMs", "commitTimeMs", "numRowsUpdated"):
+            vals = [p["stateOperators"][0].get(key, 0)
+                    for p in st if p.get("stateOperators")]
+            if vals:
+                bd[f"state.{key}"] = round(statistics.mean(vals), 1)
+        return bd
+
+    def measure(stream_df, ckpt: str) -> tuple[float, int, dict]:
         q = (
             stream_df.writeStream.format("noop")
             .trigger(availableNow=True)
@@ -136,7 +158,7 @@ def run_streaming_bench(spark) -> dict:
         durs = sorted(p["batchDuration"] for p in st)
         rate = round(rows / (ms / 1000.0), 1) if ms else 0.0
         p95 = durs[min(len(durs) - 1, int(0.95 * len(durs)))] if durs else 0
-        return rate, p95
+        return rate, p95, breakdown(st)
 
     def spine(tag: str, out: dict) -> None:
         d = tempfile.mkdtemp(prefix="dipa_bench_spine_")
@@ -157,9 +179,10 @@ def run_streaming_bench(spark) -> dict:
             rates = deltas.select(
                 "src", "poll_ts", (F.col("delta") / 2.0).alias("pkt_rate")
             ).where(F.col("pkt_rate") > 25.0)
-            rate, p95 = measure(rates, f"{d}/_ckpt")
+            rate, p95, bd = measure(rates, f"{d}/_ckpt")
             out[f"spine_rows_per_sec{tag}"] = rate
             out[f"spine_p95_batch_ms{tag}"] = p95
+            out[f"spine_breakdown{tag}"] = bd
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
@@ -179,15 +202,27 @@ def run_streaming_bench(spark) -> dict:
                 spark, d, "src string, poll_ts timestamp, hot boolean"
             )
             events = alert_state_machine(stream, "src", "hot", "poll_ts")
-            rate, p95 = measure(events, f"{d}/_ckpt")
+            rate, p95, bd = measure(events, f"{d}/_ckpt")
             out[f"alert_machine_keys_per_sec{tag}"] = rate
             out[f"alert_machine_p95_batch_ms{tag}"] = p95
+            out[f"alert_machine_breakdown{tag}"] = bd
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
     out: dict[str, float] = {}
+    # r10 micro-batch sizing (SOAK_r10_shuffle.json): these workloads hold
+    # 64 shard keys of state, so 32 shuffle partitions means 32 state-store
+    # instances each paying open/commit per batch for ~2 keys — the
+    # breakdown showed commit dominating and 8 partitions halved p95 on
+    # BOTH providers (hdfs 1381->728 ms, rocksdb+notrack 707 ms). The
+    # stateful-operator partition count is a per-pipeline choice fixed at
+    # first checkpoint: size it to state volume, not core count. Recorded
+    # in the artifact for comparability.
+    saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    out["streaming_shuffle_partitions"] = 8
     saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         for tag in ("", "_rocksdb"):
             if tag:
                 for k, v in ROCKSDB_STATE_CONF.items():
@@ -195,6 +230,7 @@ def run_streaming_bench(spark) -> dict:
             spine(tag, out)
             alert(tag, out)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)

@@ -50,6 +50,15 @@ ROCKSDB_STATE_CONF = {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    # r10 soak (SOAK_r10*.json): skipping the get-per-put row-count
+    # bookkeeping is a measured p95/throughput win on the alert-machine
+    # workload (1503 → 1341 ms, 18.9k → 22.3k keys/s at 32 shuffle
+    # partitions) and the standard recommendation for write-heavy large
+    # state. Cost: the numRowsTotal METRIC reads 0 — state size is
+    # audited by the engine's own emit_state_size probe / the State Data
+    # Source (streaming/stateview.py), not this counter. Re-enable per
+    # session to restore the metric.
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows": "false",
 }
 
 

@@ -412,8 +412,11 @@ def alert_state_machine_tws(
 
     - ONE ValueState tuple per key in the native store — the engine never
       serializes parallel arrays through GroupState, and RocksDB holds
-      key-level entries (``numRowsTotal`` reads true key counts, so the
-      ``emit_state_size`` probe of the sharded form is unnecessary here);
+      key-level entries (the ``numRowsTotal`` metric reads true key
+      counts when ``trackTotalNumberOfRows`` is on; the engine's default
+      ``ROCKSDB_STATE_CONF`` trades that metric for write throughput —
+      r10 soak — so audit key counts via the State Data Source
+      (``streaming/stateview.py``) or re-enable tracking per session);
     - TTL is the API's built-in per-state ``ttlDurationMs``
       (processing-time — the state-hygiene clock a production cluster
       actually runs; the sharded form's event-time TTL remains the
