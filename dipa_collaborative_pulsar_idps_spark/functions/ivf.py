@@ -169,16 +169,32 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
 
 
 def _read_deltas(spark, path: str) -> DataFrame | None:
-    """The appended delta lists, or None when no batch was ever appended.
-    Existence is checked through Hadoop's FileSystem API (not os.path), so
-    the layout works unchanged on HDFS/S3 at cluster scale."""
-    root = f"{path}/deltas"
+    return _read_delta_dir(spark, f"{path}/deltas", ("vec_id", "e", "list_id"))
+
+
+def _read_delta_dir(spark, root: str, cols: tuple[str, ...]) -> DataFrame | None:
+    """The appended delta batches under *root*, or None when no batch was
+    ever appended. Existence is checked through Hadoop's FileSystem API
+    (not os.path), so the layout works unchanged on HDFS/S3 at cluster
+    scale. Shared by the IVF (raw-vector) and IVF-PQ (code) layouts."""
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(root)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
-    return spark.read.parquet(root).select("vec_id", "e", "list_id")
+    return spark.read.parquet(root).select(*cols)
+
+
+def read_index_stats(spark, path: str) -> tuple[dict, int]:
+    """(base stats row as a dict, total appended row count) from the
+    ``stats/batch_id=*`` commits — the inputs to the retrain triggers."""
+    stats = spark.read.parquet(f"{path}/stats").collect()  # bounded-collect: one row per committed batch
+    base = next(r for r in stats if r["batch_id"] == "base")
+    appended_n = sum(r["n_vectors"] for r in stats if r["batch_id"] != "base")
+    return (
+        {"n_vectors": base["n_vectors"], "mean_sq_err": base["mean_sq_err"]},
+        appended_n,
+    )
 
 
 def quantization_error(assigned: DataFrame, centroids: DataFrame) -> tuple[float, int]:
@@ -250,9 +266,7 @@ def ivf_append_batch(
     centroids = spark.read.parquet(f"{path}/centroids")
     batch_err, batch_n = quantization_error(committed, centroids)
     _write_stats_row(spark, path, batch_id, batch_n, batch_err)
-    stats = spark.read.parquet(f"{path}/stats").collect()  # bounded-collect: one row per committed batch
-    base = next(r for r in stats if r["batch_id"] == "base")
-    appended_n = sum(r["n_vectors"] for r in stats if r["batch_id"] != "base")
+    base, appended_n = read_index_stats(spark, path)
     drift = batch_err / base["mean_sq_err"] if base["mean_sq_err"] > 0 else 1.0
     appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
     return {

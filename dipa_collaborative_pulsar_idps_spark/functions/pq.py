@@ -269,22 +269,121 @@ def save_ivfpq_index(
     """Persist the full IVF-PQ serving layout: codes (m small ints per
     vector — the 32× compression is ON DISK too) hive-partitioned by
     ``list_id`` so a probe is a partition-pruned scan, plus the tiny
-    centroid table and the PQ codebooks. Encode-once/serve-many: the
-    corpus never needs its raw vectors again at serving time."""
+    centroid table, the PQ codebooks, and the build-time reconstruction-
+    error baseline (``stats/batch_id=base``) that
+    :func:`ivfpq_append_batch` measures codebook drift against.
+    Encode-once/serve-many: the corpus never needs its raw vectors again
+    at serving time."""
+    from .ivf import _write_stats_row
+
     enc = pq_encode(assigned, codebooks, keep=("list_id",))
     enc.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{path}/codes")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    save_pq(centroids.sparkSession, codebooks, f"{path}/pq")
+    spark = centroids.sparkSession
+    save_pq(spark, codebooks, f"{path}/pq")
+    err, n = pq_reconstruction_error(assigned.select("vec_id", "e"), codebooks)
+    _write_stats_row(spark, path, "base", n, err)
 
 
 def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, np.ndarray]:
     """Load a persisted IVF-PQ index → (encoded, centroids, codebooks),
-    ready for :func:`ivfpq_search_encoded`."""
+    ready for :func:`ivfpq_search_encoded`. The code relation is the base
+    codes UNION any appended delta batches
+    (``codes_deltas/batch_id=*/list_id=*`` — :func:`ivfpq_append_batch`);
+    both sides stay hive-partitioned on list_id, so a probe still prunes
+    to the probed list directories across base AND deltas."""
+    from .ivf import _read_delta_dir
+
     enc = spark.read.parquet(f"{path}/codes").select("vec_id", "codes", "list_id")
+    deltas = _read_delta_dir(
+        spark, f"{path}/codes_deltas", ("vec_id", "codes", "list_id")
+    )
+    if deltas is not None:
+        enc = enc.unionByName(deltas)
     centroids = spark.read.parquet(f"{path}/centroids")
     return enc, centroids, load_pq(spark, f"{path}/pq")
+
+
+def pq_reconstruction_error(corpus: DataFrame, codebooks: np.ndarray) -> tuple[float, int]:
+    """(mean squared PQ reconstruction residual ‖v − decode(encode(v))‖²,
+    row count) over (vec_id, e) — one Arrow pass with the codebooks in
+    the closure. The PQ index-health number: it rises when incoming
+    vectors drift away from the subspace codebooks' training
+    distribution, the signal :func:`ivfpq_append_batch` uses to demand a
+    retrain."""
+    m, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf("double")
+    def resid(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="float64")
+        mat = np.array(v.tolist(), dtype=np.float64)
+        sq = np.zeros(len(mat))
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cb = codebooks[j]
+            dist = sub @ (-2 * cb.T) + (cb**2).sum(1)[None, :]
+            code = dist.argmin(1)
+            sq += ((sub - cb[code]) ** 2).sum(1)
+        return pd.Series(sq)
+
+    row = (
+        corpus.select(resid(F.col("e")).alias("sq"))
+        .agg(F.avg("sq").alias("err"), F.count("*").alias("n"))
+        .collect()[0]  # bounded-collect: one scalar row
+    )
+    return (float(row["err"] or 0.0), int(row["n"]))
+
+
+def ivfpq_append_batch(
+    spark,
+    path: str,
+    batch: DataFrame,
+    batch_id: str,
+    retrain_drift: float = 1.5,
+    retrain_mass: float = 0.5,
+) -> dict:
+    """Append new vectors to a PERSISTED IVF-PQ index without retraining
+    either quantizer — the compressed-serving sibling of
+    ``ivf.ivf_append_batch`` (same batch-stamped exactly-once layout).
+
+    ``batch``: (vec_id, e array<double>). O(batch) work: coarse-assign
+    against the SAVED centroids, PQ-encode with the SAVED codebooks (one
+    fused Arrow pipeline), commit to ``codes_deltas/batch_id=<id>/
+    list_id=*/`` with mode overwrite (idempotent replay), and record the
+    batch's PQ reconstruction error beside the build baseline.
+
+    ``needs_retrain`` trips on (a) reconstruction error >
+    ``retrain_drift`` × baseline (the codebooks no longer fit the data —
+    a PQ retrain means RE-ENCODING the whole corpus, which is exactly why
+    the trigger is a tracked number and not a per-batch habit), or
+    (b) appended mass > ``retrain_mass`` × the trained corpus."""
+    from .ivf import _assign_to_centroids, _write_stats_row, read_index_stats
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    codebooks = load_pq(spark, f"{path}/pq")
+    assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
+    enc = pq_encode(assigned, codebooks, keep=("list_id",))
+    enc.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes_deltas/batch_id={batch_id}")
+    batch_err, batch_n = pq_reconstruction_error(batch.select("vec_id", "e"), codebooks)
+    _write_stats_row(spark, path, batch_id, batch_n, batch_err)
+    base, appended_n = read_index_stats(spark, path)
+    drift = batch_err / base["mean_sq_err"] if base["mean_sq_err"] > 0 else 1.0
+    appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
+    return {
+        "batch_id": batch_id,
+        "n_vectors": batch_n,
+        "mean_sq_err": batch_err,
+        "base_mean_sq_err": base["mean_sq_err"],
+        "drift_ratio": round(drift, 4),
+        "appended_frac": round(appended_frac, 4),
+        "needs_retrain": drift > retrain_drift or appended_frac > retrain_mass,
+    }
 
 
 def ivfpq_search_encoded(

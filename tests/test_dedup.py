@@ -1247,3 +1247,95 @@ def test_ivf_append_batch_incremental(spark, clustered_vectors, tmp_path):
     pruned = load_ivf_index(spark, path)[0].where(F.col("list_id").isin(0, 3))
     files = {x[0] for x in pruned.select(F.input_file_name()).distinct().collect()}
     assert files and all("list_id=0" in f or "list_id=3" in f for f in files)
+
+
+def test_ivfpq_append_batch_incremental(spark, clustered_vectors, tmp_path):
+    """Incremental IVF-PQ maintenance (the compressed-serving sibling of
+    test_ivf_append_batch_incremental): coarse-assign + PQ-encode new
+    batches against the SAVED quantizers, batch-stamped code deltas,
+    reconstruction-error drift trigger.
+    (1) planted recall — build+save on half the clustered corpus, append
+        the rest in two batches, ivfpq_search_encoded from the loaded
+        base+delta union: recall@5 vs brute force >= 0.6 (the IVF-PQ
+        clustered floor);
+    (2) idempotent replay — re-appending a batch_id leaves the code count
+        and search results unchanged;
+    (3) drift trigger — far-distribution vectors reconstruct badly under
+        codebooks trained on the cluster region -> needs_retrain; the
+        same-distribution batches stay under the drift trigger (the
+        second trips only the mass trigger, corpus doubled);
+    (4) pruning — the loaded union's list filter reads only probed
+        list_id directories across base codes AND deltas."""
+    import random
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_append_batch,
+        ivfpq_search_encoded,
+        load_ivfpq_index,
+        save_ivfpq_index,
+        train_pq,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+        cosine_scores,
+        recall_at_k,
+        topk,
+    )
+
+    corpus = clustered_vectors
+    base = corpus.where(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivfpq_inc")
+    assigned, centroids = build_ivf_index(base, dim=64, n_list=16)
+    # sample_cap < |base| so half the indexed corpus is held out from
+    # codebook training: the build-time error baseline then estimates
+    # HELD-OUT reconstruction error (the production regime, where the
+    # bounded sample is a sliver of the corpus) instead of training-set
+    # error — with cap = |base| the fixture-scale codebooks overfit and
+    # same-distribution appends would read a spurious ~2x "drift"
+    cb = train_pq(base, dim=64, m=8, ksub=32, sample_cap=64)
+    save_ivfpq_index(assigned, centroids, cb, path)
+
+    odd = corpus.where(F.col("vec_id") % 2 == 1)
+    s1 = ivfpq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    s2 = ivfpq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+    assert s1["drift_ratio"] < 1.5 and s2["drift_ratio"] < 1.5
+    assert not s1["needs_retrain"]
+    assert s2["appended_frac"] > 0.5 and s2["needs_retrain"]  # mass only
+
+    enc, l_cent, l_cb = load_ivfpq_index(spark, path)
+    assert enc.count() == 200  # 100 base + 50 + 50 appended codes
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = topk(cosine_scores(corpus, queries), 5)
+    approx = ivfpq_search_encoded(enc, l_cent, l_cb, queries, k=5, n_probe=4)
+    r = recall_at_k(approx, exact, 5)
+    assert r >= 0.6, f"IVF-PQ recall-after-appends too low: {r}"
+
+    # (2) idempotent replay
+    before = {
+        (x.query_id, x.neighbor_id, x.rk)
+        for x in ivfpq_search_encoded(enc, l_cent, l_cb, queries, k=5, n_probe=4).collect()
+    }
+    ivfpq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    enc2, c2, cb2 = load_ivfpq_index(spark, path)
+    assert enc2.count() == 200
+    after = {
+        (x.query_id, x.neighbor_id, x.rk)
+        for x in ivfpq_search_encoded(enc2, c2, cb2, queries, k=5, n_probe=4).collect()
+    }
+    assert after == before
+
+    # (3) far distribution -> reconstruction drift
+    rng = random.Random(99)
+    far = spark.createDataFrame(
+        [(10_000 + i, [rng.gauss(8, 1) for _ in range(64)]) for i in range(20)],
+        ["vec_id", "e"],
+    )
+    s3 = ivfpq_append_batch(spark, path, far, "b3_drift")
+    assert s3["drift_ratio"] > 1.5 and s3["needs_retrain"]
+
+    # (4) pruning across base codes + deltas
+    pruned = load_ivfpq_index(spark, path)[0].where(F.col("list_id").isin(0, 3))
+    files = {x[0] for x in pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all("list_id=0" in f or "list_id=3" in f for f in files)
