@@ -285,13 +285,72 @@ def _incremental_ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def clear_ivf_inc_cache() -> None:
-    """Remove every materialized incremental-IVF index directory
-    (explicit lifecycle end, same contract as the unpersist clears)."""
+    """Remove every materialized incremental-index directory (IVF and
+    IVF-PQ; explicit lifecycle end, same contract as the unpersist
+    clears)."""
     import shutil
 
-    for path in _IVF_INC_INDEX_CACHE.values():
+    for path in list(_IVF_INC_INDEX_CACHE.values()) + list(
+        _IVFPQ_INC_INDEX_CACHE.values()
+    ):
         shutil.rmtree(path, ignore_errors=True)
     _IVF_INC_INDEX_CACHE.clear()
+    _IVFPQ_INC_INDEX_CACHE.clear()
+
+
+#: Same lifecycle as _IVF_INC_INDEX_CACHE, for the compressed layout.
+_IVFPQ_INC_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _incremental_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..functions.ivf import build_ivf_index
+    from ..functions.pq import ivfpq_append_batch, save_ivfpq_index, train_pq
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _IVFPQ_INC_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = _corpus(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="dipa_collaborative_pulsar_idps_ivfpq_inc_")
+    assigned, centroids = build_ivf_index(base, dim=64, n_list=SCALE.ivf_n_list)
+    cb = train_pq(base, dim=64, m=SCALE.pq_m, ksub=SCALE.pq_ksub,
+                  sample_cap=SCALE.pq_sample_cap)
+    save_ivfpq_index(assigned, centroids, cb, path)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    ivfpq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    ivfpq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+    _IVFPQ_INC_INDEX_CACHE[key] = path
+    return path
+
+
+@query("ann_topk_ivfpq_incremental", survey="ext-sim")
+def ann_topk_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest COMPRESSED ANN — the IVF-PQ serving sibling of
+    `ann_topk_ivfpq_neighbors`: index built (coarse centroids + PQ
+    codebooks + codes) on the even-vec_id half, odd half appended as two
+    crawl batches through `functions/pq.ivfpq_append_batch`
+    (coarse-assign + PQ-encode against the SAVED quantizers, code deltas
+    at ``codes_deltas/batch_id=*/list_id=*`` with idempotent replay,
+    reconstruction-error drift + mass retrain triggers), then served
+    from the persisted base+delta code union — no raw-vector column
+    anywhere at serving time. Rows-only by design; recall-after-appends
+    vs the oracle-checked exhaustive twin rides the PARITY_r* gate, and
+    the planted/replay/drift contracts live in tests/test_dedup.py."""
+    from ..functions.pq import ivfpq_search_encoded, load_ivfpq_index
+
+    path = _incremental_ivfpq_index(spark, sf_dir)
+    enc, centroids, cb = load_ivfpq_index(spark, path)
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return ivfpq_search_encoded(
+        enc, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
 
 
 @query("ann_topk_ivf_incremental", survey="ext-sim")

@@ -28,9 +28,11 @@ ANN_EXHAUSTIVE_TWINS = {
     "ann_topk_ivf_neighbors": "ann_topk_ivf_exhaustive",
     "ann_topk_pq_neighbors": "ann_topk_pq_exhaustive",
     "ann_topk_ivfpq_neighbors": "ann_topk_ivfpq_exhaustive",
-    # r10: the incremental path (built on half, half appended through
-    # ivf_append_batch) — its recall-AFTER-APPENDS rides the same gate
+    # r10: the incremental paths (built on half, half appended through
+    # ivf_append_batch / ivfpq_append_batch) — their recall-AFTER-APPENDS
+    # rides the same gate
     "ann_topk_ivf_incremental": "ann_topk_ivf_exhaustive",
+    "ann_topk_ivfpq_incremental": "ann_topk_ivfpq_exhaustive",
 }
 
 #: recall@5 floors ON THIS CORPUS. Two distinct contracts:
@@ -52,8 +54,10 @@ ANN_RECALL_FLOORS = {
     "ann_topk_pq_neighbors": 0.15,
     "ann_topk_ivfpq_neighbors": 0.15,
     # trained on the even half only, so marginally under the full-corpus
-    # IVF (measured 0.548 at sf0.01 vs 0.604)
+    # forms (measured: IVF 0.548 at sf0.01 vs 0.604; IVF-PQ 0.272 vs
+    # 0.296, and the full IVF-PQ reads 0.208 at sf0.1)
     "ann_topk_ivf_incremental": 0.4,
+    "ann_topk_ivfpq_incremental": 0.1,
 }
 
 #: Clustered-fixture recall floors — the MEANINGFUL quality numbers (same
@@ -66,6 +70,7 @@ CLUSTERED_RECALL_FLOORS = {
     "ann_topk_pq_neighbors": 0.65,
     "ann_topk_ivfpq_neighbors": 0.6,
     "ann_topk_ivf_incremental": 0.8,  # recall-after-appends (pytest twin)
+    "ann_topk_ivfpq_incremental": 0.55,  # compressed recall-after-appends
 }
 
 
@@ -123,24 +128,45 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
         save_ivf_index,
     )
 
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_append_batch,
+        ivfpq_search_encoded,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    half = corpus.where(F.col("vec_id") % 2 == 0)
+    odd = corpus.where(F.col("vec_id") % 2 == 1)
     inc_path = tempfile.mkdtemp(prefix="parity_ivf_inc_")
+    pq_path = tempfile.mkdtemp(prefix="parity_ivfpq_inc_")
     try:
-        half_a, half_c = build_ivf_index(
-            corpus.where(F.col("vec_id") % 2 == 0), dim=64, n_list=16
-        )
+        half_a, half_c = build_ivf_index(half, dim=64, n_list=16)
         save_ivf_index(half_a, half_c, inc_path)
-        odd = corpus.where(F.col("vec_id") % 2 == 1)
         ivf_append_batch(spark, inc_path, odd.where(F.col("vec_id") % 4 == 1), "b1")
         ivf_append_batch(spark, inc_path, odd.where(F.col("vec_id") % 4 == 3), "b2")
         l_assigned, l_centroids = load_ivf_index(spark, inc_path)
         inc_recall = recall_at_k(
             ivf_search(l_assigned, l_centroids, queries, k=5, n_probe=4), exact, 5
         )
+        # compressed sibling: sample_cap < |half| so the drift baseline is
+        # held-out-representative (see tests/test_dedup.py)
+        cbh = train_pq(half, dim=64, m=8, ksub=32, sample_cap=64)
+        save_ivfpq_index(half_a, half_c, cbh, pq_path)
+        ivfpq_append_batch(spark, pq_path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+        ivfpq_append_batch(spark, pq_path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+        enc_l, cent_l, cb_l = load_ivfpq_index(spark, pq_path)
+        pq_inc_recall = recall_at_k(
+            ivfpq_search_encoded(enc_l, cent_l, cb_l, queries, k=5, n_probe=4),
+            exact,
+            5,
+        )
     finally:
         shutil.rmtree(inc_path, ignore_errors=True)
+        shutil.rmtree(pq_path, ignore_errors=True)
 
     return {
         "ann_topk_ivf_incremental": inc_recall,
+        "ann_topk_ivfpq_incremental": pq_inc_recall,
         "ann_topk_lsh_neighbors": recall_at_k(
             ann_topk_lsh(corpus, queries, dim=64, k=5, n_planes=8, probe_radius=2),
             exact,
