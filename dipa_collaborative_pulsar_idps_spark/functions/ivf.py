@@ -23,6 +23,89 @@ from pyspark.sql import functions as F
 
 from .similarity import cosine_cols, grouped_topk_scores, topk
 
+#: Pointer file naming the ACTIVE generation directory under an index
+#: root — written by :func:`ivf_retrain` (and the PQ sibling). An index
+#: that has never been retrained has no pointer and serves from the flat
+#: root layout `save_ivf_index` writes, so pre-retrain indexes load
+#: unchanged.
+_POINTER = "_CURRENT"
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for *path* through Hadoop's FS API — works on
+    HDFS/S3/local alike (same move as _read_delta_dir)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _delete_tree(spark, path: str) -> None:
+    """Recursive delete, no-op when absent."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def _write_pointer(spark, path: str, gen: str) -> None:
+    """Atomically point ``{path}/_CURRENT`` at generation dir *gen*:
+    write ``_CURRENT.tmp`` then rename over (HDFS rename is atomic; on
+    stores without atomic rename the recovery rule in :func:`_resolve`
+    — latest gen dir wins — covers a crashed swap)."""
+    fs, cur = _hadoop_fs(spark, f"{path}/{_POINTER}")
+    _, tmp = _hadoop_fs(spark, f"{path}/{_POINTER}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(gen.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(cur):
+        fs.delete(cur, False)
+    fs.rename(tmp, cur)
+
+
+def _read_pointer(spark, path: str) -> str | None:
+    fs, cur = _hadoop_fs(spark, f"{path}/{_POINTER}")
+    if not fs.exists(cur):
+        return None
+    stream = fs.open(cur)
+    try:
+        # commons-io ships with Spark; py4j can't read into a Python-side
+        # byte buffer (arrays pass by value), so let the JVM drain it
+        jvm = spark.sparkContext._jvm
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+        return text.strip() or None
+    finally:
+        stream.close()
+
+
+def _list_generations(spark, path: str) -> list[str]:
+    """Existing ``gen-NNNNN`` directory names under *path*, sorted (zero-
+    padded → lexicographic == numeric)."""
+    fs, root = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("gen-")
+    )
+
+
+def _resolve_root(spark, path: str) -> str:
+    """The directory actually holding the index trees: the pointer target
+    when a retrain has promoted a generation; else the LATEST gen dir if
+    any exist (recovery from a crashed pointer swap — the staged tree is
+    complete before the swap starts); else the flat *path* itself (the
+    `save_ivf_index` layout)."""
+    gen = _read_pointer(spark, path)
+    if gen is None:
+        gens = _list_generations(spark, path)
+        gen = gens[-1] if gens else None
+    return f"{path}/{gen}" if gen else path
+
 
 def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
     """Seeded k-means++ init + Lloyd until convergence — pure numpy on the
@@ -138,6 +221,19 @@ def ivf_search(
     return topk(scored, k)
 
 
+def _write_ivf_tree(assigned: DataFrame, centroids: DataFrame, root: str) -> None:
+    """The index trees themselves (lists hive-partitioned by list_id +
+    centroids + the stats/batch_id=base baseline) into *root* — shared by
+    :func:`save_ivf_index` (root = the index path) and
+    :func:`ivf_retrain` (root = a fresh generation dir)."""
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{root}/lists")
+    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+    err, n = quantization_error(assigned, centroids)
+    _write_stats_row(centroids.sparkSession, root, "base", n, err)
+
+
 def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
     """Persist the index: inverted lists hive-partitioned by ``list_id`` —
     the layout that makes a probe a PARTITION-PRUNED scan (only the
@@ -145,31 +241,43 @@ def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None
     centroid table and the build-time quantization-error baseline
     (``stats/batch_id=base``) that :func:`ivf_append_batch` measures
     assignment drift against. Build once, serve many: the k-means pass is
-    amortized across every subsequent query batch."""
-    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/lists")
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    err, n = quantization_error(assigned, centroids)
-    _write_stats_row(centroids.sparkSession, path, "base", n, err)
+    amortized across every subsequent query batch.
+
+    (Re)INITIALIZES the path: any appended ``deltas/``, stale ``stats/``
+    batch rows, retrain generations, and the generation pointer are
+    deleted first, so saving a rebuilt index over an appended one can
+    never serve duplicate vec_ids or count dead batch mass (r10 advisor).
+    For retrain-under-serving use :func:`ivf_retrain` — it stages the new
+    index in a fresh generation dir and promotes it with an atomic
+    pointer swap instead of rewriting trees in place."""
+    spark = centroids.sparkSession
+    for sub in ("deltas", "stats", "lists", "centroids"):
+        _delete_tree(spark, f"{path}/{sub}")
+    for gen in _list_generations(spark, path):
+        _delete_tree(spark, f"{path}/{gen}")
+    _delete_tree(spark, f"{path}/{_POINTER}")
+    _write_ivf_tree(assigned, centroids, path)
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted index: (assigned, centroids), search-ready. The
-    serving relation is the base lists UNION any appended delta batches
+    """Load a persisted index: (assigned, centroids), search-ready. Reads
+    from the ACTIVE generation (the ``_CURRENT`` pointer target after an
+    :func:`ivf_retrain`; the flat path before one). The serving relation
+    is the base lists UNION any appended delta batches
     (``deltas/batch_id=*/list_id=*``) — both sides are hive-partitioned on
     list_id, so a probe's list filter still prunes to only the probed
     directories across base AND deltas."""
-    assigned = spark.read.parquet(f"{path}/lists").select("vec_id", "e", "list_id")
-    deltas = _read_deltas(spark, path)
+    root = _resolve_root(spark, path)
+    assigned = spark.read.parquet(f"{root}/lists").select("vec_id", "e", "list_id")
+    deltas = _read_deltas(spark, root)
     if deltas is not None:
         assigned = assigned.unionByName(deltas)
-    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids = spark.read.parquet(f"{root}/centroids")
     return assigned, centroids
 
 
-def _read_deltas(spark, path: str) -> DataFrame | None:
-    return _read_delta_dir(spark, f"{path}/deltas", ("vec_id", "e", "list_id"))
+def _read_deltas(spark, root: str) -> DataFrame | None:
+    return _read_delta_dir(spark, f"{root}/deltas", ("vec_id", "e", "list_id"))
 
 
 def _read_delta_dir(spark, root: str, cols: tuple[str, ...]) -> DataFrame | None:
@@ -187,14 +295,47 @@ def _read_delta_dir(spark, root: str, cols: tuple[str, ...]) -> DataFrame | None
 
 def read_index_stats(spark, path: str) -> tuple[dict, int]:
     """(base stats row as a dict, total appended row count) from the
-    ``stats/batch_id=*`` commits — the inputs to the retrain triggers."""
+    ``stats/batch_id=*`` commits — the inputs to the retrain triggers.
+    Raises a descriptive ValueError when the build baseline is missing
+    (index written by a pre-baseline save format, or a partially-written
+    stats tree) instead of a bare StopIteration (r10 advisor); append
+    paths validate this BEFORE committing a delta."""
+    fs, stats_path = _hadoop_fs(spark, f"{path}/stats")
+    if not fs.exists(stats_path):
+        raise ValueError(
+            f"no stats tree at {path}/stats — index predates the baseline "
+            "format; re-run save_*_index (or *_retrain) to write the "
+            "stats/batch_id=base row before appending"
+        )
     stats = spark.read.parquet(f"{path}/stats").collect()  # bounded-collect: one row per committed batch
-    base = next(r for r in stats if r["batch_id"] == "base")
+    base = next((r for r in stats if r["batch_id"] == "base"), None)
+    if base is None:
+        raise ValueError(
+            f"stats tree at {path}/stats has no batch_id=base baseline row "
+            "(partially-written index?); re-run save_*_index (or *_retrain) "
+            "to restore it before appending"
+        )
     appended_n = sum(r["n_vectors"] for r in stats if r["batch_id"] != "base")
     return (
         {"n_vectors": base["n_vectors"], "mean_sq_err": base["mean_sq_err"]},
         appended_n,
     )
+
+
+def _drift_ratio(batch_err: float, base_err: float) -> float:
+    """batch/base quantization-error ratio. A zero baseline (every trained
+    vector sat exactly on its centroid — e.g. n_list ≥ corpus rows) makes
+    ANY nonzero batch error infinite drift, not ratio-1.0 business as
+    usual (r10 advisor: the trigger was silently disabled there)."""
+    if base_err > 0:
+        return batch_err / base_err
+    return float("inf") if batch_err > 0 else 1.0
+
+
+def _round_ratio(x: float) -> float:
+    import math
+
+    return round(x, 4) if math.isfinite(x) else x
 
 
 def quantization_error(assigned: DataFrame, centroids: DataFrame) -> tuple[float, int]:
@@ -250,31 +391,114 @@ def ivf_append_batch(
     ``retrain_drift`` × the build baseline (the data moved away from the
     trained centroids), or (b) appended mass exceeds ``retrain_mass`` ×
     the trained corpus (enough new data that k-means would place
-    centroids differently). Retrain = build_ivf_index over
-    load_ivf_index(...)[0] + save — the caller owns when."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+    centroids differently). Acting on the trigger is one call:
+    :func:`ivf_retrain` folds base + deltas into a fresh generation and
+    promotes it atomically."""
+    root = _resolve_root(spark, path)
+    # validate the baseline BEFORE committing the delta: a missing base
+    # stats row used to surface only AFTER the delta landed, leaving a
+    # served-but-unaccounted batch (r10 advisor)
+    base, appended_before = read_index_stats(spark, root)
+    if batch.isEmpty():
+        # nothing to commit: writing an empty hive dir would break schema
+        # inference for EVERY later delta read (r10 advisor) — report
+        # against the existing stats instead
+        appended_frac = (
+            appended_before / base["n_vectors"] if base["n_vectors"] else 0.0
+        )
+        return {
+            "batch_id": batch_id,
+            "n_vectors": 0,
+            "mean_sq_err": 0.0,
+            "base_mean_sq_err": base["mean_sq_err"],
+            "drift_ratio": 1.0,
+            "appended_frac": _round_ratio(appended_frac),
+            "needs_retrain": appended_frac > retrain_mass,
+        }
+    cent_rows = spark.read.parquet(f"{root}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
     cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
     assigned.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
-    ).parquet(f"{path}/deltas/batch_id={batch_id}")
+    ).parquet(f"{root}/deltas/batch_id={batch_id}")
     # measure the COMMITTED batch (read-back, not the in-memory frame), so
     # the stat reflects exactly what serving will scan
-    committed = spark.read.parquet(f"{path}/deltas/batch_id={batch_id}").select(
+    committed = spark.read.parquet(f"{root}/deltas/batch_id={batch_id}").select(
         "vec_id", "e", "list_id"
     )
-    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids = spark.read.parquet(f"{root}/centroids")
     batch_err, batch_n = quantization_error(committed, centroids)
-    _write_stats_row(spark, path, batch_id, batch_n, batch_err)
-    base, appended_n = read_index_stats(spark, path)
-    drift = batch_err / base["mean_sq_err"] if base["mean_sq_err"] > 0 else 1.0
+    _write_stats_row(spark, root, batch_id, batch_n, batch_err)
+    base, appended_n = read_index_stats(spark, root)
+    drift = _drift_ratio(batch_err, base["mean_sq_err"])
     appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
     return {
         "batch_id": batch_id,
         "n_vectors": batch_n,
         "mean_sq_err": batch_err,
         "base_mean_sq_err": base["mean_sq_err"],
-        "drift_ratio": round(drift, 4),
-        "appended_frac": round(appended_frac, 4),
+        "drift_ratio": _round_ratio(drift),
+        "appended_frac": _round_ratio(appended_frac),
         "needs_retrain": drift > retrain_drift or appended_frac > retrain_mass,
+    }
+
+
+def _next_generation(spark, path: str) -> str:
+    gens = _list_generations(spark, path)
+    nxt = (int(gens[-1].split("-")[1]) + 1) if gens else 1
+    return f"gen-{nxt:05d}"
+
+
+def ivf_retrain(
+    spark,
+    path: str,
+    n_list: int | None = None,
+    seed: int = 42,
+    sample_per_list: int = 256,
+    prune_old: bool = True,
+) -> dict:
+    """One-call retrain/compaction: fold the persisted base + every
+    appended delta into a FRESH index (new k-means over the full current
+    corpus), staged in a new ``gen-NNNNN`` directory and promoted with an
+    atomic ``_CURRENT`` pointer swap — the response to a tripped
+    ``needs_retrain`` (pre-r11 the trigger existed but the action was
+    caller-owned prose). Exactly-once shape: the staged tree is complete
+    (lists + centroids + fresh base stats, NO deltas) before the swap; a
+    crash before the swap leaves the old generation serving; a replayed
+    retrain stages another generation and swaps again. Readers that
+    resolved the old root keep a consistent view — its trees are pruned
+    only AFTER the swap, and only when ``prune_old``.
+
+    Mirrors storage.upsert_telemetry's leaf-scoped discipline: write into
+    fresh directories, never mutate a tree a reader may hold.
+
+    ``n_list`` defaults to the current centroid count. Returns
+    {generation, n_vectors, mean_sq_err, n_list}."""
+    old_root = _resolve_root(spark, path)
+    corpus = load_ivf_index(spark, path)[0].select("vec_id", "e")
+    cent_rows = spark.read.parquet(f"{old_root}/centroids").collect()  # bounded-collect: n_list rows
+    if n_list is None:
+        n_list = len(cent_rows)
+    assigned, centroids = build_ivf_index(
+        corpus,
+        dim=len(cent_rows[0]["centroid"]),
+        n_list=n_list,
+        seed=seed,
+        sample_per_list=sample_per_list,
+    )
+    gen = _next_generation(spark, path)
+    _write_ivf_tree(assigned, centroids, f"{path}/{gen}")
+    _write_pointer(spark, path, gen)
+    if prune_old:
+        if old_root == path:  # flat pre-generation layout
+            for sub in ("lists", "centroids", "stats", "deltas"):
+                _delete_tree(spark, f"{path}/{sub}")
+        else:
+            _delete_tree(spark, old_root)
+    base, _ = read_index_stats(spark, f"{path}/{gen}")
+    return {
+        "generation": gen,
+        "n_vectors": base["n_vectors"],
+        "mean_sq_err": base["mean_sq_err"],
+        "n_list": n_list,
     }

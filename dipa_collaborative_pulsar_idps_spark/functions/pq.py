@@ -17,6 +17,16 @@ map pass; the ADC scan reads only the code column (m bytes/row — the point
 of PQ) and ships just per-partition top-k up the merge. Compose with IVF
 (write codes partitioned by list_id) for the standard IVF-PQ layout — the
 probe then prunes partitions AND scans compressed codes.
+
+The IVF-PQ composite is RESIDUAL-encoded (FAISS ``IVFADC``, r11): the PQ
+quantizes ``v − centroid[list_id]``, not the raw vector — the coarse
+quantizer absorbs the between-list spread, so the product quantizer's
+full dynamic range covers only the within-list residual, the standard
+recall lever at fixed m/ksub. Train the composite's codebooks with
+:func:`train_pq_residual`; ADC scoring adds the centroid back per
+(query, list) inside the cogrouped kernel. The flat-PQ path
+(:func:`pq_search_adc`) stays raw-vector — there is no coarse quantizer
+to take a residual against.
 """
 
 from __future__ import annotations
@@ -65,6 +75,34 @@ def train_pq(
     return np.stack(
         [_lloyd(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j) for j in range(m)]
     )
+
+
+def _residuals(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, e, list_id) × (list_id, centroid) → (vec_id, e=v−c,
+    list_id): the IVFADC residual relation — one broadcast join + a
+    zip_with, all JVM-side (no Python boundary for the subtraction)."""
+    return assigned.join(F.broadcast(centroids), "list_id").select(
+        "vec_id",
+        F.zip_with("e", "centroid", lambda a, b: a - b).alias("e"),
+        "list_id",
+    )
+
+
+def train_pq_residual(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """Train the IVF-PQ composite's codebooks on coarse RESIDUALS
+    (v − centroid[list_id]) — the FAISS IVFADC recipe. Same bounded
+    deterministic sampling as :func:`train_pq`; the residual subtraction
+    happens distributed before the sample collect, so driver traffic is
+    unchanged (≤ sample_cap rows)."""
+    return train_pq(_residuals(assigned, centroids), dim, m, ksub, seed, sample_cap)
 
 
 def pq_encode(
@@ -248,7 +286,8 @@ def ivfpq_search(
     quantizer) and ADC-score only their *codes* (product quantizer) — the
     standard billion-scale serving layout (FAISS ``IVFPQ``): scanned
     fraction ≈ n_probe/n_list AND every scanned row is m bytes, not d
-    floats.
+    floats. RESIDUAL-encoded (IVFADC): ``codebooks`` must come from
+    :func:`train_pq_residual` over the same (assigned, centroids).
 
     assigned: (vec_id, e, list_id) from ivf.build_ivf_index — encoded
     here (one extra Arrow pass). Serving many batches? Build the code
@@ -256,7 +295,7 @@ def ivfpq_search(
     index through :func:`ivfpq_search_encoded` instead — re-encoding
     the corpus per query batch is the build step leaking into serving.
     """
-    enc = pq_encode(assigned, codebooks, keep=("list_id",))
+    enc = pq_encode(_residuals(assigned, centroids), codebooks, keep=("list_id",))
     return ivfpq_search_encoded(enc, centroids, codebooks, queries, k, n_probe)
 
 
@@ -266,44 +305,72 @@ def save_ivfpq_index(
     codebooks: np.ndarray,
     path: str,
 ) -> None:
-    """Persist the full IVF-PQ serving layout: codes (m small ints per
-    vector — the 32× compression is ON DISK too) hive-partitioned by
-    ``list_id`` so a probe is a partition-pruned scan, plus the tiny
-    centroid table, the PQ codebooks, and the build-time reconstruction-
-    error baseline (``stats/batch_id=base``) that
+    """Persist the full IVF-PQ serving layout: RESIDUAL codes (m small
+    ints per vector — the 32× compression is ON DISK too) hive-partitioned
+    by ``list_id`` so a probe is a partition-pruned scan, plus the tiny
+    centroid table, the PQ codebooks (residual-trained —
+    :func:`train_pq_residual`), and the build-time residual-
+    reconstruction-error baseline (``stats/batch_id=base``) that
     :func:`ivfpq_append_batch` measures codebook drift against.
     Encode-once/serve-many: the corpus never needs its raw vectors again
-    at serving time."""
+    at serving time.
+
+    (Re)INITIALIZES the path — stale ``codes_deltas/``, ``stats/`` rows,
+    retrain generations, and the generation pointer are deleted first
+    (r10 advisor: saving a rebuilt index over an appended one must not
+    serve stale deltas decoded with NEW codebooks). For retrain-under-
+    serving use :func:`ivfpq_retrain`."""
+    from .ivf import _POINTER, _delete_tree, _list_generations
+
+    spark = centroids.sparkSession
+    for sub in ("codes_deltas", "stats", "codes", "centroids", "pq"):
+        _delete_tree(spark, f"{path}/{sub}")
+    for gen in _list_generations(spark, path):
+        _delete_tree(spark, f"{path}/{gen}")
+    _delete_tree(spark, f"{path}/{_POINTER}")
+    _write_ivfpq_tree(assigned, centroids, codebooks, path)
+
+
+def _write_ivfpq_tree(
+    assigned: DataFrame, centroids: DataFrame, codebooks: np.ndarray, root: str
+) -> None:
+    """The IVF-PQ trees (residual codes + centroids + codebooks + base
+    stats) into *root* — shared by :func:`save_ivfpq_index` and
+    :func:`ivfpq_retrain`."""
     from .ivf import _write_stats_row
 
-    enc = pq_encode(assigned, codebooks, keep=("list_id",))
+    res = _residuals(assigned, centroids)
+    enc = pq_encode(res, codebooks, keep=("list_id",))
     enc.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
-    ).parquet(f"{path}/codes")
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    ).parquet(f"{root}/codes")
+    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
     spark = centroids.sparkSession
-    save_pq(spark, codebooks, f"{path}/pq")
-    err, n = pq_reconstruction_error(assigned.select("vec_id", "e"), codebooks)
-    _write_stats_row(spark, path, "base", n, err)
+    save_pq(spark, codebooks, f"{root}/pq")
+    err, n = pq_reconstruction_error(res.select("vec_id", "e"), codebooks)
+    _write_stats_row(spark, root, "base", n, err)
 
 
 def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, np.ndarray]:
     """Load a persisted IVF-PQ index → (encoded, centroids, codebooks),
-    ready for :func:`ivfpq_search_encoded`. The code relation is the base
-    codes UNION any appended delta batches
-    (``codes_deltas/batch_id=*/list_id=*`` — :func:`ivfpq_append_batch`);
-    both sides stay hive-partitioned on list_id, so a probe still prunes
-    to the probed list directories across base AND deltas."""
-    from .ivf import _read_delta_dir
+    ready for :func:`ivfpq_search_encoded`. Reads from the ACTIVE
+    generation (pointer target after an :func:`ivfpq_retrain`; flat path
+    before one). The code relation is the base codes UNION any appended
+    delta batches (``codes_deltas/batch_id=*/list_id=*`` —
+    :func:`ivfpq_append_batch`); both sides stay hive-partitioned on
+    list_id, so a probe still prunes to the probed list directories
+    across base AND deltas."""
+    from .ivf import _read_delta_dir, _resolve_root
 
-    enc = spark.read.parquet(f"{path}/codes").select("vec_id", "codes", "list_id")
+    root = _resolve_root(spark, path)
+    enc = spark.read.parquet(f"{root}/codes").select("vec_id", "codes", "list_id")
     deltas = _read_delta_dir(
-        spark, f"{path}/codes_deltas", ("vec_id", "codes", "list_id")
+        spark, f"{root}/codes_deltas", ("vec_id", "codes", "list_id")
     )
     if deltas is not None:
         enc = enc.unionByName(deltas)
-    centroids = spark.read.parquet(f"{path}/centroids")
-    return enc, centroids, load_pq(spark, f"{path}/pq")
+    centroids = spark.read.parquet(f"{root}/centroids")
+    return enc, centroids, load_pq(spark, f"{root}/pq")
 
 
 def pq_reconstruction_error(corpus: DataFrame, codebooks: np.ndarray) -> tuple[float, int]:
@@ -350,39 +417,137 @@ def ivfpq_append_batch(
     ``ivf.ivf_append_batch`` (same batch-stamped exactly-once layout).
 
     ``batch``: (vec_id, e array<double>). O(batch) work: coarse-assign
-    against the SAVED centroids, PQ-encode with the SAVED codebooks (one
-    fused Arrow pipeline), commit to ``codes_deltas/batch_id=<id>/
-    list_id=*/`` with mode overwrite (idempotent replay), and record the
-    batch's PQ reconstruction error beside the build baseline.
+    against the SAVED centroids, residualize, PQ-encode with the SAVED
+    codebooks (one fused Arrow pipeline), commit to
+    ``codes_deltas/batch_id=<id>/list_id=*/`` with mode overwrite
+    (idempotent replay), and record the batch's residual reconstruction
+    error beside the build baseline.
 
     ``needs_retrain`` trips on (a) reconstruction error >
     ``retrain_drift`` × baseline (the codebooks no longer fit the data —
     a PQ retrain means RE-ENCODING the whole corpus, which is exactly why
     the trigger is a tracked number and not a per-batch habit), or
-    (b) appended mass > ``retrain_mass`` × the trained corpus."""
-    from .ivf import _assign_to_centroids, _write_stats_row, read_index_stats
+    (b) appended mass > ``retrain_mass`` × the trained corpus. Acting on
+    the trigger is one call: :func:`ivfpq_retrain`."""
+    from .ivf import (
+        _assign_to_centroids,
+        _drift_ratio,
+        _resolve_root,
+        _round_ratio,
+        _write_stats_row,
+        read_index_stats,
+    )
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+    root = _resolve_root(spark, path)
+    # validate the baseline BEFORE committing the delta (r10 advisor)
+    base, appended_before = read_index_stats(spark, root)
+    if batch.isEmpty():
+        # an empty hive delta dir would break schema inference for every
+        # later delta read (r10 advisor) — skip the commit entirely
+        appended_frac = (
+            appended_before / base["n_vectors"] if base["n_vectors"] else 0.0
+        )
+        return {
+            "batch_id": batch_id,
+            "n_vectors": 0,
+            "mean_sq_err": 0.0,
+            "base_mean_sq_err": base["mean_sq_err"],
+            "drift_ratio": 1.0,
+            "appended_frac": _round_ratio(appended_frac),
+            "needs_retrain": appended_frac > retrain_mass,
+        }
+    cent_rows = spark.read.parquet(f"{root}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
     cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-    codebooks = load_pq(spark, f"{path}/pq")
+    codebooks = load_pq(spark, f"{root}/pq")
     assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
-    enc = pq_encode(assigned, codebooks, keep=("list_id",))
+    centroids = spark.read.parquet(f"{root}/centroids")
+    res = _residuals(assigned, centroids)
+    enc = pq_encode(res, codebooks, keep=("list_id",))
     enc.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
-    ).parquet(f"{path}/codes_deltas/batch_id={batch_id}")
-    batch_err, batch_n = pq_reconstruction_error(batch.select("vec_id", "e"), codebooks)
-    _write_stats_row(spark, path, batch_id, batch_n, batch_err)
-    base, appended_n = read_index_stats(spark, path)
-    drift = batch_err / base["mean_sq_err"] if base["mean_sq_err"] > 0 else 1.0
+    ).parquet(f"{root}/codes_deltas/batch_id={batch_id}")
+    batch_err, batch_n = pq_reconstruction_error(res.select("vec_id", "e"), codebooks)
+    _write_stats_row(spark, root, batch_id, batch_n, batch_err)
+    base, appended_n = read_index_stats(spark, root)
+    drift = _drift_ratio(batch_err, base["mean_sq_err"])
     appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
     return {
         "batch_id": batch_id,
         "n_vectors": batch_n,
         "mean_sq_err": batch_err,
         "base_mean_sq_err": base["mean_sq_err"],
-        "drift_ratio": round(drift, 4),
-        "appended_frac": round(appended_frac, 4),
+        "drift_ratio": _round_ratio(drift),
+        "appended_frac": _round_ratio(appended_frac),
         "needs_retrain": drift > retrain_drift or appended_frac > retrain_mass,
+    }
+
+
+def ivfpq_retrain(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    n_list: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    prune_old: bool = True,
+) -> dict:
+    """One-call IVF-PQ retrain/compaction: rebuild BOTH quantizers (fresh
+    k-means centroids + fresh residual codebooks) and re-encode, staged in
+    a new ``gen-NNNNN`` directory and promoted with an atomic ``_CURRENT``
+    pointer swap — the compressed sibling of :func:`ivf.ivf_retrain` and
+    the response to a tripped ``needs_retrain``.
+
+    ``corpus``: the full raw (vec_id, e) relation to index. The
+    compressed index stores only m-byte codes — the raw vectors are NOT
+    recoverable from it (that's the 32× point), so a PQ retrain reads
+    them from the caller's source of truth (the embeddings table /
+    upstream lake) rather than decoding lossy codes into lossier ones.
+    ``n_list``/``m``/``ksub`` default to the current index's geometry.
+
+    Same exactly-once shape as ivf_retrain: complete staged tree (codes +
+    centroids + pq + fresh base stats, NO deltas) before the swap; old
+    generation pruned only after, and only when ``prune_old``."""
+    from .ivf import (
+        _delete_tree,
+        _next_generation,
+        _resolve_root,
+        _write_pointer,
+        build_ivf_index,
+        read_index_stats,
+    )
+
+    old_root = _resolve_root(spark, path)
+    old_cb = load_pq(spark, f"{old_root}/pq")
+    if m is None:
+        m = old_cb.shape[0]
+    if ksub is None:
+        ksub = old_cb.shape[1]
+    if n_list is None:
+        n_list = spark.read.parquet(f"{old_root}/centroids").count()
+    dim = old_cb.shape[0] * old_cb.shape[2]
+    assigned, centroids = build_ivf_index(corpus, dim=dim, n_list=n_list, seed=seed)
+    codebooks = train_pq_residual(
+        assigned, centroids, dim, m=m, ksub=ksub, seed=seed, sample_cap=sample_cap
+    )
+    gen = _next_generation(spark, path)
+    _write_ivfpq_tree(assigned, centroids, codebooks, f"{path}/{gen}")
+    _write_pointer(spark, path, gen)
+    if prune_old:
+        if old_root == path:  # flat pre-generation layout
+            for sub in ("codes", "centroids", "pq", "stats", "codes_deltas"):
+                _delete_tree(spark, f"{path}/{sub}")
+        else:
+            _delete_tree(spark, old_root)
+    base, _ = read_index_stats(spark, f"{path}/{gen}")
+    return {
+        "generation": gen,
+        "n_vectors": base["n_vectors"],
+        "mean_sq_err": base["mean_sq_err"],
+        "n_list": n_list,
+        "m": m,
+        "ksub": ksub,
     }
 
 
@@ -398,12 +563,30 @@ def ivfpq_search_encoded(
     — the serving half of the index: no raw-vector column anywhere, no
     per-batch encode pass. Cogroups on list_id like ivf_search, but the
     kernel gathers from the per-query PQ lookup table instead of
-    BLAS-ing raw vectors."""
+    BLAS-ing raw vectors.
+
+    IVFADC (r11): codes are RESIDUAL codes, so the reconstruction is
+    v̂ = c + r̂ with c = centroid[list_id]. Per (query, list) the kernel
+    adds the q·c term and the per-list codeword cross table
+    cl[j, code] = c_subⱼ · codewordⱼ back into the LUT algebra:
+
+        q·v̂   = q·c + Σⱼ lut[j, codeⱼ]
+        ‖v̂‖² = ‖c‖² + 2·Σⱼ cl[j, codeⱼ] + Σⱼ n2[j, codeⱼ]
+
+    The centroid matrix rides the kernel closure (n_list·d doubles —
+    bounded by construction), so the per-list terms cost one small matmul
+    per Arrow group, not a join."""
     m, ksub, dsub = codebooks.shape
 
     from pyspark.sql.window import Window
 
     from .similarity import cosine_cols
+
+    cent_rows = centroids.orderBy("list_id").collect()  # bounded-collect: n_list rows
+    n_lists = max(r["list_id"] for r in cent_rows) + 1
+    cents = np.zeros((n_lists, len(cent_rows[0]["centroid"])), dtype=np.float64)
+    for r in cent_rows:
+        cents[r["list_id"]] = r["centroid"]
 
     q_cent = (
         F.broadcast(queries)
@@ -434,6 +617,8 @@ def ivfpq_search_encoded(
         )
         if not len(probes_pdf) or not len(codes_pdf):
             return empty
+        lid = int(codes_pdf["list_id"].iloc[0])
+        c = cents[lid]  # (d,)
         qid = probes_pdf["query_id"].to_numpy(dtype=np.int64)
         qm = np.array(probes_pdf["qe"].tolist(), dtype=np.float64)
         qn = np.sqrt((qm**2).sum(1))
@@ -443,12 +628,19 @@ def ivfpq_search_encoded(
             [qm[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)],
             axis=1,
         )
-        ip = np.zeros((len(qid), len(codes)))
-        vn2 = np.zeros(len(codes))
+        # per-list constants: q·c per probing query, c·codeword cross LUT,
+        # and ‖c‖² — the residual-decomposition terms
+        qc = qm @ c  # (Q,)
+        cl = np.stack(
+            [c[j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)]
+        )  # (m, ksub)
+        c2 = float(c @ c)
+        ip = np.repeat(qc[:, None], len(codes), axis=1)
+        vn2 = np.full(len(codes), c2)
         for j in range(m):
             ip += lut[:, j, :][:, codes[:, j]]
-            vn2 += n2[j][codes[:, j]]
-        cos = ip / np.maximum(qn[:, None] * np.sqrt(vn2)[None, :], 1e-12)
+            vn2 += 2.0 * cl[j][codes[:, j]] + n2[j][codes[:, j]]
+        cos = ip / np.maximum(qn[:, None] * np.sqrt(np.maximum(vn2, 0.0))[None, :], 1e-12)
         out_q, out_n, out_c = [], [], []
         for row, q in enumerate(qid):
             keep = nid != q

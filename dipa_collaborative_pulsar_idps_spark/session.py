@@ -69,6 +69,51 @@ def enable_rocksdb_state(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def streaming_shuffle_partitions(n_state_shards: int = 64) -> int:
+    """The measured shuffle-partition count for MICRO-BATCH STATEFUL
+    pipelines holding ``n_state_shards`` shard keys of state: ≈ shards/8,
+    floor 2.
+
+    r10 soak (SOAK_r10_shuffle.json): with 64-shard state, 32 shuffle
+    partitions means 32 state-store instances each paying open/commit per
+    batch for ~2 keys — per-instance COMMIT dominated the batch and 8
+    partitions halved p95 on BOTH providers (hdfs 1381→728 ms,
+    rocksdb+notrack ~707 ms) at >2× throughput. The stateful-operator
+    partition count is fixed at the pipeline's FIRST checkpoint: size it
+    to state volume, not core count."""
+    return max(2, n_state_shards // 8)
+
+
+def get_streaming_spark(
+    app_name: str = "dipa-streaming",
+    n_state_shards: int = 64,
+    rocksdb: bool = False,
+    master: str | None = None,
+) -> SparkSession:
+    """Session factory for STATEFUL STREAMING pipelines — get_spark with
+    the measured micro-batch defaults applied (r11, promoting the r10
+    soak findings from bench-harness conf to engine default):
+
+    - ``spark.sql.shuffle.partitions`` = :func:`streaming_shuffle_partitions`
+      (state-store commits per instance dominate at core-count partitions);
+    - ``rocksdb=True`` additionally applies :data:`ROCKSDB_STATE_CONF`
+      (disk-backed state + changelog checkpointing — the 100 TB state
+      path; includes the measured trackTotalNumberOfRows=false win).
+
+    A user who builds their own session via get_spark gets core-count
+    partitions — right for the relational surface, wrong for 64-shard
+    micro-batch state; this factory is the one-call way to get the
+    measured streaming configuration."""
+    spark = get_spark(
+        app_name,
+        master,
+        shuffle_partitions=streaming_shuffle_partitions(n_state_shards),
+    )
+    if rocksdb:
+        enable_rocksdb_state(spark)
+    return spark
+
+
 def get_spark(
     app_name: str = "dipa-spark-engine",
     master: str | None = None,

@@ -68,9 +68,17 @@ CLUSTERED_RECALL_FLOORS = {
     "ann_topk_lsh_neighbors": 0.8,
     "ann_topk_ivf_neighbors": 0.85,
     "ann_topk_pq_neighbors": 0.65,
-    "ann_topk_ivfpq_neighbors": 0.6,
-    "ann_topk_ivf_incremental": 0.8,  # recall-after-appends (pytest twin)
-    "ann_topk_ivfpq_incremental": 0.55,  # compressed recall-after-appends
+    # r11 IVFADC: residual encoding alone moved this 0.68–0.71 → 0.74 at
+    # the old m=8/ksub=32 geometry; the m=16/ksub=64 serving split
+    # (SCALE.ivfpq_*) carries it to 0.88 measured — floor 0.6 → 0.85
+    "ann_topk_ivfpq_neighbors": 0.85,
+    # r11: the fixture now ACTS on the mass trigger (ivf_retrain folds
+    # base+deltas into a fresh generation) — post-retrain measured 1.0;
+    # floor raised 0.8 → 0.9
+    "ann_topk_ivf_incremental": 0.9,
+    # append-only residual path at the drift-estimation geometry
+    # (m=8/ksub=8, cap=64 — see tests): measured 0.61
+    "ann_topk_ivfpq_incremental": 0.55,
 }
 
 
@@ -115,6 +123,14 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
     exact = topk(cosine_scores(corpus, queries), 5)
     assigned, centroids = build_ivf_index(corpus, dim=64, n_list=16)
     cb = train_pq(corpus, dim=64, m=8, ksub=32)
+    # IVF-PQ is residual-encoded (IVFADC) at the r11 serving geometry
+    # (SCALE.ivfpq_m/ivfpq_ksub) — same config the pytest contract pins
+    from dipa_collaborative_pulsar_idps_spark.config import SCALE
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import train_pq_residual
+
+    cb_ivfpq = train_pq_residual(
+        assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub
+    )
 
     # recall-AFTER-APPENDS (r10): build on the even half, append the odd
     # half through the persisted batch-stamped delta path, serve from the
@@ -124,6 +140,7 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
 
     from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
         ivf_append_batch,
+        ivf_retrain,
         load_ivf_index,
         save_ivf_index,
     )
@@ -143,14 +160,21 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
         half_a, half_c = build_ivf_index(half, dim=64, n_list=16)
         save_ivf_index(half_a, half_c, inc_path)
         ivf_append_batch(spark, inc_path, odd.where(F.col("vec_id") % 4 == 1), "b1")
-        ivf_append_batch(spark, inc_path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+        st = ivf_append_batch(spark, inc_path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+        # mirror the declared query (r11): the second append's MASS
+        # trigger fires and the fixture ACTS on it — recall measured on
+        # the post-retrain generation (trigger→retrain→serve loop)
+        if st["needs_retrain"]:
+            ivf_retrain(spark, inc_path)
         l_assigned, l_centroids = load_ivf_index(spark, inc_path)
         inc_recall = recall_at_k(
             ivf_search(l_assigned, l_centroids, queries, k=5, n_probe=4), exact, 5
         )
-        # compressed sibling: sample_cap < |half| so the drift baseline is
-        # held-out-representative (see tests/test_dedup.py)
-        cbh = train_pq(half, dim=64, m=8, ksub=32, sample_cap=64)
+        # compressed sibling: residual-trained (IVFADC), sample_cap <
+        # |half| + ksub=8 so the drift baseline is held-out-representative
+        # without training-set memorization (see tests/test_dedup.py);
+        # stays append-only so delta serving is on the measured surface
+        cbh = train_pq_residual(half_a, half_c, dim=64, m=8, ksub=8, sample_cap=64)
         save_ivfpq_index(half_a, half_c, cbh, pq_path)
         ivfpq_append_batch(spark, pq_path, odd.where(F.col("vec_id") % 4 == 1), "b1")
         ivfpq_append_batch(spark, pq_path, odd.where(F.col("vec_id") % 4 == 3), "b2")
@@ -179,7 +203,9 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
             pq_search_adc(pq_encode(corpus, cb), cb, queries, k=5), exact, 5
         ),
         "ann_topk_ivfpq_neighbors": recall_at_k(
-            ivfpq_search(assigned, centroids, cb, queries, k=5, n_probe=4), exact, 5
+            ivfpq_search(assigned, centroids, cb_ivfpq, queries, k=5, n_probe=4),
+            exact,
+            5,
         ),
     }
 
@@ -293,7 +319,11 @@ def banded_dial_quality(spark, sf_dir: str, dial_dfs: dict) -> dict[str, dict]:
 APPROX_DIALS = {
     "approx_price_percentiles": {"exact_twin": "exact_price_percentiles",
                                  "rel_err_ceiling": 0.01},
-    "approx_distinct_users": {"exact_twin": "approx_distinct_users",
+    # the HLL dial has no declared exact twin (its own output is the
+    # within-tolerance attestation); rel_err is measured against
+    # countDistinct(user_id) recomputed per event_type below — label the
+    # truth source honestly (r10 advisor: it used to claim itself)
+    "approx_distinct_users": {"exact_twin": "countDistinct(user_id) recomputed",
                               "rel_err_ceiling": 0.06},
 }
 

@@ -313,7 +313,7 @@ def test_ivfpq_planted_neighbor_recall_at_20k_vectors(spark):
     from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
     from dipa_collaborative_pulsar_idps_spark.functions.pq import (
         ivfpq_search,
-        train_pq,
+        train_pq_residual,
     )
 
     n, dim = 20_000, 64
@@ -331,7 +331,7 @@ def test_ivfpq_planted_neighbor_recall_at_20k_vectors(spark):
         ).alias("qe"),
     )
     assigned, cents = build_ivf_index(vecs, dim=dim, n_list=16)
-    cb = train_pq(vecs, dim=dim, m=8, ksub=32)
+    cb = train_pq_residual(assigned, cents, dim=dim, m=8, ksub=32)
     hits = (
         ivfpq_search(assigned.persist(), cents, cb, queries, k=5, n_probe=4)
         .where(F.col("neighbor_id") == F.col("query_id") - F.lit(1_000_000))
