@@ -502,3 +502,45 @@ def ivf_retrain(
         "mean_sq_err": base["mean_sq_err"],
         "n_list": n_list,
     }
+
+
+def index_health(spark, path: str) -> DataFrame:
+    """The index-health ledger of a persisted IVF / IVF-PQ index: one row
+    per committed batch (``base`` + every append) with its size and
+    quantization/reconstruction error, plus the two derived numbers the
+    retrain triggers read — ``drift_ratio`` (batch error / build
+    baseline; null when the baseline is 0, where any nonzero batch error
+    is infinite drift) and cumulative ``appended_frac`` (appended mass /
+    trained corpus, running in batch_id order).
+
+    Resolves the ACTIVE generation, so after an :func:`ivf_retrain` the
+    ledger restarts at the fresh baseline — exactly what a serving
+    monitor should see. All JVM-side: a broadcast 1-row join against the
+    base row + a running-sum window over the (tiny) batch set."""
+    from pyspark.sql.window import Window
+
+    root = _resolve_root(spark, path)
+    stats = spark.read.parquet(f"{root}/stats")  # tiny: one row per batch
+    base = stats.where(F.col("batch_id") == "base").select(
+        F.col("n_vectors").alias("base_n"), F.col("mean_sq_err").alias("base_err")
+    )
+    is_append = (F.col("batch_id") != "base").cast("int")
+    # base row FIRST regardless of lexicographic position, then appends
+    # in batch_id order — the order the commits happened in the fixture
+    w = (
+        Window.orderBy(is_append, F.col("batch_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    appended = F.sum(is_append * F.col("n_vectors")).over(w)
+    return (
+        stats.join(F.broadcast(base))
+        .select(
+            "batch_id",
+            "n_vectors",
+            "mean_sq_err",
+            F.when(F.col("base_err") > 0, F.col("mean_sq_err") / F.col("base_err"))
+            .alias("drift_ratio"),
+            (appended / F.col("base_n")).alias("appended_frac"),
+        )
+        .orderBy(is_append, "batch_id")
+    )

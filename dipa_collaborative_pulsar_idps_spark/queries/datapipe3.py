@@ -341,6 +341,44 @@ def _incremental_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@query("ann_index_stats", survey="ext-sim")
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-health ledger behind the ANN retrain triggers
+    (`functions/ivf.index_health` over the persisted incremental IVF-PQ
+    index): one row per committed batch — base + the two appended crawl
+    batches — with size, residual reconstruction error, drift ratio vs
+    the build baseline, and cumulative appended mass. This is the
+    observability surface a serving loop polls to decide WHEN to call
+    `ivfpq_retrain`; the trigger thresholds themselves (drift > 1.5×,
+    mass > 0.5×) are asserted in tests/test_dedup.py. Rows-only by
+    design (the ledger values come from iterative k-means quantizers),
+    deterministic per sf (seeded training, fixed batch split).
+
+    Reading the drift column at fixture scale: with corpus ≤ sample_cap
+    the WHOLE base trains the codebooks, so the baseline is training
+    error and same-distribution appends read an optimism gap (~2.5 here),
+    not distribution shift. At production scale the bounded sample is a
+    sliver of the corpus, the baseline is held-out-representative by
+    construction, and same-dist appends sit near 1.0 — the calibrated
+    contract (same-dist < 1.5 < far-dist, measured 1.25 vs 1550) is
+    pinned on the held-out clustered fixture in tests/test_dedup.py.
+
+    Reference analogue: the controller's periodic state-size / staleness
+    prints (ryu/src/deployed_controller/DIPA_Controller.py) — here a
+    first-class queryable relation instead of log lines."""
+    from ..functions.ivf import index_health
+
+    path = _incremental_ivfpq_index(spark, sf_dir)
+    h = index_health(spark, path)
+    return h.select(
+        "batch_id",
+        "n_vectors",
+        F.round("mean_sq_err", 6).alias("mean_sq_err"),
+        F.round("drift_ratio", 4).alias("drift_ratio"),
+        F.round("appended_frac", 4).alias("appended_frac"),
+    )
+
+
 @query("ann_topk_ivfpq_incremental", survey="ext-sim")
 def ann_topk_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continual-ingest COMPRESSED ANN — the IVF-PQ serving sibling of

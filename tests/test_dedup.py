@@ -1568,3 +1568,42 @@ def test_append_batch_guards(spark, clustered_vectors, tmp_path):
     assert b["mean_sq_err"] == 0.0  # every vector is its own centroid
     s = ivf_append_batch(spark, path3, corpus.where(F.col("vec_id") >= 190), "bz")
     assert math.isinf(s["drift_ratio"]) and s["needs_retrain"]
+
+
+def test_index_health_ledger_matches_append_stats(spark, clustered_vectors, tmp_path):
+    """functions/ivf.index_health — the queryable ledger behind the
+    retrain triggers: per-batch rows agree with what each
+    ivf_append_batch call reported (drift ratio vs the build baseline,
+    cumulative appended mass), and after a retrain the ledger restarts at
+    the fresh generation's baseline."""
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        build_ivf_index,
+        index_health,
+        ivf_append_batch,
+        ivf_retrain,
+        save_ivf_index,
+    )
+
+    corpus = clustered_vectors
+    base = corpus.where(F.col("vec_id") % 2 == 0)
+    odd = corpus.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_health")
+    assigned, centroids = build_ivf_index(base, dim=64, n_list=16)
+    save_ivf_index(assigned, centroids, path)
+    s1 = ivf_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    s2 = ivf_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+
+    rows = {r["batch_id"]: r for r in index_health(spark, path).collect()}
+    assert set(rows) == {"base", "b1", "b2"}
+    assert rows["base"]["n_vectors"] == 100
+    assert rows["base"]["appended_frac"] == 0.0
+    assert rows["b1"]["drift_ratio"] == pytest.approx(s1["drift_ratio"], abs=1e-3)
+    assert rows["b1"]["appended_frac"] == pytest.approx(s1["appended_frac"], abs=1e-3)
+    assert rows["b2"]["drift_ratio"] == pytest.approx(s2["drift_ratio"], abs=1e-3)
+    # cumulative: b2's row carries b1+b2 mass, same number the trigger saw
+    assert rows["b2"]["appended_frac"] == pytest.approx(s2["appended_frac"], abs=1e-3)
+
+    ivf_retrain(spark, path)
+    fresh = index_health(spark, path).collect()
+    assert [r["batch_id"] for r in fresh] == ["base"]
+    assert fresh[0]["n_vectors"] == 200  # folded corpus is the new baseline
