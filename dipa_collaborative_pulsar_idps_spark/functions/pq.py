@@ -101,8 +101,14 @@ def train_pq_residual(
     (v − centroid[list_id]) — the FAISS IVFADC recipe. Same bounded
     deterministic sampling as :func:`train_pq`; the residual subtraction
     happens distributed before the sample collect, so driver traffic is
-    unchanged (≤ sample_cap rows)."""
-    return train_pq(_residuals(assigned, centroids), dim, m, ksub, seed, sample_cap)
+    unchanged (≤ sample_cap rows). The residual relation is persisted
+    across the sampler's count+collect pair (two jobs that would
+    otherwise each replay the assignment UDF + broadcast join)."""
+    res = _residuals(assigned, centroids).persist()
+    try:
+        return train_pq(res, dim, m, ksub, seed, sample_cap)
+    finally:
+        res.unpersist()
 
 
 def pq_encode(

@@ -598,6 +598,11 @@ def ann_topk_ivfpq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     assigned, centroids = build_ivf_index(emb, dim=64, n_list=SCALE.ivf_n_list)
+    # the build-and-search certifier evaluates `assigned` (an Arrow
+    # assignment pass) for training, encoding, and the probe — persist it
+    # across those jobs (released by clear_lsh_cache, like the LSH probes)
+    assigned = assigned.persist()
+    _PROBE_PERSISTS.append(assigned)
     cb = train_pq_residual(
         assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub,
         sample_cap=SCALE.pq_sample_cap,
@@ -623,6 +628,8 @@ def ann_topk_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     assigned, centroids = build_ivf_index(emb, dim=64, n_list=8)
+    assigned = assigned.persist()  # shared by train + encode + probe jobs
+    _PROBE_PERSISTS.append(assigned)
     n = emb.count()
     cb = train_pq_residual(
         assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=n, sample_cap=n
