@@ -539,3 +539,71 @@ def test_coverage_doc_names_every_registry_query():
     ).read()
     missing = sorted(n for n in REGISTRY if n not in doc)
     assert not missing, f"COVERAGE.md is missing registry queries: {missing}"
+
+
+def test_streaming_session_factory_defaults():
+    """get_streaming_spark's measured micro-batch defaults (r11, promoted
+    from the r10 soak finding): shuffle partitions sized to state shards
+    (shards/8, floor 2), not core count, and the RocksDB conf applied
+    only when asked. The derivation function is the single source the
+    bench, the soak's factory variants, and the factory itself share."""
+    from dipa_collaborative_pulsar_idps_spark.session import (
+        ROCKSDB_STATE_CONF,
+        streaming_shuffle_partitions,
+    )
+
+    assert streaming_shuffle_partitions(64) == 8  # the soak-measured point
+    assert streaming_shuffle_partitions(256) == 32
+    assert streaming_shuffle_partitions(4) == 2  # floor
+    assert streaming_shuffle_partitions(1) == 2
+    # the factory's rocksdb leg applies exactly the engine conf (incl.
+    # the trackTotalNumberOfRows=false write-path lever)
+    assert (
+        ROCKSDB_STATE_CONF[
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+        ]
+        == "false"
+    )
+
+
+def test_retrain_pointer_crash_recovery(spark, tmp_path):
+    """Exactly-once retrain, crashed-swap leg: the staged generation tree
+    is complete BEFORE the pointer swap, so if the swap never lands (the
+    pointer file is lost), _resolve_root serves the LATEST complete
+    generation — readers never see a half-written index."""
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        _POINTER,
+        _read_pointer,
+        _resolve_root,
+        build_ivf_index,
+        ivf_retrain,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(100)],
+        ["vec_id", "e"],
+    )
+    path = str(tmp_path / "ivf_crash")
+    assigned, centroids = build_ivf_index(corpus, dim=16, n_list=8)
+    save_ivf_index(assigned, centroids, path)
+    ivf_retrain(spark, path)
+    assert _read_pointer(spark, path) == "gen-00001"
+
+    # simulate a crash that lost the pointer after staging completed
+    import os
+
+    os.remove(f"{path}/{_POINTER}")
+    assert _read_pointer(spark, path) is None
+    assert _resolve_root(spark, path).endswith("gen-00001")  # latest gen wins
+    a, c = load_ivf_index(spark, path)
+    assert a.count() == 100  # fully served from the staged generation
+
+    # a subsequent retrain heals the pointer and stages the next gen
+    ivf_retrain(spark, path)
+    assert _read_pointer(spark, path) == "gen-00002"
+    assert load_ivf_index(spark, path)[0].count() == 100
