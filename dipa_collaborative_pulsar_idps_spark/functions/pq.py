@@ -675,3 +675,76 @@ def ivfpq_search_encoded(
         )
     )
     return topk(scored, k)
+
+
+def ivfpq_search_encoded_refined(
+    enc: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """IVFADC + exact re-ranking (FAISS ``IndexRefineFlat``): the ADC scan
+    over-fetches ``k · refine_factor`` candidates per query, then that
+    bounded candidate set (n_queries · k · refine_factor id rows) is
+    exactly rescored against the RAW vectors and cut back to top-k.
+
+    Why this is the production serving shape: PQ scores are lossy — at
+    fixed (m, ksub) the quantization error reorders near-tied true
+    neighbors inside the probed lists, which is exactly the loss refine
+    recovers (coarse-probe misses it cannot: a true neighbor in an
+    unprobed list never reaches the candidate set — raise ``n_probe``
+    for that). The refine cost is independent of corpus size: one
+    broadcast-hash join of the tiny candidate set against the corpus
+    scan (no shuffle of the big side) + an exact cosine per candidate
+    row, all JVM-side whole-stage codegen.
+
+    ``corpus``: (vec_id, e) — the raw vectors, which the (lossy) index
+    cannot reconstruct; in a lake deployment this is the embeddings
+    table the index was built from, partition-prunable by vec_id.
+    Pattern source: FAISS ``IndexRefineFlat`` (public), re-expressed as
+    broadcast-hash join + codegen cosine + window top-k."""
+    from .similarity import cosine_cols
+
+    cand = ivfpq_search_encoded(
+        enc, centroids, codebooks, queries, k=k * refine_factor, n_probe=n_probe
+    ).select("query_id", "neighbor_id")
+    fetched = corpus.join(
+        F.broadcast(cand), corpus["vec_id"] == cand["neighbor_id"]
+    ).select("query_id", "neighbor_id", "e")
+    rescored = fetched.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_cols(F.col("qe"), F.col("e")).alias("cosine"),
+    )
+    return topk(rescored, k)
+
+
+def ivfpq_search_refined(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Build-path convenience for :func:`ivfpq_search_encoded_refined`:
+    ``assigned`` (vec_id, e, list_id) still carries the raw vectors, so it
+    is both the encode input and the refine corpus. Serving many batches?
+    Persist the index with :func:`save_ivfpq_index` and call the encoded
+    variant with the lake's raw-embeddings relation instead."""
+    enc = pq_encode(_residuals(assigned, centroids), codebooks, keep=("list_id",))
+    return ivfpq_search_encoded_refined(
+        enc,
+        centroids,
+        codebooks,
+        assigned.select("vec_id", "e"),
+        queries,
+        k=k,
+        n_probe=n_probe,
+        refine_factor=refine_factor,
+    )

@@ -637,3 +637,34 @@ def ann_topk_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(assigned, centroids, cb, q, k=5, n_probe=8).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     )
+
+
+@query("ann_topk_ivfpq_refined", survey="ext-sim")
+def ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-ranking (FAISS IndexRefineFlat, r11): same index
+    geometry as `ann_topk_ivfpq_neighbors`, but the ADC scan over-fetches
+    top-20 (k·4) per query and the bounded candidate set is rescored
+    EXACTLY against the raw vectors (broadcast join, codegen cosine) —
+    recovering the PQ fine-ranking loss inside the probed lists, the
+    measured gap between IVF-PQ and raw IVF at the same n_probe. No SQL
+    oracle (two iterative quantizers); recall floors ride the PARITY gate
+    vs `ann_topk_ivfpq_exhaustive`, the refined≡brute-force certifier
+    (all lists probed + candidate set covering the corpus → exact
+    equality) is pinned in tests/test_dedup.py."""
+    from ..functions.ivf import build_ivf_index
+    from ..functions.pq import ivfpq_search_refined, train_pq_residual
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(emb, dim=64, n_list=SCALE.ivf_n_list)
+    assigned = assigned.persist()  # shared by train + encode + refine jobs
+    _PROBE_PERSISTS.append(assigned)
+    cb = train_pq_residual(
+        assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub,
+        sample_cap=SCALE.pq_sample_cap,
+    )
+    return ivfpq_search_refined(
+        assigned, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe, refine_factor=4
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")

@@ -28,6 +28,9 @@ ANN_EXHAUSTIVE_TWINS = {
     "ann_topk_ivf_neighbors": "ann_topk_ivf_exhaustive",
     "ann_topk_pq_neighbors": "ann_topk_pq_exhaustive",
     "ann_topk_ivfpq_neighbors": "ann_topk_ivfpq_exhaustive",
+    # r11: ADC over-fetch + exact re-rank (FAISS IndexRefineFlat) — same
+    # index, the refine join recovers the PQ fine-ranking loss
+    "ann_topk_ivfpq_refined": "ann_topk_ivfpq_exhaustive",
     # r10: the incremental paths (built on half, half appended through
     # ivf_append_batch / ivfpq_append_batch) — their recall-AFTER-APPENDS
     # rides the same gate
@@ -60,6 +63,10 @@ ANN_RECALL_FLOORS = {
     # raw-vector encoding (0.208 at sf0.1) now trips the corpus floor
     # too, not just the clustered one.
     "ann_topk_ivfpq_neighbors": 0.3,
+    # r11 refine: measured 0.604/?? (sf0.01/sf0.1) — refine recovers the
+    # full PQ fine-ranking loss, landing exactly on raw IVF's corpus
+    # number at the same n_probe (the residual gap is coarse-probe misses)
+    "ann_topk_ivfpq_refined": 0.5,
     "ann_topk_ivf_incremental": 0.5,
     "ann_topk_ivfpq_incremental": 0.25,
 }
@@ -76,6 +83,10 @@ CLUSTERED_RECALL_FLOORS = {
     # the old m=8/ksub=32 geometry; the m=16/ksub=64 serving split
     # (SCALE.ivfpq_*) carries it to 0.88 measured — floor 0.6 → 0.85
     "ann_topk_ivfpq_neighbors": 0.85,
+    # r11 refine: exact re-rank of the ADC top-20 — expect IVF's 1.0
+    # (every clustered true neighbor lands in the probed lists and the
+    # candidate set; the exact rescore then orders them perfectly)
+    "ann_topk_ivfpq_refined": 0.95,
     # r11: the fixture now ACTS on the mass trigger (ivf_retrain folds
     # base+deltas into a fresh generation) — post-retrain measured 1.0;
     # floor raised 0.8 → 0.9
@@ -102,6 +113,7 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
     )
     from dipa_collaborative_pulsar_idps_spark.functions.pq import (
         ivfpq_search,
+        ivfpq_search_refined,
         pq_encode,
         pq_search_adc,
         train_pq,
@@ -208,6 +220,14 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
         ),
         "ann_topk_ivfpq_neighbors": recall_at_k(
             ivfpq_search(assigned, centroids, cb_ivfpq, queries, k=5, n_probe=4),
+            exact,
+            5,
+        ),
+        "ann_topk_ivfpq_refined": recall_at_k(
+            ivfpq_search_refined(
+                assigned, centroids, cb_ivfpq, queries, k=5, n_probe=4,
+                refine_factor=4,
+            ),
             exact,
             5,
         ),

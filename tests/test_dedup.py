@@ -605,6 +605,82 @@ def test_ivfpq_recall_on_clustered_data(spark, clustered_vectors):
     assert pur >= 0.95, f"IVF-PQ cluster purity too low: {pur}"
 
 
+def test_ivfpq_refined_recall_clustered(spark, clustered_vectors):
+    """ADC over-fetch + exact re-rank (FAISS IndexRefineFlat): PQ scores
+    are lossy, so near-tie cluster mates reorder inside the probed lists —
+    exactly the loss the exact rescore of the top-k·4 candidates recovers.
+    On this fixture every true neighbor lands in the probed lists, so
+    refined recall must reach 1.0 (raw IVF's level) where plain IVF-PQ
+    reads 0.88."""
+    from dipa_collaborative_pulsar_idps_spark.config import SCALE
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_search,
+        ivfpq_search_refined,
+        train_pq_residual,
+    )
+
+    corpus = clustered_vectors
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=16)
+    cb = train_pq_residual(
+        assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub
+    )
+    exact = topk(cosine_scores(corpus, queries), 5)
+    plain = recall_at_k(
+        ivfpq_search(assigned, centroids, cb, queries, k=5, n_probe=4), exact, 5
+    )
+    refined = recall_at_k(
+        ivfpq_search_refined(
+            assigned, centroids, cb, queries, k=5, n_probe=4, refine_factor=4
+        ),
+        exact,
+        5,
+    )
+    assert refined >= 0.95, f"refined recall@5 too low: {refined}"
+    assert refined >= plain, f"refine made recall WORSE: {refined} < {plain}"
+
+
+def test_ivfpq_refined_exhaustive_equals_brute_force(spark, clustered_vectors):
+    """Value-level certifier for the refine join itself: with every list
+    probed and refine_factor covering the whole corpus, the candidate set
+    IS the corpus — and because the final scores come from the EXACT
+    rescore (not ADC), the refined result must equal brute-force top-k
+    bit-for-bit in ids AND cosines, regardless of codebook quality (a
+    deliberately tiny m=4/ksub=4 quantizer here)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_search_refined,
+        train_pq_residual,
+    )
+
+    corpus = clustered_vectors
+    queries = corpus.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=4)
+    cb = train_pq_residual(assigned, centroids, dim=64, m=4, ksub=4)
+    n = corpus.count()
+    got = (
+        ivfpq_search_refined(
+            assigned, centroids, cb, queries, k=5, n_probe=4,
+            refine_factor=(n + 4) // 5,
+        )
+        .orderBy("query_id", "rk")
+        .collect()
+    )
+    want = (
+        topk(cosine_scores(corpus, queries), 5).orderBy("query_id", "rk").collect()
+    )
+    assert [(r.query_id, r.neighbor_id, r.rk) for r in got] == [
+        (r.query_id, r.neighbor_id, r.rk) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g.cosine - w.cosine) < 1e-12, (g, w)
+
+
 # --- PCA projection (functions/projection.py) ---
 
 
