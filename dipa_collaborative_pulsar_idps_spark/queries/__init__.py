@@ -23,6 +23,7 @@ def clear_all_caches() -> None:
     datapipe2.clear_shingle_cache()
     datapipe3.clear_corpus_cache()
     datapipe3.clear_lsh_index_cache()
+    datapipe3.clear_ivfpq_build_cache()
     datapipe3.clear_ivf_inc_cache()
     datapipe4.clear_component_cache()
     datapipe5.clear_gram_cache()

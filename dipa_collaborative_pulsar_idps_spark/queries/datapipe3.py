@@ -247,6 +247,51 @@ def clear_lsh_index_cache() -> None:
     _PROBE_PERSISTS.clear()
 
 
+#: Memoized IVF-PQ build at the SCALE serving geometry (n_list=16,
+#: m=16/ksub=64 residual codebooks) — shared by `ann_topk_ivfpq_neighbors`
+#: and `ann_topk_ivfpq_refined`: one index, two serving strategies.
+#: Production never retrains the coarse+fine quantizers per query batch
+#: (save_ivfpq_index is the disk form); memoizing the build per
+#: (session, sf_dir) keeps the repeated-invocation cost at the SERVING
+#: cost, same lifecycle as the LSH index cache above.
+_IVFPQ_BUILD_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivfpq_build(spark: SparkSession, sf_dir: str) -> tuple:
+    """(assigned persisted, centroids, residual codebooks) at the SCALE
+    geometry. `assigned` is persisted because training, encoding, and the
+    refine corpus all re-evaluate it (an Arrow assignment pass each time
+    otherwise); `clear_ivfpq_build_cache()` owns the unpersist."""
+    import os
+
+    from ..functions.ivf import build_ivf_index
+    from ..functions.pq import train_pq_residual
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _IVFPQ_BUILD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = _corpus(spark, sf_dir)
+    assigned, centroids = build_ivf_index(emb, dim=64, n_list=SCALE.ivf_n_list)
+    assigned = assigned.persist()
+    cb = train_pq_residual(
+        assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub,
+        sample_cap=SCALE.pq_sample_cap,
+    )
+    _IVFPQ_BUILD_CACHE[key] = (assigned, centroids, cb)
+    return _IVFPQ_BUILD_CACHE[key]
+
+
+def clear_ivfpq_build_cache() -> None:
+    """Unpersist every memoized IVF-PQ build (explicit lifecycle end)."""
+    for assigned, _, _ in _IVFPQ_BUILD_CACHE.values():
+        try:
+            assigned.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _IVFPQ_BUILD_CACHE.clear()
+
+
 #: Persisted-and-appended IVF serving index path per (appId, sf_dir) —
 #: the dense-ANN analogue of the MinHash/TF-IDF incremental index caches:
 #: built once on the even-vec_id half, odd half appended in two
@@ -590,23 +635,16 @@ def ann_topk_ivfpq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle. Residual-encoded (FAISS IVFADC, r11): the PQ quantizes
     v − centroid[list_id], concentrating codeword range on within-list
     structure — the standard recall lever at fixed m/ksub."""
-    from ..functions.ivf import build_ivf_index
-    from ..functions.pq import ivfpq_search, train_pq_residual
+    from ..functions.pq import ivfpq_search
 
     emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    assigned, centroids = build_ivf_index(emb, dim=64, n_list=SCALE.ivf_n_list)
-    # the build-and-search certifier evaluates `assigned` (an Arrow
-    # assignment pass) for training, encoding, and the probe — persist it
-    # across those jobs (released by clear_lsh_cache, like the LSH probes)
-    assigned = assigned.persist()
-    _PROBE_PERSISTS.append(assigned)
-    cb = train_pq_residual(
-        assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub,
-        sample_cap=SCALE.pq_sample_cap,
-    )
+    # session-memoized build (shared with the refined twin): training,
+    # encoding, and the probe all re-evaluate `assigned`, so the cache
+    # holds it persisted — the 'build once, serve many' shape
+    assigned, centroids, cb = _ivfpq_build(spark, sf_dir)
     return ivfpq_search(
         assigned, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
@@ -651,20 +689,13 @@ def ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs `ann_topk_ivfpq_exhaustive`, the refined≡brute-force certifier
     (all lists probed + candidate set covering the corpus → exact
     equality) is pinned in tests/test_dedup.py."""
-    from ..functions.ivf import build_ivf_index
-    from ..functions.pq import ivfpq_search_refined, train_pq_residual
+    from ..functions.pq import ivfpq_search_refined
 
     emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    assigned, centroids = build_ivf_index(emb, dim=64, n_list=SCALE.ivf_n_list)
-    assigned = assigned.persist()  # shared by train + encode + refine jobs
-    _PROBE_PERSISTS.append(assigned)
-    cb = train_pq_residual(
-        assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub,
-        sample_cap=SCALE.pq_sample_cap,
-    )
+    assigned, centroids, cb = _ivfpq_build(spark, sf_dir)  # shared build
     return ivfpq_search_refined(
         assigned, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe, refine_factor=4
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
