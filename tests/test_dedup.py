@@ -344,6 +344,51 @@ def test_ivfpq_index_persists_prunes_and_serves_without_vectors(spark, sf_dir, t
     assert files and all("list_id=1" in f or "list_id=4" in f for f in files)
 
 
+def test_ivfpq_refined_serves_from_persisted_index(spark, sf_dir, tmp_path):
+    """The lake deployment shape of refine: codes-only index loaded from
+    disk + the raw embeddings relation as the refine corpus — the loaded
+    path must equal the in-memory build path row-for-row (same candidates,
+    same exact rescore)."""
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_search_encoded_refined,
+        ivfpq_search_refined,
+        load_ivfpq_index,
+        save_ivfpq_index,
+        train_pq_residual,
+    )
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    assigned, centroids = build_ivf_index(corpus, dim=64, n_list=8)
+    cb = train_pq_residual(assigned, centroids, dim=64, m=8, ksub=16)
+    mem = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in ivfpq_search_refined(
+            assigned, centroids, cb, queries, k=5, n_probe=3, refine_factor=3
+        ).collect()
+    }
+
+    path = str(tmp_path / "ivfpq_refined")
+    save_ivfpq_index(assigned, centroids, cb, path)
+    enc, l_cent, l_cb = load_ivfpq_index(spark, path)
+    disk = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in ivfpq_search_encoded_refined(
+            enc, l_cent, l_cb, corpus, queries, k=5, n_probe=3, refine_factor=3
+        ).collect()
+    }
+    assert disk == mem and len(mem) == 25
+
+
 def test_clear_all_caches_releases_every_memoized_frame(spark):
     """The registry-level lifecycle hook: after warming the per-module
     memoization caches, ONE clear_all_caches() call unpersists and empties
