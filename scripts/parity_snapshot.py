@@ -63,7 +63,7 @@ ANN_RECALL_FLOORS = {
     # raw-vector encoding (0.208 at sf0.1) now trips the corpus floor
     # too, not just the clustered one.
     "ann_topk_ivfpq_neighbors": 0.3,
-    # r11 refine: measured 0.604/?? (sf0.01/sf0.1) — refine recovers the
+    # r11 refine: measured 0.604/0.592 (sf0.01/sf0.1) — refine recovers the
     # full PQ fine-ranking loss, landing exactly on raw IVF's corpus
     # number at the same n_probe (the residual gap is coarse-probe misses)
     "ann_topk_ivfpq_refined": 0.5,
