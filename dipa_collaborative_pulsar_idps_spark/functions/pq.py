@@ -111,6 +111,90 @@ def train_pq_residual(
         res.unpersist()
 
 
+def random_rotation(dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random orthogonal matrix (QR of a seeded Gaussian,
+    sign-fixed so the factorization is unique) — the data-independent
+    rotation the OPQ exhaustive certifier uses to exercise the rotated
+    serving path under a full value oracle."""
+    rng = np.random.default_rng(seed)
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return q * np.sign(np.diag(r))
+
+
+def rotate_vectors(df: DataFrame, rotation: np.ndarray, vec_col: str = "e") -> DataFrame:
+    """Replace ``vec_col`` with ``vec @ R`` — one Arrow matmul pass, the
+    rotation riding the UDF closure (d² doubles — tiny). All other columns
+    pass through the same projection."""
+    rot = np.asarray(rotation, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def rr(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        return pd.Series(list(np.array(v.tolist(), dtype=np.float64) @ rot))
+
+    others = [c for c in df.columns if c != vec_col]
+    return df.select(*others, rr(F.col(vec_col)).alias(vec_col))
+
+
+def train_opq(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    n_iter: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013; FAISS
+    ``OPQMatrix``): learn an orthogonal rotation R that redistributes
+    variance across the m subspaces before PQ, alternating (1) per-subspace
+    k-means on the rotated sample and (2) the orthogonal-Procrustes update
+    R = UVᵀ from SVD(Xᵀ·Ŷ) against the quantized reconstruction Ŷ — each
+    step is non-increasing in ‖XR − Ŷ‖², the PQ distortion after rotation.
+
+    Returns ``(R (dim,dim), codebooks (m, ksub, dim//m))`` — both tiny,
+    broadcast in UDF closures. Because R is ORTHOGONAL, cosine in rotated
+    space equals raw cosine, so the unchanged ADC machinery serves OPQ:
+    ``pq_encode(rotate_vectors(corpus, R), cb)`` +
+    ``pq_search_adc(enc, cb, rotate_vectors(queries, R, "qe"), k)``.
+
+    Training is driver-side numpy on the same bounded deterministic sample
+    as :func:`train_pq` (≤ sample_cap rows at ANY corpus size); the ksub ==
+    sample-size certifier config degenerates to R = I + one-codeword-per-
+    point (reconstruction is exact, so rotation changes nothing)."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    from .sampling import bounded_sample
+
+    x = bounded_sample(corpus, sample_cap, seed)
+    if ksub == len(x):
+        return np.eye(dim), np.stack(
+            [x[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+    rot = np.eye(dim)
+    cbs = None
+    for _ in range(n_iter):
+        y = x @ rot
+        cbs = np.stack(
+            [_lloyd(y[:, j * dsub : (j + 1) * dsub], ksub, seed + j) for j in range(m)]
+        )
+        yhat = np.empty_like(y)
+        for j in range(m):
+            sub = y[:, j * dsub : (j + 1) * dsub]
+            cb = cbs[j]
+            codes = (-2 * sub @ cb.T + (cb**2).sum(1)[None, :]).argmin(1)
+            yhat[:, j * dsub : (j + 1) * dsub] = cb[codes]
+        u, _, vt = np.linalg.svd(x.T @ yhat)
+        rot = u @ vt
+    # codebooks for the FINAL rotation (the loop trains them one R behind)
+    y = x @ rot
+    cbs = np.stack(
+        [_lloyd(y[:, j * dsub : (j + 1) * dsub], ksub, seed + j) for j in range(m)]
+    )
+    return rot, cbs
+
+
 def pq_encode(
     corpus: DataFrame, codebooks: np.ndarray, keep: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -699,3 +699,54 @@ def ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search_refined(
         assigned, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe, refine_factor=4
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+
+
+@query("ann_topk_opq_neighbors", survey="ext-sim")
+def ann_topk_opq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ (Ge et al. CVPR'13 / FAISS OPQMatrix, r11): a learned orthogonal
+    rotation redistributes variance across the PQ subspaces before
+    encoding — the standard flat-PQ fidelity lever when raw vectors aren't
+    kept for refine. Rotation preserves cosine, so the UNCHANGED ADC
+    machinery serves it over pre-rotated corpus + queries at the same
+    m=8/ksub=32 geometry as `ann_topk_pq_neighbors`. No SQL oracle
+    (iterative k-means × Procrustes); recall floors ride the PARITY gate
+    vs the exhaustive twin below; orthonormality/distortion/recall
+    contracts in tests/test_dedup.py."""
+    from ..functions.pq import pq_encode, pq_search_adc, rotate_vectors, train_opq
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    rot, cb = train_opq(
+        emb, dim=64, m=SCALE.pq_m, ksub=SCALE.pq_ksub, sample_cap=SCALE.pq_sample_cap
+    )
+    enc = pq_encode(rotate_vectors(emb, rot), cb)
+    return pq_search_adc(enc, cb, rotate_vectors(q, rot, "qe"), k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    )
+
+
+@query("ann_topk_opq_exhaustive", survey="ext-sim", oracle=_BRUTE_TOPK_ORACLE)
+def ann_topk_opq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rotated serving path under a full value oracle: a DETERMINISTIC
+    data-independent orthogonal rotation (QR of a seeded Gaussian) + ksub
+    == corpus size. One codeword per rotated point makes reconstruction of
+    the ROTATED corpus bit-exact, and rotation preserves cosine — so the
+    rotated ADC scan must equal brute-force top-k on the RAW vectors: the
+    value-level certifier for rotate_vectors + the rotated encode/LUT/scan
+    composition (the learned-R production path above differs only in where
+    R comes from)."""
+    from ..functions.pq import pq_encode, pq_search_adc, random_rotation, rotate_vectors, train_pq
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    rot = random_rotation(64, seed=7)
+    emb_rot = rotate_vectors(emb, rot)
+    n = emb.count()
+    cb = train_pq(emb_rot, dim=64, m=SCALE.pq_m, ksub=n, sample_cap=n)
+    return pq_search_adc(
+        pq_encode(emb_rot, cb), cb, rotate_vectors(q, rot, "qe"), k=5
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")

@@ -27,6 +27,10 @@ ANN_EXHAUSTIVE_TWINS = {
     "ann_topk_lsh_neighbors": "ann_topk_lsh_exhaustive",
     "ann_topk_ivf_neighbors": "ann_topk_ivf_exhaustive",
     "ann_topk_pq_neighbors": "ann_topk_pq_exhaustive",
+    # r11: OPQ — learned orthogonal rotation before flat PQ; its own
+    # exhaustive twin certifies the ROTATED serving path (seeded
+    # data-independent rotation + ksub=n) under the full value oracle
+    "ann_topk_opq_neighbors": "ann_topk_opq_exhaustive",
     "ann_topk_ivfpq_neighbors": "ann_topk_ivfpq_exhaustive",
     # r11: ADC over-fetch + exact re-rank (FAISS IndexRefineFlat) — same
     # index, the refine join recovers the PQ fine-ranking loss
@@ -55,6 +59,10 @@ ANN_RECALL_FLOORS = {
     "ann_topk_lsh_neighbors": 0.2,
     "ann_topk_ivf_neighbors": 0.5,
     "ann_topk_pq_neighbors": 0.15,
+    # r11 OPQ: measured 0.384/0.236 (sf0.01/sf0.1) vs plain PQ's
+    # 0.328/0.192 at the same m=8/ksub=32 — the rotation's variance
+    # redistribution is worth ~+0.05 recall on the isotropic corpus
+    "ann_topk_opq_neighbors": 0.18,
     # r11 IVFADC raised the measured corpus numbers (sf0.01/sf0.1):
     # ivfpq_neighbors 0.492/0.412 (raw r10: 0.296/0.208), ivfpq
     # incremental 0.42/0.376, ivf incremental (now post-retrain)
@@ -79,6 +87,12 @@ CLUSTERED_RECALL_FLOORS = {
     "ann_topk_lsh_neighbors": 0.8,
     "ann_topk_ivf_neighbors": 0.85,
     "ann_topk_pq_neighbors": 0.65,
+    # r11 OPQ: distortion is strictly below plain PQ's (1.11 -> 0.98 on
+    # this fixture: the objective) but top-5 ranking of 0.15-sigma
+    # near-tie cluster mates is not distortion-monotone at 200 points -
+    # measured 0.67 vs plain PQ's 0.71 (same fixture caveat CHANGELOG
+    # records for IVF-PQ); the corpus axis above is where OPQ wins
+    "ann_topk_opq_neighbors": 0.6,
     # r11 IVFADC: residual encoding alone moved this 0.68–0.71 → 0.74 at
     # the old m=8/ksub=32 geometry; the m=16/ksub=64 serving split
     # (SCALE.ivfpq_*) carries it to 0.88 measured — floor 0.6 → 0.85
@@ -114,6 +128,8 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
     from dipa_collaborative_pulsar_idps_spark.functions.pq import (
         ivfpq_search,
         ivfpq_search_refined,
+        rotate_vectors,
+        train_opq,
         pq_encode,
         pq_search_adc,
         train_pq,
@@ -147,6 +163,7 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
     cb_ivfpq = train_pq_residual(
         assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub
     )
+    opq_rot, opq_cb = train_opq(corpus, dim=64, m=8, ksub=32)
 
     # recall-AFTER-APPENDS (r10): build on the even half, append the odd
     # half through the persisted batch-stamped delta path, serve from the
@@ -217,6 +234,16 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
         ),
         "ann_topk_pq_neighbors": recall_at_k(
             pq_search_adc(pq_encode(corpus, cb), cb, queries, k=5), exact, 5
+        ),
+        "ann_topk_opq_neighbors": recall_at_k(
+            pq_search_adc(
+                pq_encode(rotate_vectors(corpus, opq_rot), opq_cb),
+                opq_cb,
+                rotate_vectors(queries, opq_rot, "qe"),
+                k=5,
+            ),
+            exact,
+            5,
         ),
         "ann_topk_ivfpq_neighbors": recall_at_k(
             ivfpq_search(assigned, centroids, cb_ivfpq, queries, k=5, n_probe=4),

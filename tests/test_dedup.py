@@ -650,6 +650,69 @@ def test_ivfpq_recall_on_clustered_data(spark, clustered_vectors):
     assert pur >= 0.95, f"IVF-PQ cluster purity too low: {pur}"
 
 
+def test_opq_training_contracts(spark, clustered_vectors):
+    """OPQ (Ge et al. CVPR'13): the learned rotation must be (1) orthogonal
+    — that's what lets the unchanged ADC kernel serve it, cosine is
+    rotation-invariant; (2) deterministic (seeded sample, seeded k-means,
+    SVD); (3) distortion-reducing — quantization error of the rotated
+    sample strictly below plain PQ's at the same m/ksub (the alternating
+    objective is non-increasing and the rotation adds free parameters)."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        train_opq,
+        train_pq,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.sampling import bounded_sample
+
+    corpus = clustered_vectors
+    rot, cbs = train_opq(corpus, dim=64, m=8, ksub=32)
+    assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-10), "R not orthogonal"
+    rot2, cbs2 = train_opq(corpus, dim=64, m=8, ksub=32)
+    assert np.array_equal(rot, rot2) and np.array_equal(cbs, cbs2)
+
+    def distortion(x, r, cb_all, m=8, dsub=8):
+        y = x @ r
+        err = 0.0
+        for j in range(m):
+            sub = y[:, j * dsub : (j + 1) * dsub]
+            cb = cb_all[j]
+            codes = (-2 * sub @ cb.T + (cb**2).sum(1)[None, :]).argmin(1)
+            err += ((sub - cb[codes]) ** 2).sum()
+        return err / len(x)
+
+    x = bounded_sample(corpus, 4096, 42)
+    plain = train_pq(corpus, dim=64, m=8, ksub=32)
+    assert distortion(x, rot, cbs) < distortion(x, np.eye(64), plain), (
+        "OPQ must reduce quantization distortion vs unrotated PQ"
+    )
+
+
+def test_opq_recall_on_clustered_data(spark, clustered_vectors):
+    """Floor 0.6 (measured 0.67): distortion is strictly below plain PQ's
+    (the objective, asserted above) but top-5 ranking of 0.15-σ near-tie
+    cluster mates is not distortion-monotone at 200 points — plain PQ
+    reads 0.71 here. The corpus axis is where OPQ wins (PARITY: 0.384 vs
+    0.328 at sf0.01, 0.236 vs 0.192 at sf0.1)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        pq_encode,
+        pq_search_adc,
+        rotate_vectors,
+        train_opq,
+    )
+
+    corpus = clustered_vectors
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    rot, cbs = train_opq(corpus, dim=64, m=8, ksub=32)
+    enc = pq_encode(rotate_vectors(corpus, rot), cbs)
+    approx = pq_search_adc(enc, cbs, rotate_vectors(queries, rot, "qe"), k=5)
+    exact = topk(cosine_scores(corpus, queries), 5)
+    r = recall_at_k(approx, exact, 5)
+    assert r >= 0.6, f"OPQ recall@5 too low: {r}"
+
+
 def test_ivfpq_refined_recall_clustered(spark, clustered_vectors):
     """ADC over-fetch + exact re-rank (FAISS IndexRefineFlat): PQ scores
     are lossy, so near-tie cluster mates reorder inside the probed lists —
