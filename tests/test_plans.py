@@ -376,3 +376,23 @@ def test_pretraining_prep_funnel_has_no_corpus_wide_serial_exchange(spark, sf_di
     assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt, txt
     assert "hashpartitioning(range_id" in txt, txt
     assert txt.count("SinglePartition") <= 1, f"corpus-wide serial exchange:\n{txt}"
+
+
+def test_ivfpq_refined_join_is_broadcast_not_smj(spark, sf_dir):
+    """The refine rescore's 100 TB contract: the bounded candidate set
+    (n_queries·k·refine_factor id rows) and the query batch BROADCAST
+    against the corpus scan — a sort-merge join here would shuffle the
+    full corpus for a few-thousand-row probe."""
+    df = REGISTRY["ann_topk_ivfpq_refined"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "SortMergeJoin" not in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
+
+
+def test_opq_serving_is_map_only_scan(spark, sf_dir):
+    """OPQ serving must stay the flat-PQ shape: rotation is one Arrow map
+    pass and the ADC scan reads only the code column — no join, no extra
+    shuffle beyond the final top-k window."""
+    df = REGISTRY["ann_topk_opq_neighbors"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "SortMergeJoin" not in txt and "Join" not in txt, txt
