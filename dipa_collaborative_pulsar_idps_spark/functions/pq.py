@@ -254,6 +254,30 @@ def load_pq(spark, path: str) -> np.ndarray:
     return cb
 
 
+def save_opq(spark, rotation: np.ndarray, codebooks: np.ndarray, path: str) -> None:
+    """Persist an OPQ transform: the rotation (d rows of d doubles —
+    tiny) beside the codebooks in :func:`save_pq`'s layout. Same
+    train-once/serve-many contract: re-training OPQ yields a different R
+    and every stored code column would need rebuilding."""
+    save_pq(spark, codebooks, f"{path}/pq")
+    rows = [(int(i), [float(x) for x in rotation[i]]) for i in range(len(rotation))]
+    spark.createDataFrame(rows, "i int, vals array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/rotation")
+
+
+def load_opq(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load ``(rotation, codebooks)`` persisted by :func:`save_opq` —
+    bit-exact round-trip (parquet doubles), directly usable by
+    :func:`rotate_vectors` + :func:`pq_encode` / :func:`pq_search_adc`."""
+    rows = spark.read.parquet(f"{path}/rotation").collect()  # bounded-collect: d rotation rows
+    d = max(r.i for r in rows) + 1
+    rot = np.empty((d, len(rows[0].vals)), dtype=np.float64)
+    for r in rows:
+        rot[r.i] = r.vals
+    return rot, load_pq(spark, f"{path}/pq")
+
+
 def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
     """Decode code rows back to approximate vectors (test/debug helper)."""
     m, ksub, dsub = codebooks.shape

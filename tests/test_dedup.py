@@ -713,6 +713,76 @@ def test_opq_recall_on_clustered_data(spark, clustered_vectors):
     assert r >= 0.6, f"OPQ recall@5 too low: {r}"
 
 
+def test_opq_save_load_roundtrip(spark, clustered_vectors, tmp_path):
+    """Disk ≡ memory for the OPQ transform (rotation + codebooks), and the
+    loaded transform serves identically to the in-memory one."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        load_opq,
+        pq_encode,
+        pq_search_adc,
+        rotate_vectors,
+        save_opq,
+        train_opq,
+    )
+
+    corpus = clustered_vectors
+    rot, cbs = train_opq(corpus, dim=64, m=8, ksub=32)
+    path = str(tmp_path / "opq")
+    save_opq(spark, rot, cbs, path)
+    l_rot, l_cbs = load_opq(spark, path)
+    assert np.array_equal(rot, l_rot) and np.array_equal(cbs, l_cbs)
+    queries = corpus.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    enc = pq_encode(rotate_vectors(corpus, l_rot), l_cbs)
+    got = pq_search_adc(enc, l_cbs, rotate_vectors(queries, l_rot, "qe"), k=5)
+    assert got.count() == 50
+
+
+def test_ivfpq_refined_over_appended_index(spark, clustered_vectors, tmp_path):
+    """Refine composes with the incremental path: serve refined search
+    from a base+delta index (load_ivfpq_index after ivfpq_append_batch)
+    with the raw corpus as the refine side — recall must be >= the plain
+    encoded search over the same appended index (the exact rescore can
+    only fix orderings, never lose a candidate ADC already ranked in)."""
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.pq import (
+        ivfpq_append_batch,
+        ivfpq_search_encoded,
+        ivfpq_search_encoded_refined,
+        load_ivfpq_index,
+        save_ivfpq_index,
+        train_pq_residual,
+    )
+
+    corpus = clustered_vectors
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = topk(cosine_scores(corpus, queries), 5)
+    half = corpus.where(F.col("vec_id") % 2 == 0)
+    half_a, half_c = build_ivf_index(half, dim=64, n_list=16)
+    cb = train_pq_residual(half_a, half_c, dim=64, m=8, ksub=8, sample_cap=64)
+    path = str(tmp_path / "ivfpq_inc_refined")
+    save_ivfpq_index(half_a, half_c, cb, path)
+    ivfpq_append_batch(spark, path, corpus.where(F.col("vec_id") % 2 == 1), "b1")
+    enc, cent, l_cb = load_ivfpq_index(spark, path)
+    plain = recall_at_k(
+        ivfpq_search_encoded(enc, cent, l_cb, queries, k=5, n_probe=4), exact, 5
+    )
+    refined = recall_at_k(
+        ivfpq_search_encoded_refined(
+            enc, cent, l_cb, corpus, queries, k=5, n_probe=4, refine_factor=4
+        ),
+        exact,
+        5,
+    )
+    assert refined >= plain, f"refine over appended index regressed: {refined} < {plain}"
+    assert refined >= 0.7, f"refined recall over appended index too low: {refined}"
+
+
 def test_ivfpq_refined_recall_clustered(spark, clustered_vectors):
     """ADC over-fetch + exact re-rank (FAISS IndexRefineFlat): PQ scores
     are lossy, so near-tie cluster mates reorder inside the probed lists —
