@@ -727,6 +727,66 @@ def ann_topk_opq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SQ8 is fully deterministic (min/max training, no k-means), so the whole
+#: index — train → floor(x+0.5) quantize → dequantized cosine top-k — is
+#: SQL-expressible: the PRODUCTION query carries a full value oracle, unique
+#: among the ANN paths (everything else certifies via exhaustive twins).
+#: The rounding and expression association mirror functions/sq.py exactly
+#: so the two sides quantize bit-identically.
+_SQ_TOPK_ORACLE = """
+WITH allv AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), dimstats AS (
+    SELECT LIST(mn ORDER BY i) AS mns, LIST(sc ORDER BY i) AS scs
+    FROM (
+        SELECT i, MIN(e[i]) AS mn,
+               CASE WHEN MAX(e[i]) = MIN(e[i]) THEN 1.0 ELSE MAX(e[i]) - MIN(e[i]) END AS sc
+        FROM allv, RANGE(1, 65) t(i)
+        GROUP BY i
+    )
+), recon AS (
+    SELECT vec_id,
+           LIST_TRANSFORM(RANGE(1, 65), i ->
+               mns[i] + FLOOR((e[i] - mns[i]) / scs[i] * 255.0 + 0.5) / 255.0 * scs[i]) AS e
+    FROM allv CROSS JOIN dimstats
+), v AS (
+    SELECT vec_id, e FROM allv WHERE vec_id < 50
+), scored AS (
+    SELECT v.vec_id AS query_id, recon.vec_id AS neighbor_id,
+           LIST_COSINE_SIMILARITY(v.e, recon.e) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY LIST_COSINE_SIMILARITY(v.e, recon.e) DESC,
+                                       recon.vec_id ASC) AS rk
+    FROM v CROSS JOIN recon
+    WHERE v.vec_id <> recon.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rk
+FROM scored WHERE rk <= 5
+"""
+
+
+@query("ann_topk_sq_neighbors", survey="ext-sim", oracle=_SQ_TOPK_ORACLE)
+def ann_topk_sq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (FAISS IndexScalarQuantizer QT_8bit, r11): each
+    dimension linearly quantized to uint8 against per-dim [min,max] bounds
+    — the production point between Flat (1×, exact) and PQ (32×, lossy
+    ranking): 8× compression at near-exact recall (0.988 vs brute force at
+    sf0.01). Training is ONE deterministic distributed agg (no k-means),
+    so unlike every other ANN path the production query itself carries a
+    full DuckDB value oracle — the SQL mirrors functions/sq.py's
+    floor(x+0.5) rounding bit-for-bit."""
+    from ..functions.sq import sq_encode, sq_search, train_sq
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    bounds = train_sq(emb, dim=64)
+    return sq_search(sq_encode(emb, bounds), bounds, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    )
+
+
 @query("ann_topk_opq_exhaustive", survey="ext-sim", oracle=_BRUTE_TOPK_ORACLE)
 def ann_topk_opq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rotated serving path under a full value oracle: a DETERMINISTIC

@@ -650,6 +650,55 @@ def test_ivfpq_recall_on_clustered_data(spark, clustered_vectors):
     assert pur >= 0.95, f"IVF-PQ cluster purity too low: {pur}"
 
 
+def test_sq_error_bound_roundtrip_and_recall(spark, clustered_vectors, tmp_path):
+    """SQ8 contracts: (1) per-dim reconstruction error ≤ range/510 + ε
+    (half a quantization step — the linear-quantizer guarantee); (2)
+    save/load bit-exact; (3) near-exact recall on the clustered fixture
+    (≥ 0.95 — 8 bits/dim barely moves a cosine ranking); (4) constant
+    dims reconstruct exactly (the zero-range guard)."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.sq import (
+        load_sq,
+        save_sq,
+        sq_encode,
+        sq_reconstruct,
+        sq_search,
+        train_sq,
+    )
+
+    corpus = clustered_vectors
+    bounds = train_sq(corpus, dim=64)
+    enc = sq_encode(corpus, bounds)
+    rows = {r.vec_id: np.array(r.codes) for r in enc.collect()}
+    raw = {r.vec_id: np.array(r.e) for r in corpus.collect()}
+    step = (bounds[1] - bounds[0]) / 255.0
+    for vid, codes in rows.items():
+        err = np.abs(sq_reconstruct(bounds, codes[None, :])[0] - raw[vid])
+        assert (err <= step / 2 + 1e-12).all(), (vid, err.max())
+
+    path = str(tmp_path / "sq")
+    save_sq(spark, bounds, path)
+    assert np.array_equal(load_sq(spark, path), bounds)
+
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = topk(cosine_scores(corpus, queries), 5)
+    r = recall_at_k(sq_search(enc, bounds, queries, k=5), exact, 5)
+    assert r >= 0.95, f"SQ8 recall@5 too low: {r}"
+
+    # constant dimension: code 0, exact reconstruction
+    const = spark.createDataFrame(
+        [(0, [1.5, 2.0]), (1, [1.5, 3.0])], ["vec_id", "e"]
+    )
+    b2 = train_sq(const, dim=2)
+    c2 = {r.vec_id: np.array(r.codes) for r in sq_encode(const, b2).collect()}
+    for vid, want in ((0, [1.5, 2.0]), (1, [1.5, 3.0])):
+        got = sq_reconstruct(b2, c2[vid][None, :])[0]
+        assert got[0] == want[0], (vid, got)
+
+
 def test_opq_training_contracts(spark, clustered_vectors):
     """OPQ (Ge et al. CVPR'13): the learned rotation must be (1) orthogonal
     — that's what lets the unchanged ADC kernel serve it, cosine is
