@@ -30,6 +30,13 @@ from .similarity import cosine_cols, grouped_topk_scores, topk
 #: unchanged.
 _POINTER = "_CURRENT"
 
+#: Completeness marker written as the LAST step of `_write_ivf_tree` /
+#: `_write_ivfpq_tree` (r11 advisor): a generation directory EXISTS as soon
+#: as its first list file lands, so pointer-loss recovery must not trust
+#: bare existence — only a marked tree (lists + centroids + base stats all
+#: committed) is eligible to serve.
+_COMMIT_MARK = "_COMMITTED"
+
 
 def _hadoop_fs(spark, path: str):
     """(FileSystem, Path) for *path* through Hadoop's FS API — works on
@@ -49,9 +56,13 @@ def _delete_tree(spark, path: str) -> None:
 
 def _write_pointer(spark, path: str, gen: str) -> None:
     """Atomically point ``{path}/_CURRENT`` at generation dir *gen*:
-    write ``_CURRENT.tmp`` then rename over (HDFS rename is atomic; on
-    stores without atomic rename the recovery rule in :func:`_resolve`
-    — latest gen dir wins — covers a crashed swap)."""
+    write ``_CURRENT.tmp`` then OVERWRITING rename over the live pointer
+    (FileContext Rename.OVERWRITE — atomic on HDFS and posix-local, no
+    delete/rename window). On stores whose FileContext can't overwrite-
+    rename, fall back to delete-then-rename: a crash between those two
+    steps loses the pointer, which the completeness-CHECKED recovery rule
+    in :func:`_resolve_root` (latest ``_COMMITTED`` generation, else the
+    flat root) makes safely recoverable (r11 advisor)."""
     fs, cur = _hadoop_fs(spark, f"{path}/{_POINTER}")
     _, tmp = _hadoop_fs(spark, f"{path}/{_POINTER}.tmp")
     out = fs.create(tmp, True)
@@ -59,9 +70,21 @@ def _write_pointer(spark, path: str, gen: str) -> None:
         out.write(bytearray(gen.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(cur):
-        fs.delete(cur, False)
-    fs.rename(tmp, cur)
+    sc = spark.sparkContext
+    try:
+        jvm = sc._jvm
+        qual_cur = fs.makeQualified(cur)
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            qual_cur.toUri(), sc._jsc.hadoopConfiguration()
+        )
+        rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = sc._gateway.new_array(rename_opt, 1)
+        opts[0] = rename_opt.OVERWRITE
+        fc.rename(fs.makeQualified(tmp), qual_cur, opts)
+    except Exception:  # no overwrite-rename on this store — fall back
+        if fs.exists(cur):
+            fs.delete(cur, False)
+        fs.rename(tmp, cur)
 
 
 def _read_pointer(spark, path: str) -> str | None:
@@ -94,17 +117,35 @@ def _list_generations(spark, path: str) -> list[str]:
     )
 
 
+def _mark_committed(spark, root: str) -> None:
+    """Write the empty ``_COMMITTED`` marker — the LAST step of a tree
+    write, so marker-presence ⇒ the whole tree landed."""
+    fs, mark = _hadoop_fs(spark, f"{root}/{_COMMIT_MARK}")
+    fs.create(mark, True).close()
+
+
+def _is_complete(spark, root: str) -> bool:
+    fs, mark = _hadoop_fs(spark, f"{root}/{_COMMIT_MARK}")
+    return bool(fs.exists(mark))
+
+
 def _resolve_root(spark, path: str) -> str:
     """The directory actually holding the index trees: the pointer target
-    when a retrain has promoted a generation; else the LATEST gen dir if
-    any exist (recovery from a crashed pointer swap — the staged tree is
-    complete before the swap starts); else the flat *path* itself (the
-    `save_ivf_index` layout)."""
+    when a retrain has promoted a generation; else the latest COMPLETE
+    gen dir — one whose ``_COMMITTED`` marker landed, i.e. the staged
+    tree finished before the (crashed) pointer swap — else the flat
+    *path* itself (the `save_ivf_index` layout). The completeness gate
+    (r11 advisor) is what makes a lost pointer always safely recoverable:
+    a gen dir exists as soon as its first list file is written, so a
+    retrain that crashed MID-STAGE must never shadow the intact previous
+    root."""
     gen = _read_pointer(spark, path)
-    if gen is None:
-        gens = _list_generations(spark, path)
-        gen = gens[-1] if gens else None
-    return f"{path}/{gen}" if gen else path
+    if gen is not None:
+        return f"{path}/{gen}"
+    for g in reversed(_list_generations(spark, path)):
+        if _is_complete(spark, f"{path}/{g}"):
+            return f"{path}/{g}"
+    return path
 
 
 def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
@@ -182,6 +223,33 @@ def _assign_to_centroids(corpus: DataFrame, cents: np.ndarray) -> DataFrame:
     return corpus.select("vec_id", "e", assign(F.col("e")).alias("list_id"))
 
 
+def probe_lists(centroids: DataFrame, queries: DataFrame, n_probe: int) -> DataFrame:
+    """(list_id, query_id, qe): the ``n_probe`` nearest inverted lists per
+    query by centroid cosine — the coarse-probe relation every IVF-family
+    search (raw :func:`ivf_search`, IVF-PQ's ADC scan, IVF+SQ8) starts
+    from. Both sides broadcast (queries are the bounded serving batch,
+    centroids are n_list rows); ties broken by ascending list_id so the
+    probe set is deterministic."""
+    from pyspark.sql.window import Window
+
+    q_cent = (
+        F.broadcast(queries)
+        .join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qe",
+            "list_id",
+            cosine_cols(F.col("qe"), F.col("centroid")).alias("c_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
+    return (
+        q_cent.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= n_probe)
+        .select("list_id", "query_id", "qe")
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -193,24 +261,7 @@ def ivf_search(
 
     queries: (query_id, qe array<double>). Output: like similarity.topk.
     """
-    q_cent = (
-        F.broadcast(queries)
-        .join(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "qe",
-            "list_id",
-            cosine_cols(F.col("qe"), F.col("centroid")).alias("c_sim"),
-        )
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
-    probes = (
-        q_cent.withColumn("pr", F.row_number().over(w))
-        .where(F.col("pr") <= n_probe)
-        .select("list_id", "query_id", "qe")
-    )
+    probes = probe_lists(centroids, queries, n_probe)
     # Cogroup on list_id: each inverted list's vectors cross one Arrow
     # boundary once (not once per probing query), BLAS-scored per list with
     # per-list top-k — the global window then merges n_probe·k id rows per
@@ -231,7 +282,9 @@ def _write_ivf_tree(assigned: DataFrame, centroids: DataFrame, root: str) -> Non
     ).parquet(f"{root}/lists")
     centroids.write.mode("overwrite").parquet(f"{root}/centroids")
     err, n = quantization_error(assigned, centroids)
-    _write_stats_row(centroids.sparkSession, root, "base", n, err)
+    spark = centroids.sparkSession
+    _write_stats_row(spark, root, "base", n, err, seq=0)
+    _mark_committed(spark, root)  # LAST: marker-presence ⇒ complete tree
 
 
 def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
@@ -256,6 +309,7 @@ def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None
     for gen in _list_generations(spark, path):
         _delete_tree(spark, f"{path}/{gen}")
     _delete_tree(spark, f"{path}/{_POINTER}")
+    _delete_tree(spark, f"{path}/{_COMMIT_MARK}")  # stale marker from a prior save
     _write_ivf_tree(assigned, centroids, path)
 
 
@@ -293,33 +347,62 @@ def _read_delta_dir(spark, root: str, cols: tuple[str, ...]) -> DataFrame | None
     return spark.read.parquet(root).select(*cols)
 
 
-def read_index_stats(spark, path: str) -> tuple[dict, int]:
-    """(base stats row as a dict, total appended row count) from the
-    ``stats/batch_id=*`` commits — the inputs to the retrain triggers.
-    Raises a descriptive ValueError when the build baseline is missing
-    (index written by a pre-baseline save format, or a partially-written
-    stats tree) instead of a bare StopIteration (r10 advisor); append
-    paths validate this BEFORE committing a delta."""
+def _stats_rows(spark, path: str) -> list:
+    """Every committed ``stats/batch_id=*`` row (empty list when no stats
+    tree exists). Read with mergeSchema so rows written before the
+    ``commit_seq`` column coexist with new ones."""
     fs, stats_path = _hadoop_fs(spark, f"{path}/stats")
     if not fs.exists(stats_path):
+        return []
+    # bounded-collect: one row per committed batch
+    return spark.read.option("mergeSchema", "true").parquet(f"{path}/stats").collect()
+
+
+def _base_and_appended(rows: list, path: str) -> tuple[dict, int]:
+    """(base stats dict, total appended row count) from collected stats
+    rows. Raises a descriptive ValueError when the build baseline is
+    missing (index written by a pre-baseline save format, or a partially-
+    written stats tree) instead of a bare StopIteration (r10 advisor);
+    append paths validate this BEFORE committing a delta."""
+    if not rows:
         raise ValueError(
             f"no stats tree at {path}/stats — index predates the baseline "
             "format; re-run save_*_index (or *_retrain) to write the "
             "stats/batch_id=base row before appending"
         )
-    stats = spark.read.parquet(f"{path}/stats").collect()  # bounded-collect: one row per committed batch
-    base = next((r for r in stats if r["batch_id"] == "base"), None)
+    base = next((r for r in rows if r["batch_id"] == "base"), None)
     if base is None:
         raise ValueError(
             f"stats tree at {path}/stats has no batch_id=base baseline row "
             "(partially-written index?); re-run save_*_index (or *_retrain) "
             "to restore it before appending"
         )
-    appended_n = sum(r["n_vectors"] for r in stats if r["batch_id"] != "base")
+    appended_n = sum(r["n_vectors"] for r in rows if r["batch_id"] != "base")
     return (
         {"n_vectors": base["n_vectors"], "mean_sq_err": base["mean_sq_err"]},
         appended_n,
     )
+
+
+def read_index_stats(spark, path: str) -> tuple[dict, int]:
+    """(base stats row as a dict, total appended row count) from the
+    ``stats/batch_id=*`` commits — the inputs to the retrain triggers."""
+    return _base_and_appended(_stats_rows(spark, path), path)
+
+
+def _commit_seq_for(rows: list, batch_id: str) -> int:
+    """The commit sequence number for *batch_id*'s stats row: a REPLAYED
+    commit (its row already exists) keeps its original slot — the ledger
+    order is the order commits first happened, replay-stable — and a new
+    commit takes max+1. This is what `index_health`'s cumulative
+    appended_frac orders by (r11 advisor: lexicographic batch_id misorders
+    non-zero-padded ids, b10 before b2)."""
+    seqs = {r["batch_id"]: r.asDict().get("commit_seq") for r in rows}
+    prior = seqs.get(batch_id)
+    if prior is not None:
+        return int(prior)
+    known = [int(s) for s in seqs.values() if s is not None]
+    return (max(known) + 1) if known else len(rows)
 
 
 def _drift_ratio(batch_err: float, base_err: float) -> float:
@@ -356,12 +439,17 @@ def quantization_error(assigned: DataFrame, centroids: DataFrame) -> tuple[float
     return (float(row["err"] or 0.0), int(row["n"]))
 
 
-def _write_stats_row(spark, path: str, batch_id: str, n: int, err: float) -> None:
-    """One (n, mean_sq_err) row at ``stats/batch_id=<id>`` — overwrite into
-    the batch's own directory, so a replayed commit rewrites the same
-    stamp instead of appending a duplicate (the exactly-once shape)."""
+def _write_stats_row(
+    spark, path: str, batch_id: str, n: int, err: float, seq: int
+) -> None:
+    """One (n, mean_sq_err, commit_seq) row at ``stats/batch_id=<id>`` —
+    overwrite into the batch's own directory, so a replayed commit rewrites
+    the same stamp (including its original ``commit_seq`` slot, via
+    :func:`_commit_seq_for`) instead of appending a duplicate (the
+    exactly-once shape). ``commit_seq`` records commit ORDER — base is 0 —
+    so the health ledger never depends on batch_id lexicographics."""
     spark.createDataFrame(
-        [(n, err)], "n_vectors long, mean_sq_err double"
+        [(n, err, int(seq))], "n_vectors long, mean_sq_err double, commit_seq long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats/batch_id={batch_id}")
 
 
@@ -398,7 +486,8 @@ def ivf_append_batch(
     # validate the baseline BEFORE committing the delta: a missing base
     # stats row used to surface only AFTER the delta landed, leaving a
     # served-but-unaccounted batch (r10 advisor)
-    base, appended_before = read_index_stats(spark, root)
+    stats_before = _stats_rows(spark, root)
+    base, appended_before = _base_and_appended(stats_before, root)
     if batch.isEmpty():
         # nothing to commit: writing an empty hive dir would break schema
         # inference for EVERY later delta read (r10 advisor) — report
@@ -428,7 +517,10 @@ def ivf_append_batch(
     )
     centroids = spark.read.parquet(f"{root}/centroids")
     batch_err, batch_n = quantization_error(committed, centroids)
-    _write_stats_row(spark, root, batch_id, batch_n, batch_err)
+    _write_stats_row(
+        spark, root, batch_id, batch_n, batch_err,
+        seq=_commit_seq_for(stats_before, batch_id),
+    )
     base, appended_n = read_index_stats(spark, root)
     drift = _drift_ratio(batch_err, base["mean_sq_err"])
     appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
@@ -511,7 +603,9 @@ def index_health(spark, path: str) -> DataFrame:
     retrain triggers read — ``drift_ratio`` (batch error / build
     baseline; null when the baseline is 0, where any nonzero batch error
     is infinite drift) and cumulative ``appended_frac`` (appended mass /
-    trained corpus, running in batch_id order).
+    trained corpus, running in COMMIT order — the ``commit_seq`` column
+    each stats write stamps, base = 0, so non-zero-padded batch ids like
+    b10/b2 can't misorder the running sum; r11 advisor).
 
     Resolves the ACTIVE generation, so after an :func:`ivf_retrain` the
     ledger restarts at the fresh baseline — exactly what a serving
@@ -520,15 +614,23 @@ def index_health(spark, path: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     root = _resolve_root(spark, path)
-    stats = spark.read.parquet(f"{root}/stats")  # tiny: one row per batch
+    # tiny: one row per batch; mergeSchema tolerates pre-commit_seq rows
+    stats = spark.read.option("mergeSchema", "true").parquet(f"{root}/stats")
     base = stats.where(F.col("batch_id") == "base").select(
         F.col("n_vectors").alias("base_n"), F.col("mean_sq_err").alias("base_err")
     )
     is_append = (F.col("batch_id") != "base").cast("int")
-    # base row FIRST regardless of lexicographic position, then appends
-    # in batch_id order — the order the commits happened in the fixture
+    # commit order: the commit_seq stamp (base = 0) when present; rows
+    # written by the pre-seq format fall back to base-first + batch_id
+    if "commit_seq" in stats.columns:
+        ord_key = F.coalesce(
+            F.col("commit_seq"),
+            F.when(F.col("batch_id") == "base", F.lit(0)).otherwise(F.lit(2**62)),
+        )
+    else:
+        ord_key = is_append
     w = (
-        Window.orderBy(is_append, F.col("batch_id"))
+        Window.orderBy(ord_key, is_append, F.col("batch_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     appended = F.sum(is_append * F.col("n_vectors")).over(w)
@@ -542,5 +644,5 @@ def index_health(spark, path: str) -> DataFrame:
             .alias("drift_ratio"),
             (appended / F.col("base_n")).alias("appended_frac"),
         )
-        .orderBy(is_append, "batch_id")
+        .orderBy(ord_key, is_append, "batch_id")
     )

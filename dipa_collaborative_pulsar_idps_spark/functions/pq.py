@@ -434,7 +434,7 @@ def save_ivfpq_index(
     (r10 advisor: saving a rebuilt index over an appended one must not
     serve stale deltas decoded with NEW codebooks). For retrain-under-
     serving use :func:`ivfpq_retrain`."""
-    from .ivf import _POINTER, _delete_tree, _list_generations
+    from .ivf import _COMMIT_MARK, _POINTER, _delete_tree, _list_generations
 
     spark = centroids.sparkSession
     for sub in ("codes_deltas", "stats", "codes", "centroids", "pq"):
@@ -442,6 +442,7 @@ def save_ivfpq_index(
     for gen in _list_generations(spark, path):
         _delete_tree(spark, f"{path}/{gen}")
     _delete_tree(spark, f"{path}/{_POINTER}")
+    _delete_tree(spark, f"{path}/{_COMMIT_MARK}")  # stale marker from a prior save
     _write_ivfpq_tree(assigned, centroids, codebooks, path)
 
 
@@ -449,9 +450,9 @@ def _write_ivfpq_tree(
     assigned: DataFrame, centroids: DataFrame, codebooks: np.ndarray, root: str
 ) -> None:
     """The IVF-PQ trees (residual codes + centroids + codebooks + base
-    stats) into *root* — shared by :func:`save_ivfpq_index` and
-    :func:`ivfpq_retrain`."""
-    from .ivf import _write_stats_row
+    stats) into *root*, ``_COMMITTED`` marker last — shared by
+    :func:`save_ivfpq_index` and :func:`ivfpq_retrain`."""
+    from .ivf import _mark_committed, _write_stats_row
 
     res = _residuals(assigned, centroids)
     enc = pq_encode(res, codebooks, keep=("list_id",))
@@ -462,7 +463,8 @@ def _write_ivfpq_tree(
     spark = centroids.sparkSession
     save_pq(spark, codebooks, f"{root}/pq")
     err, n = pq_reconstruction_error(res.select("vec_id", "e"), codebooks)
-    _write_stats_row(spark, root, "base", n, err)
+    _write_stats_row(spark, root, "base", n, err, seq=0)
+    _mark_committed(spark, root)  # LAST: marker-presence ⇒ complete tree
 
 
 def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, np.ndarray]:
@@ -518,6 +520,41 @@ def pq_reconstruction_error(corpus: DataFrame, codebooks: np.ndarray) -> tuple[f
     return (float(row["err"] or 0.0), int(row["n"]))
 
 
+def pq_code_error(
+    residuals: DataFrame, committed: DataFrame, codebooks: np.ndarray
+) -> tuple[float, int]:
+    """(mean squared reconstruction error ‖r − decode(code)‖², row count)
+    of COMMITTED codes: the read-back (vec_id, codes) relation joined to
+    the batch residuals (vec_id, e) by vec_id, decoded through the
+    codebook gathers in one Arrow pass. This is the stat contract
+    :func:`ivfpq_append_batch` shares with ``ivf_append_batch`` (r11
+    advisor): the number reflects exactly the code bytes serving will
+    scan — a truncated or partial delta commit shows up as a wrong count
+    or error, not a silently-healthy in-memory measurement."""
+    m, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf("double")
+    def sqerr(e: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series([], dtype="float64")
+        mat = np.array(e.tolist(), dtype=np.float64)
+        cds = np.array(codes.tolist(), dtype=np.int64)
+        sq = np.zeros(len(mat))
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            sq += ((sub - codebooks[j][cds[:, j]]) ** 2).sum(1)
+        return pd.Series(sq)
+
+    row = (
+        residuals.select("vec_id", "e")
+        .join(committed.select("vec_id", "codes"), "vec_id")
+        .select(sqerr(F.col("e"), F.col("codes")).alias("sq"))
+        .agg(F.avg("sq").alias("err"), F.count("*").alias("n"))
+        .collect()[0]  # bounded-collect: one scalar row
+    )
+    return (float(row["err"] or 0.0), int(row["n"]))
+
+
 def ivfpq_append_batch(
     spark,
     path: str,
@@ -545,16 +582,20 @@ def ivfpq_append_batch(
     the trigger is one call: :func:`ivfpq_retrain`."""
     from .ivf import (
         _assign_to_centroids,
+        _base_and_appended,
+        _commit_seq_for,
         _drift_ratio,
         _resolve_root,
         _round_ratio,
+        _stats_rows,
         _write_stats_row,
         read_index_stats,
     )
 
     root = _resolve_root(spark, path)
     # validate the baseline BEFORE committing the delta (r10 advisor)
-    base, appended_before = read_index_stats(spark, root)
+    stats_before = _stats_rows(spark, root)
+    base, appended_before = _base_and_appended(stats_before, root)
     if batch.isEmpty():
         # an empty hive delta dir would break schema inference for every
         # later delta read (r10 advisor) — skip the commit entirely
@@ -575,13 +616,28 @@ def ivfpq_append_batch(
     codebooks = load_pq(spark, f"{root}/pq")
     assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
     centroids = spark.read.parquet(f"{root}/centroids")
-    res = _residuals(assigned, centroids)
-    enc = pq_encode(res, codebooks, keep=("list_id",))
-    enc.repartition("list_id").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{root}/codes_deltas/batch_id={batch_id}")
-    batch_err, batch_n = pq_reconstruction_error(res.select("vec_id", "e"), codebooks)
-    _write_stats_row(spark, root, batch_id, batch_n, batch_err)
+    # persisted: the residual relation feeds BOTH the delta write and the
+    # committed-code rescore below (two jobs; one assignment/join pass)
+    res = _residuals(assigned, centroids).persist()
+    try:
+        enc = pq_encode(res, codebooks, keep=("list_id",))
+        enc.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{root}/codes_deltas/batch_id={batch_id}")
+        # measure the COMMITTED batch (read back the delta's code rows and
+        # rescore them against the batch residuals), mirroring
+        # ivf_append_batch's contract: the stat reflects exactly what
+        # serving will scan (r11 advisor)
+        committed = spark.read.parquet(
+            f"{root}/codes_deltas/batch_id={batch_id}"
+        ).select("vec_id", "codes")
+        batch_err, batch_n = pq_code_error(res, committed, codebooks)
+    finally:
+        res.unpersist()
+    _write_stats_row(
+        spark, root, batch_id, batch_n, batch_err,
+        seq=_commit_seq_for(stats_before, batch_id),
+    )
     base, appended_n = read_index_stats(spark, root)
     drift = _drift_ratio(batch_err, base["mean_sq_err"])
     appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
@@ -692,9 +748,7 @@ def ivfpq_search_encoded(
     per Arrow group, not a join."""
     m, ksub, dsub = codebooks.shape
 
-    from pyspark.sql.window import Window
-
-    from .similarity import cosine_cols
+    from .ivf import probe_lists
 
     cent_rows = centroids.orderBy("list_id").collect()  # bounded-collect: n_list rows
     n_lists = max(r["list_id"] for r in cent_rows) + 1
@@ -702,22 +756,7 @@ def ivfpq_search_encoded(
     for r in cent_rows:
         cents[r["list_id"]] = r["centroid"]
 
-    q_cent = (
-        F.broadcast(queries)
-        .join(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "qe",
-            "list_id",
-            cosine_cols(F.col("qe"), F.col("centroid")).alias("c_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
-    probes = (
-        q_cent.withColumn("pr", F.row_number().over(w))
-        .where(F.col("pr") <= n_probe)
-        .select("list_id", "query_id", "qe")
-    )
+    probes = probe_lists(centroids, queries, n_probe)
 
     n2 = (codebooks**2).sum(2)
 

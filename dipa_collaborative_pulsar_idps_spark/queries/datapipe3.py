@@ -292,6 +292,47 @@ def clear_ivfpq_build_cache() -> None:
     _IVFPQ_BUILD_CACHE.clear()
 
 
+#: Memoized IVF+SQ8 build — ONE index shared by the production probe
+#: (n_probe=4) and the exhaustive certifier (n_probe=n_list): SQ needs no
+#: degenerate certifier geometry (training is deterministic min/max, not
+#: k-means), so unlike the PQ twins both serving shapes read the same
+#: encoded relation. Same lifecycle as _IVFPQ_BUILD_CACHE.
+_IVFSQ_BUILD_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivfsq_build(spark: SparkSession, sf_dir: str) -> tuple:
+    """(encoded persisted, centroids, bounds) at the SCALE coarse geometry:
+    IVF coarse lists over the corpus + global SQ8 bounds + raw-vector SQ
+    codes carrying list_id. `encoded` is persisted because both declared
+    serving shapes (and the scan-fraction probe in PARITY) re-scan it;
+    `clear_ivfsq_build_cache()` owns the unpersist."""
+    import os
+
+    from ..functions.ivf import build_ivf_index
+    from ..functions.sq import sq_encode, train_sq
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _IVFSQ_BUILD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = _corpus(spark, sf_dir)
+    assigned, centroids = build_ivf_index(emb, dim=64, n_list=SCALE.ivf_n_list)
+    bounds = train_sq(emb, dim=64)
+    enc = sq_encode(assigned, bounds, keep=("list_id",)).persist()
+    _IVFSQ_BUILD_CACHE[key] = (enc, centroids, bounds)
+    return _IVFSQ_BUILD_CACHE[key]
+
+
+def clear_ivfsq_build_cache() -> None:
+    """Unpersist every memoized IVF+SQ8 build (explicit lifecycle end)."""
+    for enc, _, _ in _IVFSQ_BUILD_CACHE.values():
+        try:
+            enc.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _IVFSQ_BUILD_CACHE.clear()
+
+
 #: Persisted-and-appended IVF serving index path per (appId, sf_dir) —
 #: the dense-ANN analogue of the MinHash/TF-IDF incremental index caches:
 #: built once on the even-vec_id half, odd half appended in two
@@ -785,6 +826,56 @@ def ann_topk_sq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_search(sq_encode(emb, bounds), bounds, q, k=5).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     )
+
+
+@query("ann_topk_ivfsq_neighbors", survey="ext-sim")
+def ann_topk_ivfsq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 composite (FAISS ``IVF,SQ8``, r12 — the last structural
+    gap in the ANN family): coarse-probe 4 of 16 inverted lists, then
+    dequantize-and-exact-cosine only THEIR SQ codes — ~25% scan fraction
+    at 8× row compression AND near-exact ranking (SQ8's per-dim error is
+    ≤ range/510, vs PQ's lossy subspace codebooks). The sub-linear
+    near-exact production point between `ann_topk_sq_neighbors` (exact-ish
+    but full-corpus scan) and `ann_topk_ivfpq_neighbors` (sub-linear but
+    lossy). Rows-only by design (the coarse quantizer is iterative
+    k-means); the exhaustive twin below carries the FULL value oracle —
+    with every list probed the composite must equal flat SQ8, which is
+    itself SQL-expressible — and clustered/corpus recall floors + the
+    measured scan fraction ride PARITY_r12."""
+    from ..functions.sq import ivf_sq_search
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    enc, centroids, bounds = _ivfsq_build(spark, sf_dir)
+    return ivf_sq_search(
+        enc, centroids, bounds, q, k=5, n_probe=SCALE.ivf_n_probe
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+
+
+@query("ann_topk_ivfsq_exhaustive", survey="ext-sim", oracle=_SQ_TOPK_ORACLE)
+def ann_topk_ivfsq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 with every list probed: the coarse probe covers the whole
+    corpus and SQ scoring is deterministic, so the composite must equal
+    the flat SQ8 scan EXACTLY — and flat SQ8 is fully SQL-expressible
+    (deterministic min/max training), so this certifier carries the same
+    full DuckDB value oracle as `ann_topk_sq_neighbors`: the strongest
+    oracle any sub-linear ANN path in the family has (every other
+    exhaustive twin certifies only the brute-force equality). SAME build
+    as the production query (no degenerate certifier geometry needed —
+    SQ has no k-means to collapse), so this also pins that the production
+    path's loss is coarse-probe misses alone."""
+    from ..functions.sq import ivf_sq_search
+
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    enc, centroids, bounds = _ivfsq_build(spark, sf_dir)
+    return ivf_sq_search(
+        enc, centroids, bounds, q, k=5, n_probe=SCALE.ivf_n_list
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
 
 
 @query("ann_topk_opq_exhaustive", survey="ext-sim", oracle=_BRUTE_TOPK_ORACLE)

@@ -103,12 +103,22 @@ def get_streaming_spark(
     A user who builds their own session via get_spark gets core-count
     partitions — right for the relational surface, wrong for 64-shard
     micro-batch state; this factory is the one-call way to get the
-    measured streaming configuration."""
-    spark = get_spark(
-        app_name,
-        master,
-        shuffle_partitions=streaming_shuffle_partitions(n_state_shards),
-    )
+    measured streaming configuration.
+
+    When a session ALREADY RUNS in this process, the factory returns
+    ``active.newSession()`` — same SparkContext, ISOLATED SQLConf — with
+    the streaming partition count set only there (r11 advisor: routing
+    through get_spark's getOrCreate would re-apply the builder's runtime
+    confs to the existing session, silently dropping the already-running
+    relational workload's shuffle partitions to shards/8)."""
+    shuffle = streaming_shuffle_partitions(n_state_shards)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active.newSession()
+        ensure_runtime_confs(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+    else:
+        spark = get_spark(app_name, master, shuffle_partitions=shuffle)
     if rocksdb:
         enable_rocksdb_state(spark)
     return spark

@@ -40,6 +40,10 @@ ANN_EXHAUSTIVE_TWINS = {
     # rides the same gate
     "ann_topk_ivf_incremental": "ann_topk_ivf_exhaustive",
     "ann_topk_ivfpq_incremental": "ann_topk_ivfpq_exhaustive",
+    # r12: IVF+SQ8 composite — the sub-linear near-exact point; its
+    # exhaustive twin (all lists probed ≡ flat SQ8) carries the FULL
+    # value oracle, so recall-vs-twin here isolates coarse-probe loss
+    "ann_topk_ivfsq_neighbors": "ann_topk_ivfsq_exhaustive",
 }
 
 #: recall@5 floors ON THIS CORPUS. Two distinct contracts:
@@ -77,6 +81,11 @@ ANN_RECALL_FLOORS = {
     "ann_topk_ivfpq_refined": 0.5,
     "ann_topk_ivf_incremental": 0.5,
     "ann_topk_ivfpq_incremental": 0.25,
+    # r12: IVF+SQ8 — SQ scoring is near-exact, so recall vs its (flat-SQ-
+    # oracle-checked) exhaustive twin ≈ raw IVF's coarse-probe recall at
+    # the same n_probe (measured 0.612/0.600 at sf0.01/sf0.1 vs IVF raw
+    # 0.604/0.608)
+    "ann_topk_ivfsq_neighbors": 0.5,
 }
 
 #: Clustered-fixture recall floors — the MEANINGFUL quality numbers (same
@@ -108,6 +117,9 @@ CLUSTERED_RECALL_FLOORS = {
     # append-only residual path at the drift-estimation geometry
     # (m=8/ksub=8, cap=64 — see tests): measured 0.61
     "ann_topk_ivfpq_incremental": 0.55,
+    # r12 IVF+SQ8: near-exact scoring inside probed lists — clustered
+    # loss is coarse-probe misses only (the r11 punch-item floor)
+    "ann_topk_ivfsq_neighbors": 0.95,
 }
 
 
@@ -154,6 +166,15 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
     )
     exact = topk(cosine_scores(corpus, queries), 5)
     assigned, centroids = build_ivf_index(corpus, dim=64, n_list=16)
+    # r12: IVF+SQ8 composite at the same coarse geometry / n_probe
+    from dipa_collaborative_pulsar_idps_spark.functions.sq import (
+        ivf_sq_search,
+        sq_encode,
+        train_sq,
+    )
+
+    sq_bounds = train_sq(corpus, dim=64)
+    sq_enc = sq_encode(assigned, sq_bounds, keep=("list_id",))
     cb = train_pq(corpus, dim=64, m=8, ksub=32)
     # IVF-PQ is residual-encoded (IVFADC) at the r11 serving geometry
     # (SCALE.ivfpq_m/ivfpq_ksub) — same config the pytest contract pins
@@ -231,6 +252,11 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
         ),
         "ann_topk_ivf_neighbors": recall_at_k(
             ivf_search(assigned, centroids, queries, k=5, n_probe=4), exact, 5
+        ),
+        "ann_topk_ivfsq_neighbors": recall_at_k(
+            ivf_sq_search(sq_enc, centroids, sq_bounds, queries, k=5, n_probe=4),
+            exact,
+            5,
         ),
         "ann_topk_pq_neighbors": recall_at_k(
             pq_search_adc(pq_encode(corpus, cb), cb, queries, k=5), exact, 5
@@ -515,6 +541,41 @@ def main() -> int:
                   flush=True)
     except Exception as e:  # noqa: BLE001 - gate reports, not raises
         out["__clustered_recall__"] = {"status": "FAIL", "detail": f"EXCEPTION: {e}"}
+        n_fail += 1
+
+    # IVF+SQ8 scan fraction (r12): the composite's sub-linear claim as a
+    # measured number (rows in probed lists / (queries × corpus)) beside
+    # its recall entries — the banded-dial convention for the ANN family.
+    try:
+        name = "ann_topk_ivfsq_neighbors"
+        if out.get(name, {}).get("status") not in (None, "FAIL"):
+            from pyspark.sql import functions as F
+
+            from dipa_collaborative_pulsar_idps_spark.config import SCALE
+            from dipa_collaborative_pulsar_idps_spark.functions.sq import (
+                ivfsq_scan_fraction,
+            )
+            from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import (
+                _corpus,
+                _ivfsq_build,
+            )
+
+            enc, cents, _bounds = _ivfsq_build(spark, sf_dir)
+            emb = _corpus(spark, sf_dir)
+            q = emb.where(F.col("vec_id") < 50).select(
+                F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+            )
+            frac = round(ivfsq_scan_fraction(enc, cents, q, SCALE.ivf_n_probe), 6)
+            ceiling = 0.35  # n_probe/n_list = 0.25 + list-size skew margin
+            out[name]["candidate_frac"] = frac
+            out[name]["candidate_frac_ceiling"] = ceiling
+            if frac > ceiling and out[name]["status"] != "FAIL":
+                out[name]["status"] = "FAIL"
+                n_ok -= 1
+                n_fail += 1
+            print(f"{name} candidate_frac={frac} ceiling={ceiling}", flush=True)
+    except Exception as e:  # noqa: BLE001 - gate reports, not raises
+        out["__ivfsq_scan_fraction__"] = {"status": "FAIL", "detail": f"EXCEPTION: {e}"}
         n_fail += 1
 
     # Banded-dial quality (round 9): the two remaining rows-only pair

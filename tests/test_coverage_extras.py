@@ -607,3 +607,111 @@ def test_retrain_pointer_crash_recovery(spark, tmp_path):
     ivf_retrain(spark, path)
     assert _read_pointer(spark, path) == "gen-00002"
     assert load_ivf_index(spark, path)[0].count() == 100
+
+
+def test_resolve_root_skips_incomplete_generation(spark, tmp_path):
+    """Crash-recovery completeness gate (r11 advisor): a generation
+    directory exists as soon as the FIRST retrain job starts writing into
+    it, so if that retrain crashes mid-stage — before the ``_COMMITTED``
+    marker, before the pointer ever exists — readers must resolve the
+    intact flat layout, not the partial gen. And a replayed retrain must
+    self-heal: it stages the NEXT generation and promotes it."""
+    import os
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        _read_pointer,
+        _resolve_root,
+        build_ivf_index,
+        ivf_retrain,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)],
+        ["vec_id", "e"],
+    )
+    path = str(tmp_path / "ivf_partial")
+    assigned, centroids = build_ivf_index(corpus, dim=16, n_list=4)
+    save_ivf_index(assigned, centroids, path)
+
+    # simulate the FIRST retrain crashing mid-stage: the gen dir holds a
+    # partial lists tree, no centroids, no stats, no marker, no pointer
+    os.makedirs(f"{path}/gen-00001/lists/list_id=0", exist_ok=True)
+    with open(f"{path}/gen-00001/lists/list_id=0/part-partial.parquet", "wb") as f:
+        f.write(b"not parquet")
+    assert _read_pointer(spark, path) is None
+    assert _resolve_root(spark, path) == path  # partial gen skipped
+    a, _ = load_ivf_index(spark, path)  # serves the intact flat layout
+    assert a.count() == 80
+
+    # replayed retrain self-heals: stages gen-00002 past the partial dir
+    out = ivf_retrain(spark, path)
+    assert out["generation"] == "gen-00002"
+    assert _read_pointer(spark, path) == "gen-00002"
+    assert load_ivf_index(spark, path)[0].count() == 80
+
+
+def test_index_health_commit_order_non_padded_ids(spark, tmp_path):
+    """The health ledger's cumulative appended_frac runs in COMMIT order
+    (the commit_seq stamp), not lexicographic batch_id order — b10 after
+    b2 even though 'b10' < 'b2' lexicographically (r11 advisor)."""
+    import random
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        build_ivf_index,
+        index_health,
+        ivf_append_batch,
+        save_ivf_index,
+    )
+
+    rng = random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)],
+        ["vec_id", "e"],
+    )
+    base = corpus.where(F.col("vec_id") < 60)
+    path = str(tmp_path / "ivf_seq")
+    assigned, centroids = build_ivf_index(base, dim=16, n_list=4)
+    save_ivf_index(assigned, centroids, path)
+    b2 = corpus.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 90))
+    b10 = corpus.where(F.col("vec_id") >= 90)
+    s2 = ivf_append_batch(spark, path, b2, "b2")
+    s10 = ivf_append_batch(spark, path, b10, "b10")
+
+    rows = index_health(spark, path).collect()
+    assert [r["batch_id"] for r in rows] == ["base", "b2", "b10"]
+    fracs = {r["batch_id"]: r["appended_frac"] for r in rows}
+    # running sum follows commit order: b2 = 30/60, b10 = 60/60
+    assert fracs["b2"] == pytest.approx(0.5, abs=1e-9)
+    assert fracs["b10"] == pytest.approx(1.0, abs=1e-9)
+    assert fracs["b2"] == pytest.approx(s2["appended_frac"], abs=1e-9)
+    assert fracs["b10"] == pytest.approx(s10["appended_frac"], abs=1e-9)
+
+    # replayed commit keeps its original ledger slot (exactly-once shape)
+    ivf_append_batch(spark, path, b2, "b2")
+    rows = index_health(spark, path).collect()
+    assert [r["batch_id"] for r in rows] == ["base", "b2", "b10"]
+
+
+def test_streaming_factory_isolates_existing_session(spark):
+    """get_streaming_spark on a process that ALREADY runs a session must
+    not mutate that session's shuffle partitions (r11 advisor: builder
+    confs through getOrCreate silently re-conf the running relational
+    workload). It returns a newSession() — same context, isolated
+    SQLConf — carrying the streaming partition count."""
+    from dipa_collaborative_pulsar_idps_spark.session import get_streaming_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    streaming = get_streaming_spark(n_state_shards=64)
+    try:
+        assert streaming.conf.get("spark.sql.shuffle.partitions") == "8"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        assert streaming is not spark
+        # same JVM context — no second SparkContext was spun up
+        assert streaming.sparkContext is spark.sparkContext
+    finally:
+        pass  # shared context: nothing to stop
