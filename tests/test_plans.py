@@ -396,3 +396,22 @@ def test_opq_serving_is_map_only_scan(spark, sf_dir):
     df = REGISTRY["ann_topk_opq_neighbors"].fn(spark, sf_dir)
     txt = plan_text(df)
     assert "SortMergeJoin" not in txt and "Join" not in txt, txt
+
+
+def test_pack_sequences_inherits_prefix_sum_plan(spark, sf_dir):
+    """pack_sequences (r12) = the shared distributed prefix sum + a
+    map-side explode: same gate as the stats query — the only
+    SinglePartition exchange allowed is over the tiny per-range totals,
+    never over document rows — and the explode must not introduce a
+    shuffle of its own (no sort-merge join, offsets join stays
+    broadcast)."""
+    df = REGISTRY["pack_sequences"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*)", txt):
+        following = txt[m.start() :]
+        assert "HashAggregate" in following.split("Scan")[0], (
+            "serial exchange directly over corpus rows"
+        )
+    assert "broadcast" in txt.lower()  # offsets join in as broadcast
+    assert "SortMergeJoin" not in txt
+    assert "Generate" in txt  # the explode is map-side
