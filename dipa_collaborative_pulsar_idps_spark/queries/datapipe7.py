@@ -149,16 +149,20 @@ def salted_skew_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus to 16 dims (the ANN
     recall/compute trade: downstream search runs at k=16 instead of d=64).
-    No SQL oracle (SVD is iterative); numpy-equivalence, orthonormality,
-    and determinism are tested in tests/test_dedup.py; the full-rank
-    roundtrip twin below carries the value oracle. Output: per-vector
-    projected norm and first component (stable under the sign-fixed
-    training), rounded."""
-    from ..functions.projection import pca_project, train_pca
+    EXACT full-corpus training (r12 — was the last sampled operator):
+    one distributed Gram-moment pass + a driver-side 64×64 eigh
+    (`functions/projection.train_pca_exact`), deterministic with fixed
+    eigenvector sign conventions, numpy-equality-tested against the
+    collected corpus in tests/test_dedup.py. Still no SQL oracle (eigh
+    isn't SQL) → rows-only, but the full-rank roundtrip twin below
+    carries the value oracle and PARITY_r12 records the measured
+    reconstruction error + the variance-accounting identity. Output:
+    per-vector projected norm and first component, rounded."""
+    from ..functions.projection import pca_project, train_pca_exact
     from .datapipe3 import _corpus
 
     emb = _corpus(spark, sf_dir)
-    mean, comp, _ = train_pca(emb, dim=64, k=16)
+    mean, comp, _ = train_pca_exact(emb, dim=64, k=16)
     proj = pca_project(emb, mean, comp)
     return proj.select(
         "vec_id",
@@ -189,12 +193,14 @@ def embedding_pca_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the ORIGINAL embedding's norm (computed independently by
     DuckDB) and the max per-element reconstruction error rounds to zero
     at 6 decimals. Any projection/centering/transpose bug makes the error
-    O(1) and the row hash-mismatches."""
-    from ..functions.projection import pca_project, pca_reconstruct, train_pca
+    O(1) and the row hash-mismatches. r12: trains through the EXACT
+    full-corpus path (same trainer as the production projection), so the
+    oracle now certifies the Gram-moment machinery too."""
+    from ..functions.projection import pca_project, pca_reconstruct, train_pca_exact
     from .datapipe3 import _corpus
 
     emb = _corpus(spark, sf_dir)
-    mean, comp, _ = train_pca(emb, dim=64, k=64)
+    mean, comp, _ = train_pca_exact(emb, dim=64, k=64)
     recon = pca_reconstruct(pca_project(emb, mean, comp), mean, comp)
     joined = emb.join(recon, "vec_id")
     err = F.aggregate(

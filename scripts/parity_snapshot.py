@@ -578,6 +578,57 @@ def main() -> int:
         out["__ivfsq_scan_fraction__"] = {"status": "FAIL", "detail": f"EXCEPTION: {e}"}
         n_fail += 1
 
+    # Exact-PCA variance accounting (r12): embedding_pca_project stays
+    # rows-only (eigh isn't SQL), so record its measured k=16
+    # reconstruction error AND the exactness attestation — recon MSE must
+    # equal total_variance × (1 − Σ explained ratios) to float precision,
+    # an identity that only holds when the Gram moments, eigh, projection,
+    # and reconstruction are all mutually exact.
+    try:
+        name = "embedding_pca_project"
+        if out.get(name, {}).get("status") not in (None, "FAIL"):
+            import numpy as np
+            from pyspark.sql import functions as F
+
+            from dipa_collaborative_pulsar_idps_spark.functions.projection import (
+                gram_moments,
+                pca_project,
+                pca_reconstruct,
+                train_pca_exact,
+            )
+            from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+            emb = _corpus(spark, sf_dir)
+            mean, comp, ratio = train_pca_exact(emb, dim=64, k=16)
+            recon = pca_reconstruct(pca_project(emb, mean, comp), mean, comp)
+            sq = F.aggregate(
+                F.zip_with("e", "recon", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            mse = float(
+                emb.join(recon, "vec_id").agg(F.avg(sq)).collect()[0][0]
+            )
+            n, s, g = gram_moments(emb, 64)
+            total_var = float(np.trace(g) / n - (s / n) @ (s / n))
+            acct = abs(mse - total_var * (1.0 - float(ratio.sum()))) / total_var
+            out[name]["recon_mse"] = round(mse, 8)
+            out[name]["explained_ratio_sum"] = round(float(ratio.sum()), 6)
+            out[name]["var_accounting_rel_err"] = round(acct, 12)
+            if acct > 1e-6 and out[name]["status"] != "FAIL":
+                out[name]["status"] = "FAIL"
+                n_ok -= 1
+                n_fail += 1
+            print(
+                f"{name} recon_mse={round(mse, 6)} "
+                f"explained={round(float(ratio.sum()), 4)} "
+                f"acct_err={acct:.2e}",
+                flush=True,
+            )
+    except Exception as e:  # noqa: BLE001 - gate reports, not raises
+        out["__pca_quality__"] = {"status": "FAIL", "detail": f"EXCEPTION: {e}"}
+        n_fail += 1
+
     # Banded-dial quality (round 9): the two remaining rows-only pair
     # dials get their recall + candidate-mass fraction recorded beside the
     # ANN entries, gated on corpus regression bounds.

@@ -1978,3 +1978,47 @@ def test_ivfsq_composite_contracts(spark, clustered_vectors, tmp_path):
     # list sizes wobble it — bound loosely either side)
     frac = ivfsq_scan_fraction(enc, centroids, queries, n_probe=4)
     assert 0.05 <= frac <= 0.6, f"scan fraction implausible: {frac}"
+
+
+def test_pca_exact_matches_numpy_full_corpus(spark, sf_dir):
+    """train_pca_exact (r12 — the exact distributed trainer): the
+    distributed Gram-moment pass + driver eigh must equal numpy PCA on
+    the COLLECTED full corpus to float precision — mean exactly-ish, the
+    covariance eigendecomposition to 1e-8 after the shared sign fix —
+    and be deterministic with NO sample/seed anywhere. Also: partition-
+    count invariance (the reduce is associative), and full-rank variance
+    accounting (ratios sum to 1)."""
+    import numpy as np
+
+    from dipa_collaborative_pulsar_idps_spark.functions.projection import (
+        train_pca_exact,
+    )
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _corpus
+
+    emb = _corpus(spark, sf_dir)
+    mean, comp, ratio = train_pca_exact(emb, dim=64, k=16)
+
+    x = np.array([r.e for r in emb.select("e").collect()], dtype=np.float64)
+    want_mean = x.mean(0)
+    cov = (x - want_mean).T @ (x - want_mean) / len(x)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w = w[order]
+    want_comp = v[:, order].T[:16]
+    signs = np.sign(want_comp[np.arange(16), np.abs(want_comp).argmax(1)])
+    signs[signs == 0] = 1.0
+    want_comp = want_comp * signs[:, None]
+
+    assert np.allclose(mean, want_mean, atol=1e-10)
+    assert np.allclose(comp, want_comp, atol=1e-8), np.abs(comp - want_comp).max()
+    assert np.allclose(ratio, w[:16] / w.sum(), atol=1e-10)
+    assert np.allclose(comp @ comp.T, np.eye(16), atol=1e-10)
+
+    # deterministic + partition-invariant (associative reduce)
+    mean2, comp2, ratio2 = train_pca_exact(emb.repartition(3), dim=64, k=16)
+    assert np.allclose(mean, mean2, atol=1e-12)
+    assert np.allclose(comp, comp2, atol=1e-9)
+
+    # full rank: every direction accounted for
+    _, _, full_ratio = train_pca_exact(emb, dim=64, k=64)
+    assert abs(full_ratio.sum() - 1.0) < 1e-9
