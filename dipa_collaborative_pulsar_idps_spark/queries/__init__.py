@@ -25,6 +25,7 @@ def clear_all_caches() -> None:
     datapipe3.clear_lsh_index_cache()
     datapipe3.clear_ivfpq_build_cache()
     datapipe3.clear_ivfsq_build_cache()
+    datapipe3.clear_pq_serve_cache()
     datapipe3.clear_ivf_inc_cache()
     datapipe4.clear_component_cache()
     datapipe5.clear_gram_cache()
