@@ -128,7 +128,16 @@ def _huff_decode_table(bits: list[int], huffval: list[int]) -> list[int]:
     the entropy loop is the pure-Python decoder's throughput bound, and
     this is the classic fix (every C decoder does the same). Exactly the
     canonical prefix decode, so results are bit-identical to the
-    per-bit walk."""
+    per-bit walk. Memoized on the (bits, huffval) spec (r12): rebuilding
+    the 65536-entry list cost ~0.8 ms per table per image — decoders of
+    a media COLUMN see the same standard tables millions of times."""
+    return _huff_decode_table_cached(tuple(bits), tuple(huffval))
+
+
+def _huff_decode_table_cached(bits: tuple, huffval: tuple) -> list[int]:
+    cached = _HUFF_LUT_CACHE.get((bits, huffval))
+    if cached is not None:
+        return cached
     lut = [0] * 65536
     code, k = 0, 0
     for length in range(1, 17):
@@ -140,7 +149,56 @@ def _huff_decode_table(bits: list[int], huffval: list[int]) -> list[int]:
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_LUT_CACHE) >= 64:  # tiny bound: ~32 MB of LUTs max
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[(bits, huffval)] = lut
     return lut
+
+
+_HUFF_LUT_CACHE: dict[tuple, list[int]] = {}
+
+#: id(base lut) → (base lut ref, joint AC table). Keyed by object identity:
+#: base LUTs are themselves memoized, so the same table object recurs; the
+#: stored ref keeps it alive (id stays valid) and is identity-checked.
+_AC_JOINT_CACHE: dict[int, tuple[list[int], list[int]]] = {}
+
+
+def _ac_joint_table(lut: list[int]) -> list[int]:
+    """JOINT AC decode table over every 16-bit window: one lookup yields
+    the fully-decoded coefficient — run length, EXTEND-signed value, and
+    total bits consumed (code + magnitude) — whenever the magnitude bits
+    fit inside the same window the code was peeked from (the common case:
+    Annex-K codes ≤ 16 bits with size ≤ 10). Entry packing:
+    ``consumed<<22 | kind<<20 | run<<16 | (value+32768)`` with kind
+    0=coefficient, 1=EOB, 2=ZRL, 3=slow (magnitude spills past the
+    window → the caller re-fetches). 0 = invalid code. Built vectorized
+    (numpy over the 65536 windows) and memoized per base LUT — the
+    second half of the r12 entropy-loop rework: the per-coefficient hot
+    path drops to one list index + a handful of int ops."""
+    cached = _AC_JOINT_CACHE.get(id(lut))
+    if cached is not None and cached[0] is lut:
+        return cached[1]
+    sym = np.array(lut, dtype=np.int64)
+    ln = sym >> 8
+    sv = sym & 0xFF
+    size = sv & 0xF
+    run = sv >> 4
+    t = ln + size
+    wins = np.arange(65536, dtype=np.int64)
+    mask = (1 << size) - 1
+    mag = (wins >> np.maximum(16 - t, 0)) & mask
+    half = np.where(size > 0, 1 << np.maximum(size - 1, 0), 0)
+    ext = np.where(mag >= half, mag, mag - mask)  # EXTEND: mag − (2^size − 1)
+    kind = np.where(size == 0, np.where(run == 15, 2, 1), 0)
+    kind = np.where((size > 0) & (t > 16), 3, kind)
+    consumed = np.where(kind == 0, t, np.where(kind == 3, 0, ln))
+    value = np.where(kind == 0, ext + 32768, 0)
+    entry = np.where(sym == 0, 0, (consumed << 22) | (kind << 20) | (run << 16) | value)
+    joint = entry.tolist()
+    if len(_AC_JOINT_CACHE) >= 64:  # same tiny bound as the base cache
+        _AC_JOINT_CACHE.clear()
+    _AC_JOINT_CACHE[id(lut)] = (lut, joint)
+    return joint
 
 
 def _huff_encode_table(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
@@ -229,6 +287,12 @@ def _extend(v: int, size: int) -> int:
     if size == 0:
         return 0
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+#: EXTEND as tables (hot-loop form): _EXT_HALF[s] = 1 << (s-1),
+#: _EXT_BIAS[s] = (1 << s) - 1 — `v if v >= HALF[s] else v - BIAS[s]`.
+_EXT_HALF = [0] + [1 << (s - 1) for s in range(1, 17)]
+_EXT_BIAS = [0] + [(1 << s) - 1 for s in range(1, 17)]
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -389,6 +453,51 @@ def _next_marker_pos(payload: bytes, pos: int) -> int:
     return n
 
 
+def _entropy_chunks(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data into UNSTUFFED chunks, one per
+    restart interval: stuffed 0xFF00 collapses to a 0xFF data byte, RSTn
+    markers become chunk boundaries, and the walk stops at the first real
+    marker (a bare 0xFF fill byte stops it too — exactly where _BitReader
+    stops consuming). Returns (chunks, stop offset for _next_marker_pos).
+    One C-speed bytes.find pass — this is the preprocessing that lets the
+    entropy loop drop all byte-stuffing logic from its hot path."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    i, n = start, len(payload)
+    while True:
+        j = payload.find(b"\xff", i)
+        if j == -1:
+            cur += payload[i:n]
+            chunks.append(bytes(cur))
+            return chunks, n
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed data byte: keep the 0xFF
+            cur += payload[i : j + 1]
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: interval boundary
+            cur += payload[i:j]
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:  # real marker (or fill byte): scan data ends here
+            cur += payload[i:j]
+            chunks.append(bytes(cur))
+            return chunks, j
+
+
+def _w24(chunk: bytes) -> list[int]:
+    """Sliding 24-bit big-endian windows of *chunk* (+ zero tail padding,
+    matching _BitReader's pad-past-end semantics): ``w[i]`` holds bytes
+    i..i+2, so the 16 bits at bit offset p are
+    ``(w[p >> 3] >> (8 - (p & 7))) & 0xFFFF`` — ONE list index + three int
+    ops per peek, no refill loop, no big-int masking. Built vectorized;
+    the list form trades ~30× the chunk size in transient driver memory
+    for plain-int indexing in the hot loop (chunks are restart intervals
+    or single thumbnails on the multimodal path — small by construction)."""
+    a = np.frombuffer(chunk + b"\x00" * 8, np.uint8).astype(np.int64)
+    return ((a[:-2] << 16) | (a[1:-1] << 8) | a[2:]).tolist()
+
+
 def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     """Entropy-decode ONE scan → ({component id: plane}, next segment
     offset). Interleaved scan (all frame components): each MCU carries
@@ -419,42 +528,132 @@ def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_inte
         c["id"]: np.zeros((mcuy * cv, mcux * ch_, 64), np.int64)
         for c, ch_, cv in geo
     }
-    rd = _BitReader(payload, start)
+    # Hot-path design (r12, ≥2× the r9 LUT decoder): the byte-stuffing /
+    # marker walk is hoisted OUT of the entropy loop into one C-speed
+    # preprocessing pass (_entropy_chunks), and the bit cursor collapses
+    # to a single integer bit offset over precomputed 24-bit windows
+    # (_w24) — a 16-bit Huffman peek is one list index + three int ops,
+    # with no per-symbol refill, masking, or method calls. Restart
+    # markers advance to the next chunk (bit realignment + predictor
+    # reset, exactly _BitReader.restart()'s semantics). Byte-identical
+    # output to the _BitReader walk — the hand-assembled bitstream
+    # goldens (tests/test_operators.py) pin 4:2:0, restart, and
+    # fill-byte behavior.
+    chunks, stop = _entropy_chunks(payload, start)
+    chunk_i = 0
+    w = _w24(chunks[0])
+    bp = 0  # bit offset into the current chunk
     pred = {c["id"]: 0 for c in scan}
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                rd.restart()
-                pred = {c["id"]: 0 for c in scan}
-            for c, ch_, cv in geo:
-                dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
-                for by in range(cv):
-                    for bx in range(ch_):
-                        zz = [0] * 64  # plain ints: element writes in the
-                        # entropy loop are ~3× faster than ndarray stores
-                        s = rd.huff(dct)
-                        diff = _extend(rd.read(s), s)
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = rd.huff(act)
-                            r, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if r == 15:  # ZRL
+    # per-component SPARSE accumulators: (flat coefficient slot, value)
+    # pairs, scattered into carr in ONE vectorized write at scan end —
+    # most of a block's 64 coefficients are zero after quantization, so
+    # appending only the decoded nonzeros beats both per-block ndarray
+    # row stores and per-block [0]*64 allocations
+    acc = {c["id"]: ([], []) for c, _, _ in geo}
+    geo_luts = [
+        (
+            c["id"],
+            ch_,
+            cv,
+            huff_dc[c["dc"]],
+            huff_ac[c["ac"]],
+            _ac_joint_table(huff_ac[c["ac"]]),
+            carr[c["id"]].shape[1],
+            acc[c["id"]][0].append,  # bound once: list.append lookups are
+            acc[c["id"]][1].append,  # measurable at ~20 appends per block
+        )
+        for c, ch_, cv in geo
+    ]
+    half, bias = _EXT_HALF, _EXT_BIAS
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    chunk_i += 1  # consume the RSTn: next interval's chunk
+                    if chunk_i < len(chunks):
+                        w = _w24(chunks[chunk_i])
+                    bp = 0
+                    pred = {c["id"]: 0 for c in scan}
+                for cid, ch_, cv, dct, act, acj, gw, sap, vap in geo_luts:
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            base = ((my * cv + by) * gw + mx * ch_ + bx) * 64
+                            # one 16-bit peek serves code AND magnitude when
+                            # they fit together (the common case: code ≤ 9,
+                            # size ≤ 7) — saves a window fetch per symbol
+                            peek = (w[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF
+                            v = dct[peek]
+                            if v == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            s = v & 0xFF
+                            t = (v >> 8) + s
+                            if s == 0:
+                                bp += t
+                            else:
+                                if t <= 16:
+                                    bp += t
+                                    val = (peek >> (16 - t)) & bias[s]
+                                else:
+                                    bp += v >> 8
+                                    val = (w[bp >> 3] >> (24 - (bp & 7) - s)) & bias[s]
+                                    bp += s
+                                pred[cid] += val if val >= half[s] else val - bias[s]
+                            sap(base)
+                            vap(pred[cid])
+                            k = 1
+                            while k < 64:
+                                # joint lookup: symbol AND magnitude in one
+                                # table entry (see _ac_joint_table)
+                                e = acj[(w[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF]
+                                if e == 0:
+                                    raise ValueError("invalid JPEG Huffman code")
+                                kk = e & 0x300000
+                                bp += e >> 22
+                                if kk == 0:  # fully-decoded coefficient
+                                    k += (e >> 16) & 0xF
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG AC run past block end"
+                                        )
+                                    sap(base + k)
+                                    vap((e & 0xFFFF) - 32768)
+                                    k += 1
+                                elif kk == 0x100000:  # EOB
+                                    break
+                                elif kk == 0x200000:  # ZRL
                                     k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[k] = _extend(rd.read(size), size)
-                            k += 1
-                        carr[c["id"]][my * cv + by, mx * ch_ + bx] = zz
-            mcu_count += 1
+                                else:  # magnitude spills past the window
+                                    peek = (w[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF
+                                    rs = act[peek]
+                                    L = rs >> 8
+                                    size = rs & 0xF
+                                    k += (rs & 0xFF) >> 4
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG AC run past block end"
+                                        )
+                                    bp += L
+                                    val = (
+                                        w[bp >> 3] >> (24 - (bp & 7) - size)
+                                    ) & bias[size]
+                                    bp += size
+                                    sap(base + k)
+                                    vap(
+                                        val
+                                        if val >= half[size]
+                                        else val - bias[size]
+                                    )
+                                    k += 1
+                mcu_count += 1
+    except IndexError:
+        raise ValueError("truncated JPEG entropy segment") from None
+    for c, _, _ in geo:
+        slots, vals = acc[c["id"]]
+        if slots:  # one vectorized scatter per component
+            carr[c["id"]].reshape(-1)[slots] = vals
     planes = {c["id"]: _idct_blocks(carr[c["id"]], qt[c["tq"]]) for c in scan}
-    return planes, _next_marker_pos(payload, rd.pos)
+    return planes, _next_marker_pos(payload, stop)
 
 
 def _idct_blocks(arr: np.ndarray, q: np.ndarray) -> np.ndarray:
