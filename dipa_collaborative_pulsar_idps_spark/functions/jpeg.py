@@ -692,24 +692,27 @@ def _comp_block_raster(frame, c) -> tuple[int, int]:
     return -(-chh // 8), -(-cw // 8)
 
 
-def _refine_nonzero(rd: _BitReader, block: np.ndarray, k: int, se: int, p1: int, r: int = -1):
+def _refine_nonzero(w: list[int], bp: int, block: np.ndarray, k: int, se: int, p1: int, r: int = -1):
     """The AC-refinement correction loop (T.81 G.1.2.3, the libjpeg
     decode_mcu_AC_refine inner walk): advance from *k* to the (r+1)-th
     ZERO-HISTORY coefficient (or past *se* when r < 0 means 'to the
     end'), consuming one correction bit for every already-nonzero
     coefficient passed — set bits add ±p1 toward larger magnitude when
-    the p1 bit isn't already set. Returns the stopping index."""
+    the p1 bit isn't already set. Operates on the r12 window-list cursor
+    (w, bp — see _w24); returns (stopping index, bit offset)."""
     while k <= se:
         v = int(block[k])
         if v != 0:
-            if rd.read(1) and (v & p1) == 0:
+            bit = (w[bp >> 3] >> (23 - (bp & 7))) & 1
+            bp += 1
+            if bit and (v & p1) == 0:
                 block[k] = v + (p1 if v >= 0 else -p1)
         else:
             if r == 0:
                 break
             r -= 1
         k += 1
-    return k
+    return k, bp
 
 
 def _decode_prog_scan(
@@ -729,18 +732,25 @@ def _decode_prog_scan(
       ±(1<<Al) coefficients and spends correction bits on every nonzero
       coefficient it walks past — the libjpeg AC-refine algorithm.
     Restart markers reset DC predictors, the EOB run, and bit alignment.
+    r12: runs on the same preprocessed window-list cursor as the baseline
+    scan (_entropy_chunks + _w24) — identical bit semantics, none of the
+    per-bit _BitReader method overhead the refinement passes paid.
     """
-    rd = _BitReader(payload, start)
     p1 = 1 << al
+    chunks, stop = _entropy_chunks(payload, start)
+    chunk_i = 0
+    w = _w24(chunks[0])
+    bp = 0
+    bias, half = _EXT_BIAS, _EXT_HALF
 
     if ss == 0:  # ---- DC scan ----
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
-        h, w = frame["h"], frame["w"]
+        h, fw = frame["h"], frame["w"]
         hmax = max(c["h"] for c in frame["comps"])
         vmax = max(c["v"] for c in frame["comps"])
         if len(scan) > 1:  # interleaved over the frame MCU grid
-            mcux = -(-w // (8 * hmax))
+            mcux = -(-fw // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
             geo = [(c, c["h"], c["v"]) for c in scan]
         else:
@@ -751,20 +761,39 @@ def _decode_prog_scan(
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    rd.restart()
+                    chunk_i += 1
+                    if chunk_i < len(chunks):
+                        w = _w24(chunks[chunk_i])
+                    bp = 0
                     pred = {c["id"]: 0 for c in scan}
                 for c, ch_, cv in geo:
                     for by in range(cv):
                         for bx in range(ch_):
                             blk = coefs[c["id"]][my * cv + by, mx * ch_ + bx]
                             if ah == 0:
-                                s = rd.huff(huff_dc[c["dc"]])
-                                pred[c["id"]] += _extend(rd.read(s), s)
+                                v = huff_dc[c["dc"]][
+                                    (w[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF
+                                ]
+                                if v == 0:
+                                    raise ValueError("invalid JPEG Huffman code")
+                                bp += v >> 8
+                                s = v & 0xFF
+                                if s:
+                                    val = (
+                                        w[bp >> 3] >> (24 - (bp & 7) - s)
+                                    ) & bias[s]
+                                    bp += s
+                                    pred[c["id"]] += (
+                                        val if val >= half[s] else val - bias[s]
+                                    )
                                 blk[0] = pred[c["id"]] << al
-                            elif rd.read(1):
-                                blk[0] = int(blk[0]) | p1
+                            else:
+                                bit = (w[bp >> 3] >> (23 - (bp & 7))) & 1
+                                bp += 1
+                                if bit:
+                                    blk[0] = int(blk[0]) | p1
                 mcu_count += 1
-        return _next_marker_pos(payload, rd.pos)
+        return _next_marker_pos(payload, stop)
 
     # ---- AC scan: single component over its own raster ----
     c = scan[0]
@@ -776,7 +805,10 @@ def _decode_prog_scan(
     for by in range(by_n):
         for bx in range(bx_n):
             if restart_interval and blk_count and blk_count % restart_interval == 0:
-                rd.restart()
+                chunk_i += 1
+                if chunk_i < len(chunks):
+                    w = _w24(chunks[chunk_i])
+                bp = 0
                 eobrun = 0
             blk_count += 1
             block = arr[by, bx]
@@ -786,46 +818,64 @@ def _decode_prog_scan(
                     continue
                 k = ss
                 while k <= se:
-                    rs = rd.huff(act)
+                    rs = act[(w[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF]
+                    if rs == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    bp += rs >> 8
+                    rs &= 0xFF
                     r, s = rs >> 4, rs & 0xF
                     if s == 0:
                         if r != 15:  # EOBn: run of (1<<r)+bits end-of-bands
                             eobrun = (1 << r) - 1
                             if r:
-                                eobrun += rd.read(r)
+                                eobrun += (
+                                    w[bp >> 3] >> (24 - (bp & 7) - r)
+                                ) & bias[r]
+                                bp += r
                             break
                         k += 16  # ZRL
                         continue
                     k += r
                     if k > se:
                         raise ValueError("JPEG AC run past band end")
-                    block[k] = _extend(rd.read(s), s) << al
+                    val = (w[bp >> 3] >> (24 - (bp & 7) - s)) & bias[s]
+                    bp += s
+                    block[k] = (val if val >= half[s] else val - bias[s]) << al
                     k += 1
             else:  # refinement pass
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        rs = rd.huff(act)
+                        rs = act[(w[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF]
+                        if rs == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        bp += rs >> 8
+                        rs &= 0xFF
                         r, s = rs >> 4, rs & 0xF
                         if s == 0:
                             if r != 15:
                                 eobrun = 1 << r  # includes THIS block
                                 if r:
-                                    eobrun += rd.read(r)
+                                    eobrun += (
+                                        w[bp >> 3] >> (24 - (bp & 7) - r)
+                                    ) & bias[r]
+                                    bp += r
                                 break
                             val = 0  # ZRL: 16 zero-history skips
                         else:
                             if s != 1:
                                 raise ValueError("AC refinement size must be 1")
-                            val = p1 if rd.read(1) else -p1
-                        k = _refine_nonzero(rd, block, k, se, p1, r)
+                            bit = (w[bp >> 3] >> (23 - (bp & 7))) & 1
+                            bp += 1
+                            val = p1 if bit else -p1
+                        k, bp = _refine_nonzero(w, bp, block, k, se, p1, r)
                         if val and k <= se:
                             block[k] = val
                         k += 1
                 if eobrun > 0:
-                    _refine_nonzero(rd, block, k, se, p1)
+                    _, bp = _refine_nonzero(w, bp, block, k, se, p1)
                     eobrun -= 1
-    return _next_marker_pos(payload, rd.pos)
+    return _next_marker_pos(payload, stop)
 
 
 def _prog_finish(frame, coefs, qt) -> np.ndarray:
