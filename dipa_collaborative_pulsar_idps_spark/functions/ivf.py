@@ -354,8 +354,7 @@ def _stats_rows(spark, path: str) -> list:
     fs, stats_path = _hadoop_fs(spark, f"{path}/stats")
     if not fs.exists(stats_path):
         return []
-    # bounded-collect: one row per committed batch
-    return spark.read.option("mergeSchema", "true").parquet(f"{path}/stats").collect()
+    return spark.read.option("mergeSchema", "true").parquet(f"{path}/stats").collect()  # bounded-collect: one row per committed batch
 
 
 def _base_and_appended(rows: list, path: str) -> tuple[dict, int]:
