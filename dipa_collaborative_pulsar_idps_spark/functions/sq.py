@@ -248,38 +248,283 @@ def ivfsq_scan_fraction(
     return float(row["scanned"]) / (float(row["nq"]) * float(total))
 
 
+def sq_reconstruction_error(corpus: DataFrame, bounds: np.ndarray) -> tuple[float, int]:
+    """(mean squared SQ reconstruction error ‖v − dequant(quant(v))‖²,
+    row count) over (vec_id, e) — one Arrow pass, bounds in the closure.
+    The SQ index-health number: bounded by d·(range/510)² for in-range
+    data, so it JUMPS when incoming vectors clip outside the trained
+    per-dim bounds — exactly the drift SQ is sensitive to."""
+    vmin, s = bounds[0], _scale(bounds)
+
+    @F.pandas_udf("double")
+    def sqerr(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="float64")
+        mat = np.array(v.tolist(), dtype=np.float64)
+        codes = np.clip(np.floor((mat - vmin) / s * _LEVELS + 0.5), 0, _LEVELS)
+        recon = vmin + codes / _LEVELS * s
+        return pd.Series(((mat - recon) ** 2).sum(1))
+
+    row = (
+        corpus.select(sqerr(F.col("e")).alias("sq"))
+        .agg(F.avg("sq").alias("err"), F.count("*").alias("n"))
+        .collect()[0]  # bounded-collect: one scalar row
+    )
+    return (float(row["err"] or 0.0), int(row["n"]))
+
+
+def sq_code_error(
+    raw: DataFrame, committed: DataFrame, bounds: np.ndarray
+) -> tuple[float, int, float]:
+    """(mean squared error of COMMITTED codes vs their raw vectors, row
+    count, CLIP FRACTION — the share of coordinates falling outside the
+    trained per-dim [min, max]): the read-back (vec_id, codes) delta
+    joined to the batch's (vec_id, e) by vec_id, dequantized in one
+    Arrow pass — the same measure-what-serving-scans contract as
+    ``pq.pq_code_error``. The clip fraction is SQ's sharp drift signal:
+    in-range error is bounded by range/510 per dim BY CONSTRUCTION, so
+    mean_sq_err ratios explode on ANY boundary exceedance (even the
+    benign ~2/(n+1) per-dim extremes every same-distribution batch
+    carries) — the trigger reads clipped mass instead."""
+    vmin, vmax, s = bounds[0], bounds[1], _scale(bounds)
+    dim = bounds.shape[1]
+
+    @F.pandas_udf("double")
+    def sqerr(e: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series([], dtype="float64")
+        mat = np.array(e.tolist(), dtype=np.float64)
+        recon = vmin + np.array(codes.tolist(), dtype=np.float64) / _LEVELS * s
+        return pd.Series(((mat - recon) ** 2).sum(1))
+
+    @F.pandas_udf("long")
+    def nclip(e: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series([], dtype="int64")
+        mat = np.array(e.tolist(), dtype=np.float64)
+        return pd.Series(((mat < vmin) | (mat > vmax)).sum(1))
+
+    row = (
+        raw.select("vec_id", "e")
+        .join(committed.select("vec_id", "codes"), "vec_id")
+        .select(sqerr(F.col("e"), F.col("codes")).alias("sq"),
+                nclip(F.col("e")).alias("nc"))
+        .agg(F.avg("sq").alias("err"), F.count("*").alias("n"),
+             F.sum("nc").alias("clipped"))
+        .collect()[0]  # bounded-collect: one scalar row
+    )
+    n = int(row["n"])
+    clip_frac = float(row["clipped"]) / (n * dim) if n else 0.0
+    return (float(row["err"] or 0.0), n, clip_frac)
+
+
+def _write_ivfsq_tree(
+    assigned: DataFrame, centroids: DataFrame, bounds: np.ndarray, root: str
+) -> None:
+    """The IVF+SQ8 trees (codes + centroids + bounds + base stats) into
+    *root*, ``_COMMITTED`` marker last — shared by :func:`save_ivfsq_index`
+    and :func:`ivfsq_retrain`."""
+    from .ivf import _mark_committed, _write_stats_row
+
+    spark = centroids.sparkSession
+    enc = sq_encode(assigned, bounds, keep=("list_id",))
+    enc.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{root}/codes")
+    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+    save_sq(spark, bounds, f"{root}/bounds")
+    err, n = sq_reconstruction_error(assigned.select("vec_id", "e"), bounds)
+    _write_stats_row(spark, root, "base", n, err, seq=0)
+    _mark_committed(spark, root)  # LAST: marker-presence ⇒ complete tree
+
+
 def save_ivfsq_index(
     assigned: DataFrame, centroids: DataFrame, bounds: np.ndarray, path: str
 ) -> None:
     """Persist the IVF+SQ8 serving layout: SQ codes of the RAW vectors
     (global bounds) hive-partitioned by ``list_id`` — a probe is a
-    partition-pruned scan of d-byte rows — plus the tiny centroid table
-    and the bounds. Encode-once/serve-many, ``_COMMITTED`` marker last
-    (same completeness discipline as the IVF/IVF-PQ trees). Appends and
-    retrains ride the raw source of truth (the embeddings table): SQ
-    bounds are a deterministic min/max agg, so a retrain is one
-    :func:`train_sq` pass + re-save, not an iterative-quantizer rebuild."""
-    from .ivf import _delete_tree, _mark_committed
+    partition-pruned scan of d-byte rows — plus the tiny centroid table,
+    the bounds, and the build-time reconstruction-error baseline that
+    :func:`ivfsq_append_batch` measures drift against. Encode-once/
+    serve-many; (re)initializes the path like its IVF/IVF-PQ siblings
+    (stale deltas/stats/generations/pointer deleted first)."""
+    from .ivf import _COMMIT_MARK, _POINTER, _delete_tree, _list_generations
 
     spark = centroids.sparkSession
-    for sub in ("codes", "centroids", "bounds"):
+    for sub in ("codes_deltas", "stats", "codes", "centroids", "bounds"):
         _delete_tree(spark, f"{path}/{sub}")
-    enc = sq_encode(assigned, bounds, keep=("list_id",))
-    enc.repartition("list_id").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/codes")
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    save_sq(spark, bounds, f"{path}/bounds")
-    _mark_committed(spark, path)
+    for gen in _list_generations(spark, path):
+        _delete_tree(spark, f"{path}/{gen}")
+    _delete_tree(spark, f"{path}/{_POINTER}")
+    _delete_tree(spark, f"{path}/{_COMMIT_MARK}")  # stale marker from a prior save
+    _write_ivfsq_tree(assigned, centroids, bounds, path)
 
 
 def load_ivfsq_index(spark, path: str) -> tuple[DataFrame, DataFrame, np.ndarray]:
     """Load a persisted IVF+SQ8 index → (encoded, centroids, bounds),
     ready for :func:`ivf_sq_search` (bit-exact round-trip: parquet ints
-    and doubles)."""
-    enc = spark.read.parquet(f"{path}/codes").select("vec_id", "codes", "list_id")
-    centroids = spark.read.parquet(f"{path}/centroids")
-    return enc, centroids, load_sq(spark, f"{path}/bounds")
+    and doubles). Reads from the ACTIVE generation (pointer target after
+    an :func:`ivfsq_retrain`; flat path before one); the code relation is
+    the base codes UNION any appended delta batches — both hive-
+    partitioned on list_id, so a probe still prunes across base AND
+    deltas."""
+    from .ivf import _read_delta_dir, _resolve_root
+
+    root = _resolve_root(spark, path)
+    enc = spark.read.parquet(f"{root}/codes").select("vec_id", "codes", "list_id")
+    deltas = _read_delta_dir(
+        spark, f"{root}/codes_deltas", ("vec_id", "codes", "list_id")
+    )
+    if deltas is not None:
+        enc = enc.unionByName(deltas)
+    centroids = spark.read.parquet(f"{root}/centroids")
+    return enc, centroids, load_sq(spark, f"{root}/bounds")
+
+
+def ivfsq_append_batch(
+    spark,
+    path: str,
+    batch: DataFrame,
+    batch_id: str,
+    max_clip_frac: float = 0.25,
+    retrain_mass: float = 0.5,
+) -> dict:
+    """Append new vectors to a PERSISTED IVF+SQ8 index without
+    retraining — the composite's member of the incremental-index family
+    (``ivf_append_batch`` / ``ivfpq_append_batch``, same batch-stamped
+    exactly-once layout). O(batch): coarse-assign against the SAVED
+    centroids, SQ-encode with the SAVED bounds (clipping out-of-range
+    values, FAISS semantics), commit to
+    ``codes_deltas/batch_id=<id>/list_id=*`` with overwrite-into-own-
+    directory replay idempotence, and record the COMMITTED batch's
+    reconstruction error (read-back rescore) beside the build baseline.
+
+    ``needs_retrain`` trips on (a) ``clip_frac`` > ``max_clip_frac`` —
+    the share of the batch's coordinates falling OUTSIDE the trained
+    per-dim bounds, SQ's calibrated drift signal (the k-means siblings'
+    error-RATIO trigger is structurally wrong here: in-range SQ error is
+    bounded by range/510 per dim by construction, so the ratio explodes
+    on the benign ~2/(n+1) extreme-value exceedances EVERY
+    same-distribution batch carries — measured 17.6× on a same-dist
+    append whose clip_frac was 1.6%, vs ~97% clipped for a genuinely
+    shifted batch) — or (b) appended mass > ``retrain_mass`` × the
+    trained corpus. The ledger's generic drift_ratio column reads high
+    for SQ for the same reason — consult clip_frac for this index type.
+    Acting on the trigger is one :func:`ivfsq_retrain` call — uniquely
+    cheap here: min/max training is one deterministic agg, no k-means."""
+    from .ivf import (
+        _assign_to_centroids,
+        _base_and_appended,
+        _commit_seq_for,
+        _drift_ratio,
+        _resolve_root,
+        _round_ratio,
+        _stats_rows,
+        _write_stats_row,
+        read_index_stats,
+    )
+
+    root = _resolve_root(spark, path)
+    stats_before = _stats_rows(spark, root)
+    base, appended_before = _base_and_appended(stats_before, root)
+    if batch.isEmpty():
+        appended_frac = (
+            appended_before / base["n_vectors"] if base["n_vectors"] else 0.0
+        )
+        return {
+            "batch_id": batch_id,
+            "n_vectors": 0,
+            "mean_sq_err": 0.0,
+            "base_mean_sq_err": base["mean_sq_err"],
+            "drift_ratio": 1.0,
+            "clip_frac": 0.0,
+            "appended_frac": _round_ratio(appended_frac),
+            "needs_retrain": appended_frac > retrain_mass,
+        }
+    cent_rows = spark.read.parquet(f"{root}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    bounds = load_sq(spark, f"{root}/bounds")
+    assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
+    enc = sq_encode(assigned, bounds, keep=("list_id",))
+    enc.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{root}/codes_deltas/batch_id={batch_id}")
+    committed = spark.read.parquet(
+        f"{root}/codes_deltas/batch_id={batch_id}"
+    ).select("vec_id", "codes")
+    batch_err, batch_n, clip_frac = sq_code_error(batch, committed, bounds)
+    _write_stats_row(
+        spark, root, batch_id, batch_n, batch_err,
+        seq=_commit_seq_for(stats_before, batch_id),
+    )
+    base, appended_n = read_index_stats(spark, root)
+    drift = _drift_ratio(batch_err, base["mean_sq_err"])
+    appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
+    return {
+        "batch_id": batch_id,
+        "n_vectors": batch_n,
+        "mean_sq_err": batch_err,
+        "base_mean_sq_err": base["mean_sq_err"],
+        "drift_ratio": _round_ratio(drift),
+        "clip_frac": _round_ratio(clip_frac),
+        "appended_frac": _round_ratio(appended_frac),
+        "needs_retrain": clip_frac > max_clip_frac or appended_frac > retrain_mass,
+    }
+
+
+def ivfsq_retrain(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    n_list: int | None = None,
+    seed: int = 42,
+    sample_per_list: int = 256,
+    prune_old: bool = True,
+) -> dict:
+    """One-call IVF+SQ8 retrain/compaction: fresh coarse k-means + a
+    fresh DETERMINISTIC min/max bounds pass over the full current corpus,
+    re-encoded and staged in a new ``gen-NNNNN`` tree promoted by the
+    atomic ``_CURRENT`` pointer swap — the composite sibling of
+    ``ivf_retrain`` / ``ivfpq_retrain``, same exactly-once shape
+    (complete staged tree + ``_COMMITTED`` marker before the swap, old
+    generation pruned only after). ``corpus``: the raw (vec_id, e)
+    source of truth — SQ codes reconstruct only to within range/510 per
+    dim, so a retrain reads the lake, not its own codes. Retraining the
+    SCALAR quantizer is exact and cheap (one agg, no iteration) — the
+    codebook-drift risk PQ retrains carry does not exist here."""
+    from .ivf import (
+        _delete_tree,
+        _next_generation,
+        _resolve_root,
+        _write_pointer,
+        build_ivf_index,
+        read_index_stats,
+    )
+
+    old_root = _resolve_root(spark, path)
+    if n_list is None:
+        n_list = spark.read.parquet(f"{old_root}/centroids").count()
+    dim = load_sq(spark, f"{old_root}/bounds").shape[1]
+    assigned, centroids = build_ivf_index(
+        corpus, dim=dim, n_list=n_list, seed=seed, sample_per_list=sample_per_list
+    )
+    bounds = train_sq(corpus, dim=dim)
+    gen = _next_generation(spark, path)
+    _write_ivfsq_tree(assigned, centroids, bounds, f"{path}/{gen}")
+    _write_pointer(spark, path, gen)
+    if prune_old:
+        if old_root == path:  # flat pre-generation layout
+            for sub in ("codes", "centroids", "bounds", "stats", "codes_deltas"):
+                _delete_tree(spark, f"{path}/{sub}")
+        else:
+            _delete_tree(spark, old_root)
+    base, _ = read_index_stats(spark, f"{path}/{gen}")
+    return {
+        "generation": gen,
+        "n_vectors": base["n_vectors"],
+        "mean_sq_err": base["mean_sq_err"],
+        "n_list": n_list,
+    }
 
 
 def save_sq(spark, bounds: np.ndarray, path: str) -> None:

@@ -2022,3 +2022,94 @@ def test_pca_exact_matches_numpy_full_corpus(spark, sf_dir):
     # full rank: every direction accounted for
     _, _, full_ratio = train_pca_exact(emb, dim=64, k=64)
     assert abs(full_ratio.sum() - 1.0) < 1e-9
+
+
+def test_ivfsq_append_batch_and_retrain(spark, clustered_vectors, tmp_path):
+    """Incremental IVF+SQ8 maintenance (r12 — the composite joins the
+    ivf/ivfpq incremental family): (1) build+save on half the clustered
+    corpus, append the other half in two batch-stamped delta commits,
+    serve from the loaded base+delta union with near-exact recall;
+    (2) idempotent replay — re-appending a batch_id changes nothing;
+    (3) same-distribution appends stay under the CLIP trigger (SQ's
+    drift signal is clipped-coordinate mass, not the error ratio — the
+    bounded in-range error makes ratios explode on benign extremes)
+    while the second append trips the MASS trigger, and a
+    far-distribution batch clipping nearly everywhere trips sharply;
+    (4) one ivfsq_retrain call folds everything into gen-00001 (atomic
+    pointer swap), the health ledger restarts at the fresh baseline, and
+    recall recovers; (5) the ledger rows agree with the append stats."""
+    import random as _random
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        _read_pointer,
+        build_ivf_index,
+        index_health,
+    )
+    from dipa_collaborative_pulsar_idps_spark.functions.sq import (
+        ivf_sq_search,
+        ivfsq_append_batch,
+        ivfsq_retrain,
+        load_ivfsq_index,
+        save_ivfsq_index,
+        train_sq,
+    )
+
+    corpus = clustered_vectors
+    base = corpus.where(F.col("vec_id") % 2 == 0)
+    odd = corpus.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfsq_inc")
+    assigned, centroids = build_ivf_index(base, dim=64, n_list=16)
+    bounds = train_sq(base, dim=64)
+    save_ivfsq_index(assigned, centroids, bounds, path)
+
+    s1 = ivfsq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    s2 = ivfsq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+    assert s1["clip_frac"] < 0.25 and not s1["needs_retrain"]
+    assert s2["clip_frac"] < 0.25
+    assert s2["appended_frac"] > 0.5 and s2["needs_retrain"]  # mass only
+
+    enc, l_cent, l_bounds = load_ivfsq_index(spark, path)
+    assert enc.count() == 200
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = topk(cosine_scores(corpus, queries), 5)
+    r = recall_at_k(
+        ivf_sq_search(enc, l_cent, l_bounds, queries, k=5, n_probe=4), exact, 5
+    )
+    assert r >= 0.9, f"IVF+SQ8 recall-after-appends too low: {r}"
+
+    # (2) idempotent replay
+    ivfsq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    enc2 = load_ivfsq_index(spark, path)[0]
+    assert enc2.count() == 200
+    ledger = {x["batch_id"]: x for x in index_health(spark, path).collect()}
+    assert set(ledger) == {"base", "b1", "b2"}
+    assert ledger["b2"]["appended_frac"] == pytest.approx(
+        s2["appended_frac"], abs=1e-3
+    )
+
+    # (3) clipping far-distribution batch -> sharp drift
+    rng = _random.Random(99)
+    far = spark.createDataFrame(
+        [(10_000 + i, [rng.gauss(8, 1) for _ in range(64)]) for i in range(20)],
+        ["vec_id", "e"],
+    )
+    s3 = ivfsq_append_batch(spark, path, far, "b3_drift")
+    assert s3["clip_frac"] > 0.25 and s3["needs_retrain"]
+
+    # (4) one-call retrain: fold, swap, ledger restart, recall recovery
+    full = corpus.unionByName(far)
+    out = ivfsq_retrain(spark, path, full)
+    assert out["generation"] == "gen-00001"
+    assert _read_pointer(spark, path) == "gen-00001"
+    enc3, c3, b3 = load_ivfsq_index(spark, path)
+    assert enc3.count() == 220 and enc3.select("vec_id").distinct().count() == 220
+    fresh = index_health(spark, path).collect()
+    assert [x["batch_id"] for x in fresh] == ["base"]
+    assert fresh[0]["n_vectors"] == 220
+    exact_full = topk(cosine_scores(full, queries), 5)
+    r2 = recall_at_k(
+        ivf_sq_search(enc3, c3, b3, queries, k=5, n_probe=4), exact_full, 5
+    )
+    assert r2 >= 0.9, f"post-retrain recall too low: {r2}"
