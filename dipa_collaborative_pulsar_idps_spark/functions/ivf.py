@@ -138,12 +138,23 @@ def _resolve_root(spark, path: str) -> str:
     (r11 advisor) is what makes a lost pointer always safely recoverable:
     a gen dir exists as soon as its first list file is written, so a
     retrain that crashed MID-STAGE must never shadow the intact previous
-    root."""
+    root. Generation trees written BEFORE the marker existed (pre-r12
+    layouts) carry no ``_COMMITTED``; for those the structural equivalent
+    is the ``stats/batch_id=base`` row — the LAST component the legacy
+    write order produced — so a pointer-less index from an older release
+    still recovers to its intact latest generation instead of the pruned
+    flat root (r12 advisor)."""
     gen = _read_pointer(spark, path)
     if gen is not None:
         return f"{path}/{gen}"
-    for g in reversed(_list_generations(spark, path)):
+    gens = _list_generations(spark, path)
+    for g in reversed(gens):
         if _is_complete(spark, f"{path}/{g}"):
+            return f"{path}/{g}"
+    fs, _ = _hadoop_fs(spark, path)
+    for g in reversed(gens):  # legacy (unmarked) trees: stats row was last
+        _, base = _hadoop_fs(spark, f"{path}/{g}/stats/batch_id=base")
+        if fs.exists(base):
             return f"{path}/{g}"
     return path
 

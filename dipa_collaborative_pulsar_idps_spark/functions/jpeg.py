@@ -391,10 +391,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     coefs = _alloc_coef_arrays(frame)
                 if ss == 0 and ah == 0:
                     dc_seen.update(c["id"] for c in scan)
-                i = _decode_prog_scan(
-                    payload, data_start, frame, scan, huff_dc, huff_ac,
-                    restart_interval, coefs, ss, se, ah, al,
-                )
+                try:
+                    i = _decode_prog_scan(
+                        payload, data_start, frame, scan, huff_dc, huff_ac,
+                        restart_interval, coefs, ss, se, ah, al,
+                    )
+                except IndexError:
+                    # same contract as _decode_scan: a window-list read past
+                    # the entropy payload (corrupt/truncated progressive
+                    # data) is a format error, not a raw IndexError
+                    raise ValueError("truncated JPEG entropy segment") from None
                 continue
             # A single-component scan is non-interleaved per T.81 A.2.2
             # (one block per MCU over the COMPONENT's own raster) even

@@ -110,9 +110,14 @@ def get_streaming_spark(
     the streaming partition count set only there (r11 advisor: routing
     through get_spark's getOrCreate would re-apply the builder's runtime
     confs to the existing session, silently dropping the already-running
-    relational workload's shuffle partitions to shards/8)."""
+    relational workload's shuffle partitions to shards/8). getActiveSession
+    is THREAD-LOCAL, so a session created on another thread would read as
+    None here — also consult getDefaultSession (the process-global session
+    getOrCreate would return) before concluding no session runs (r12
+    advisor: missing that check re-routed through get_spark and clobbered
+    the running workload's confs, the exact bug this branch prevents)."""
     shuffle = streaming_shuffle_partitions(n_state_shards)
-    active = SparkSession.getActiveSession()
+    active = SparkSession.getActiveSession() or SparkSession.getDefaultSession()
     if active is not None:
         spark = active.newSession()
         ensure_runtime_confs(spark)
