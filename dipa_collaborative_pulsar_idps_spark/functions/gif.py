@@ -30,52 +30,91 @@ _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> np.ndarray:
     """GIF-variant LZW: variable code width starting at min+1, CLEAR
     resets the dictionary, widths grow after the dict fills a width,
-    capped at 12 bits."""
+    capped at 12 bits.
+
+    r13 hot-path form (the GIF analogue of the r12 JPEG rework, same
+    byte-identical contract): every dictionary entry is a substring of
+    output already produced — emissions are contiguous, so the entry for
+    a new code (prev + first byte of current) occupies exactly
+    ``out[prev_pos : prev_pos + prev_len + 1]``. Representing entries as
+    (start, length) into the output bytearray turns the per-code work
+    into two list writes plus one C-speed ``bytearray`` slice copy — no
+    per-code ``bytes`` concatenation, no per-code ``np.frombuffer``."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    out = np.empty(n_expected, np.uint8)
+    if n_expected <= 0:  # zero-area frame: nothing to decode into
+        return np.empty(0, np.uint8)
+    out = bytearray(n_expected)
     n_out = 0
     # bit reader: GIF packs codes LSB-first
     buf = 0
     nbits = 0
     pos = 0
+    ldata = len(data)
     width = min_code_size + 1
-    dict_entries: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
-    prev: bytes | None = None
+    mask = (1 << width) - 1
+    # codes < clear are literals; built codes live in (start, length)
+    # tables indexed by code — 4096 is the spec's hard cap
+    starts = [0] * 4096
+    lens = [0] * 4096
+    next_code = clear + 2
+    prev_pos = -1
+    prev_len = 0
 
     while True:
         while nbits < width:
-            if pos >= len(data):
-                return out[:n_out]
+            if pos >= ldata:
+                return np.frombuffer(bytes(out[:n_out]), np.uint8)
             buf |= data[pos] << nbits
             nbits += 8
             pos += 1
-        code = buf & ((1 << width) - 1)
+        code = buf & mask
         buf >>= width
         nbits -= width
         if code == clear:
-            dict_entries = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = clear + 2
             width = min_code_size + 1
-            prev = None
+            mask = (1 << width) - 1
+            prev_pos = -1
             continue
         if code == eoi:
-            return out[:n_out]
-        if code < len(dict_entries):
-            entry = dict_entries[code]
-        elif code == len(dict_entries) and prev is not None:
-            entry = prev + prev[:1]  # the KwKwK case
+            return np.frombuffer(bytes(out[:n_out]), np.uint8)
+        cur_pos = n_out
+        if code < clear:  # literal
+            out[n_out] = code
+            n_out += 1
+            cur_len = 1
+        elif clear + 2 <= code < next_code:
+            s = starts[code]
+            L = lens[code]
+            take = L if n_out + L <= n_expected else n_expected - n_out
+            out[n_out : n_out + take] = out[s : s + take]
+            n_out += take
+            cur_len = L
+        elif code == next_code and prev_pos >= 0:
+            # KwKwK: prev + prev[0] — prev's bytes sit contiguously at
+            # prev_pos, and its first byte doubles as the tail
+            L = prev_len + 1
+            take = L if n_out + L <= n_expected else n_expected - n_out
+            body = take if take <= prev_len else prev_len
+            out[n_out : n_out + body] = out[prev_pos : prev_pos + body]
+            if take > prev_len:
+                out[n_out + prev_len] = out[prev_pos]
+            n_out += take
+            cur_len = L
         else:
             raise ValueError(f"GIF LZW code {code} out of range")
-        take = min(len(entry), n_expected - n_out)
-        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
-        n_out += take
         if n_out >= n_expected:
-            return out
-        if prev is not None and len(dict_entries) < 4096:
-            dict_entries.append(prev + entry[:1])
-        if len(dict_entries) == (1 << width) and width < 12:
+            return np.frombuffer(bytes(out), np.uint8)
+        if prev_pos >= 0 and next_code < 4096:
+            starts[next_code] = prev_pos
+            lens[next_code] = prev_len + 1
+            next_code += 1
+        if next_code == mask + 1 and width < 12:
             width += 1
-        prev = entry
+            mask = (1 << width) - 1
+        prev_pos = cur_pos
+        prev_len = cur_len
 
 
 def _sub_blocks(payload: bytes, i: int) -> tuple[bytes, int]:

