@@ -137,6 +137,31 @@ def rotate_vectors(df: DataFrame, rotation: np.ndarray, vec_col: str = "e") -> D
     return df.select(*others, rr(F.col(vec_col)).alias(vec_col))
 
 
+def _opq_pca_init(x: np.ndarray, m: int, dsub: int) -> np.ndarray:
+    """PCA-permuted OPQ initialization (Ge et al. CVPR'13 §4): eigh of
+    the sample covariance (deterministic; sign-fixed so each axis's
+    largest-|component| is positive), principal axes sorted by
+    eigenvalue and greedily dealt to the m subspace buckets balancing
+    each bucket's log-eigenvalue SUM (= eigenvalue product — the
+    independence-assumption distortion bound each subspace carries).
+    Returns the orthogonal (dim, dim) matrix used as ``x @ R``."""
+    xc = x - x.mean(0)
+    w, v = np.linalg.eigh(xc.T @ xc / max(len(x), 1))
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    flip = np.abs(v).argmax(0)  # sign-fix each eigenvector
+    v = v * np.sign(v[flip, np.arange(v.shape[1])])[None, :]
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = np.zeros(m)
+    for i in range(v.shape[1]):
+        free = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(free, key=lambda c: logs[c])
+        buckets[b].append(i)
+        logs[b] += float(np.log(max(w[i], 1e-12)))
+    perm = [i for b in buckets for i in b]
+    return v[:, perm]
+
+
 def train_opq(
     corpus: DataFrame,
     dim: int,
@@ -162,7 +187,16 @@ def train_opq(
     Training is driver-side numpy on the same bounded deterministic sample
     as :func:`train_pq` (≤ sample_cap rows at ANY corpus size); the ksub ==
     sample-size certifier config degenerates to R = I + one-codeword-per-
-    point (reconstruction is exact, so rotation changes nothing)."""
+    point (reconstruction is exact, so rotation changes nothing).
+
+    r13: the rotation starts from the PCA-permuted initialization of
+    Ge et al. §4 (OPQ-P / FAISS OPQMatrix's pca_white-free init) instead
+    of identity — principal axes allocated to subspaces balancing each
+    bucket's eigenvalue PRODUCT (greedy on log-eigenvalues), so the
+    alternating refinement descends from an already variance-balanced
+    rotation rather than spending its iterations discovering one. Lifts
+    the clustered near-tie fixture recall past plain PQ's (the r11
+    documented caveat) without regressing the corpus axis."""
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     dsub = dim // m
     from .sampling import bounded_sample
@@ -172,7 +206,7 @@ def train_opq(
         return np.eye(dim), np.stack(
             [x[:, j * dsub : (j + 1) * dsub] for j in range(m)]
         )
-    rot = np.eye(dim)
+    rot = _opq_pca_init(x, m, dsub)
     cbs = None
     for _ in range(n_iter):
         y = x @ rot

@@ -66,9 +66,9 @@ ANN_RECALL_FLOORS = {
     "ann_topk_lsh_neighbors": 0.2,
     "ann_topk_ivf_neighbors": 0.5,
     "ann_topk_pq_neighbors": 0.15,
-    # r11 OPQ: measured 0.384/0.236 (sf0.01/sf0.1) vs plain PQ's
-    # 0.328/0.192 at the same m=8/ksub=32 — the rotation's variance
-    # redistribution is worth ~+0.05 recall on the isotropic corpus
+    # OPQ: r11 measured 0.384/0.236 (sf0.01/sf0.1) vs plain PQ's
+    # 0.328/0.192 at the same m=8/ksub=32; r13 PCA-init reads 0.372 at
+    # sf0.01 — still above plain PQ, floor unchanged
     "ann_topk_opq_neighbors": 0.18,
     # r11 IVFADC raised the measured corpus numbers (sf0.01/sf0.1):
     # ivfpq_neighbors 0.492/0.412 (raw r10: 0.296/0.208), ivfpq
@@ -103,12 +103,10 @@ CLUSTERED_RECALL_FLOORS = {
     "ann_topk_lsh_neighbors": 0.8,
     "ann_topk_ivf_neighbors": 0.85,
     "ann_topk_pq_neighbors": 0.65,
-    # r11 OPQ: distortion is strictly below plain PQ's (1.11 -> 0.98 on
-    # this fixture: the objective) but top-5 ranking of 0.15-sigma
-    # near-tie cluster mates is not distortion-monotone at 200 points -
-    # measured 0.67 vs plain PQ's 0.71 (same fixture caveat CHANGELOG
-    # records for IVF-PQ); the corpus axis above is where OPQ wins
-    "ann_topk_opq_neighbors": 0.6,
+    # r13 OPQ with PCA-permuted init (Ge et al. OPQ-P): measured 0.78 —
+    # now above plain PQ's 0.71, closing the r11 near-tie caveat (the
+    # identity-initialized rotation read 0.67 on this fixture)
+    "ann_topk_opq_neighbors": 0.7,
     # r11 IVFADC: residual encoding alone moved this 0.68–0.71 → 0.74 at
     # the old m=8/ksub=32 geometry; the m=16/ksub=64 serving split
     # (SCALE.ivfpq_*) carries it to 0.88 measured — floor 0.6 → 0.85

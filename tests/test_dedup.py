@@ -738,11 +738,12 @@ def test_opq_training_contracts(spark, clustered_vectors):
 
 
 def test_opq_recall_on_clustered_data(spark, clustered_vectors):
-    """Floor 0.6 (measured 0.67): distortion is strictly below plain PQ's
-    (the objective, asserted above) but top-5 ranking of 0.15-σ near-tie
-    cluster mates is not distortion-monotone at 200 points — plain PQ
-    reads 0.71 here. The corpus axis is where OPQ wins (PARITY: 0.384 vs
-    0.328 at sf0.01, 0.236 vs 0.192 at sf0.1)."""
+    """Floor 0.7 (measured 0.78 with the r13 PCA-permuted init — now
+    ABOVE plain PQ's 0.71, closing the r11 near-tie caveat where
+    identity-initialized OPQ read 0.67): the alternating refinement
+    descends from an eigenvalue-balanced rotation instead of spending
+    iterations discovering one. The corpus axis stays OPQ's win (PARITY:
+    0.372 vs 0.328 at sf0.01)."""
     from dipa_collaborative_pulsar_idps_spark.functions.pq import (
         pq_encode,
         pq_search_adc,
@@ -759,7 +760,7 @@ def test_opq_recall_on_clustered_data(spark, clustered_vectors):
     approx = pq_search_adc(enc, cbs, rotate_vectors(queries, rot, "qe"), k=5)
     exact = topk(cosine_scores(corpus, queries), 5)
     r = recall_at_k(approx, exact, 5)
-    assert r >= 0.6, f"OPQ recall@5 too low: {r}"
+    assert r >= 0.7, f"OPQ recall@5 too low: {r}"
 
 
 def test_opq_save_load_roundtrip(spark, clustered_vectors, tmp_path):
