@@ -717,3 +717,124 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    survey="E-ext,G3,D1,E4",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), regional AS (
+  SELECT sp.partkey, sp.unit_cost, s_name, s_acctbal, n_name
+  FROM supply sp
+  JOIN supplier ON s_suppkey = sp.suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_type, s_name, s_acctbal, n_name,
+       CAST(ROUND(r.unit_cost, 4) AS DOUBLE) AS unit_cost
+FROM regional r
+JOIN part ON p_partkey = r.partkey
+WHERE p_size <= 5
+  AND r.unit_cost = (SELECT MIN(r2.unit_cost) FROM regional r2
+                     WHERE r2.partkey = r.partkey)
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape without partsupp (r12 judge punch #8): the
+    supplier-cost relation is DERIVED from lineitem — per (part,
+    supplier) pair, unit cost = MIN(l_extendedprice / l_quantity) — then
+    the group-wise ARGMIN picks, for every small part, the EUROPE
+    supplier(s) quoting that part's regional minimum (Q2's correlated
+    scalar subquery, expressed as a window MIN + equality filter: one
+    shuffle on partkey, no self-join). All dimensions broadcast; the
+    only wide exchanges are the derived-relation aggregation and the
+    argmin window — both keyed on partkey, both skew-free. Ties on the
+    exact minimum keep every tied supplier, as in Q2 itself. MIN of
+    identically-computed doubles is association-free, so the value
+    oracle is exact without decimal quantization."""
+    t = Tables(spark, sf_dir)
+    supply = t.lineitem.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eur_supp = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = supply.join(
+        F.broadcast(eur_supp), F.col("suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        regional.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .join(
+            F.broadcast(t.part.where(F.col("p_size") <= 5)),
+            F.col("p_partkey") == F.col("partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.round("unit_cost", 4).cast("double").alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_nation_value",
+    survey="E-ext,D3,D1",
+    oracle="""
+WITH nation_value AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, value FROM nation_value
+WHERE CAST(value AS DOUBLE) >
+      (SELECT CAST(SUM(value) AS DOUBLE) FROM nation_value) * 0.04
+""",
+)
+def tpch_q11_important_nation_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape without partsupp (r12 judge punch #8): supplied
+    value per supplier NATION derived from lineitem revenue instead of
+    ps_supplycost × ps_availqty, keeping the groups holding more than a
+    fixed fraction of the GLOBAL total — Q11's HAVING-against-a-scalar-
+    subquery, expressed as one grouped aggregate plus a broadcast
+    1-row total (no second scan of the fact table: the total is
+    re-aggregated from the 25 group rows). Terms are quantized to
+    decimal(18,4) before summing (the `_rev_dec` trick) so both engines
+    sum exact integers and the threshold comparison is bit-identical
+    regardless of association order."""
+    t = Tables(spark, sf_dir)
+    nation_value = (
+        t.lineitem.join(
+            F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_dec()).alias("value"))
+    )
+    total = nation_value.agg(
+        F.sum("value").cast("double").alias("grand_total")
+    )
+    return (
+        nation_value.join(F.broadcast(total))
+        .where(F.col("value").cast("double") > F.col("grand_total") * 0.04)
+        .select("n_name", "value")
+    )
