@@ -112,12 +112,16 @@ def get_streaming_spark(
     confs to the existing session, silently dropping the already-running
     relational workload's shuffle partitions to shards/8). getActiveSession
     is THREAD-LOCAL, so a session created on another thread would read as
-    None here — also consult getDefaultSession (the process-global session
-    getOrCreate would return) before concluding no session runs (r12
-    advisor: missing that check re-routed through get_spark and clobbered
-    the running workload's confs, the exact bug this branch prevents)."""
+    None here — also consult the process-global default session (the one
+    getOrCreate would return; PySpark exposes it as
+    ``SparkSession._instantiatedSession`` — the Python API has no public
+    getDefaultSession) before concluding no session runs (r12 advisor:
+    missing that check re-routed through get_spark and clobbered the
+    running workload's confs, the exact bug this branch prevents)."""
     shuffle = streaming_shuffle_partitions(n_state_shards)
-    active = SparkSession.getActiveSession() or SparkSession.getDefaultSession()
+    active = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if active is not None:
         spark = active.newSession()
         ensure_runtime_confs(spark)

@@ -715,3 +715,103 @@ def test_streaming_factory_isolates_existing_session(spark):
         assert streaming.sparkContext is spark.sparkContext
     finally:
         pass  # shared context: nothing to stop
+
+
+def test_resolve_root_recovers_legacy_unmarked_generation(spark, tmp_path):
+    """r12 advisor: generation trees written before the ``_COMMITTED``
+    marker existed carry none, so marker-gated pointer-loss recovery must
+    fall back to the structural equivalent for legacy layouts — the
+    ``stats/batch_id=base`` row, the LAST component of the pre-r12 write
+    order. Simulated by stripping the marker AND the pointer from a
+    retrained index: recovery must still serve the intact generation,
+    not the pruned flat root. A legacy tree missing its stats row (a
+    pre-r12 MID-STAGE crash) stays ineligible."""
+    import os
+    import random
+    import shutil
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        _COMMIT_MARK,
+        _POINTER,
+        _resolve_root,
+        build_ivf_index,
+        ivf_retrain,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(100)],
+        ["vec_id", "e"],
+    )
+    path = str(tmp_path / "ivf_legacy")
+    assigned, centroids = build_ivf_index(corpus, dim=16, n_list=8)
+    save_ivf_index(assigned, centroids, path)
+    ivf_retrain(spark, path)
+
+    # make gen-00001 look like a pre-r12 tree with a lost pointer
+    os.remove(f"{path}/{_POINTER}")
+    os.remove(f"{path}/gen-00001/{_COMMIT_MARK}")
+    assert _resolve_root(spark, path).endswith("gen-00001")
+    assert load_ivf_index(spark, path)[0].count() == 100
+
+    # a legacy tree whose stats row never landed (mid-stage crash) must
+    # NOT be eligible — recovery falls through to the flat root
+    shutil.rmtree(f"{path}/gen-00001/stats")
+    assert _resolve_root(spark, path) == path
+
+
+def test_progressive_jpeg_truncation_raises_format_error():
+    """r12 advisor: corrupt/truncated PROGRESSIVE entropy data must raise
+    the same ValueError('truncated JPEG entropy segment') contract as the
+    baseline scan path, not a raw IndexError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dipa_collaborative_pulsar_idps_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.stack([(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], -1).astype(
+        np.uint8
+    )
+    good = encode_jpeg_progressive(img, 85)
+    assert decode_jpeg(good).shape == (48, 64, 3)
+    # chop inside the FINAL scan's entropy payload (before EOI) so the
+    # header/table segments stay intact but the bit stream runs dry —
+    # keep the EOI so the decoder reaches the finish path
+    torn = good[: int(len(good) * 0.7)] + good[-2:]
+    with _pytest.raises(ValueError):
+        decode_jpeg(torn)
+
+
+def test_streaming_session_factory_from_worker_thread(spark):
+    """r12 advisor: getActiveSession is thread-local — a worker thread
+    must still detect the process-global session via getDefaultSession
+    and branch to newSession(), NOT re-route through get_spark's
+    getOrCreate (which would re-apply builder confs to the running
+    session and clobber its shuffle partitions)."""
+    import threading
+
+    from dipa_collaborative_pulsar_idps_spark.session import get_streaming_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    result: dict = {}
+
+    def worker():
+        s = get_streaming_spark(rocksdb=False)
+        result["same_context"] = s.sparkContext is spark.sparkContext
+        result["isolated"] = s is not spark
+        result["stream_shuffle"] = s.conf.get("spark.sql.shuffle.partitions")
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert result["same_context"] and result["isolated"]
+    # the caller's session kept its partitions; the streaming session got
+    # the measured micro-batch count on its OWN isolated conf
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert int(result["stream_shuffle"]) == 8  # 64 shards / 8 (r10 soak)
