@@ -415,3 +415,29 @@ def test_pack_sequences_inherits_prefix_sum_plan(spark, sf_dir):
     assert "broadcast" in txt.lower()  # offsets join in as broadcast
     assert "SortMergeJoin" not in txt
     assert "Generate" in txt  # the explode is map-side
+
+
+def test_tpch_q2_argmin_is_broadcast_dims_one_keyed_window(spark, sf_dir):
+    """The partsupp-free Q2 adaptation's 100 TB contract (r13): every
+    dimension (EUROPE suppliers + nation/region, small-part filter)
+    rides a broadcast; the wide work is the derived-cost aggregation and
+    the per-part argmin window, both keyed on partkey — no sort-merge
+    join, no corpus-wide serial exchange."""
+    df = REGISTRY["tpch_q2_min_cost_supplier"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "SortMergeJoin" not in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
+    assert "hashpartitioning(partkey" in txt, txt
+    assert "SinglePartition" not in txt, f"corpus-wide serial exchange:\n{txt}"
+
+
+def test_tpch_q11_total_is_broadcast_scalar_not_window(spark, sf_dir):
+    """The partsupp-free Q11 adaptation: the global total must come from
+    re-aggregating the 25 nation rows and broadcast back — never a
+    corpus-wide single-partition window over the fact table, and the
+    fact joins its two dimensions by broadcast."""
+    df = REGISTRY["tpch_q11_important_nation_value"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "Window" not in txt, txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
