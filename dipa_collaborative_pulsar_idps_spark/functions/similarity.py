@@ -344,6 +344,50 @@ def cosine_pairs_blocked(
     )
 
 
+def semantic_dedup_pairs(
+    assigned: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): near-duplicate
+    pairs scanned only WITHIN k-means clusters — (keep_id, dup_id,
+    cosine) with keep_id < dup_id, the cluster-then-prune shape
+    web-scale semantic dedup uses instead of the exact N² self-join.
+
+    ``assigned``: (vec_id, e, list_id) from `ivf.build_ivf_index` — the
+    SAME coarse quantizer the ANN family serves from, reused as the
+    dedup blocker. Work is Σ cᵢ² ≈ N²/k (one BLAS Gram per cluster, the
+    `cosine_pairs_blocked` kernel arithmetic verbatim, so the one-cluster
+    certifier inherits its full value oracle); every emitted pair is
+    exact-verified, so precision is 1 and the ONLY loss is pairs
+    straddling cluster boundaries — measured as recall vs the exact
+    blocked twin in PARITY. Per-task memory is the largest cluster's
+    Gram (cᵢ²·8 B): at 100 TB size n_list so clusters fit executors
+    (the paper's k scales with corpus for the same reason); clusters are
+    independent tasks, so skew salting or recursive re-clustering of an
+    oversized cluster composes without changing emitted pairs."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"keep_id": [], "dup_id": [], "cosine": []})
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        mat = np.array([v for v in pdf["e"]], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        mask = (sims >= thr) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(mask)
+        return pd.DataFrame(
+            {"keep_id": ids[ai], "dup_id": ids[bj], "cosine": sims[ai, bj]}
+        )
+
+    return assigned.select("vec_id", "e", "list_id").groupBy("list_id").applyInPandas(
+        lambda _, pdf: per_cluster(pdf),
+        "keep_id long, dup_id long, cosine double",
+    )
+
+
 def cosine_pairs_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",

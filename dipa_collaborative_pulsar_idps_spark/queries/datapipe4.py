@@ -156,6 +156,58 @@ def cosine_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cosine", F.round("cosine", 6))
 
 
+@query("semantic_dedup_pairs", survey="ext-dedup,ext-sim")
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — the cluster-then-prune semantic
+    dedup production path: near-dup pairs scanned only WITHIN the
+    k-means clusters of the SHARED serving coarse quantizer
+    (datapipe3._ivfpq_build's assigned relation — the dedup blocker and
+    the ANN index are the same build, the paper's own economy), candidate
+    mass ≈ 1/n_list of the quadratic pair space. Every emitted pair is
+    exact-verified (precision 1); the only loss is boundary-straddling
+    pairs — recall vs the exact blocked self-join plus the measured
+    candidate fraction ride PARITY_r* (BANDED_DIALS), and planted
+    near-dup recall is pinned in tests/test_dedup.py. Rows-only by
+    design (iterative k-means blocker); `semantic_dedup_pairs_exhaustive`
+    is the one-cluster full value oracle of the same kernel."""
+    from .datapipe3 import _ivfpq_build
+    from ..functions.similarity import semantic_dedup_pairs
+
+    assigned, _, _ = _ivfpq_build(spark, sf_dir)
+    return semantic_dedup_pairs(assigned, threshold=0.4).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+@query(
+    "semantic_dedup_pairs_exhaustive",
+    survey="ext-dedup,ext-sim",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+)
+SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       ROUND(LIST_COSINE_SIMILARITY(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.e, b.e) >= 0.4
+""",
+)
+def semantic_dedup_pairs_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup kernel with ONE cluster: the within-cluster scan
+    covers every pair, so the cogrouped Gram kernel must equal the exact
+    all-pairs self-join — the full value oracle for the per-cluster
+    normalize/BLAS/threshold arithmetic the production blocker runs
+    (same certifier pattern as the ANN exhaustive twins)."""
+    from .datapipe3 import _corpus
+    from ..functions.similarity import semantic_dedup_pairs
+
+    one = _corpus(spark, sf_dir).withColumn("list_id", F.lit(0))
+    return semantic_dedup_pairs(one, threshold=0.4).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
 @query(
     "embedding_centroid_by_label",
     survey="ext-sim,D1",

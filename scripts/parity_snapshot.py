@@ -339,6 +339,17 @@ BANDED_DIALS = {
         "recall_floor": 0.3,
         "candidate_frac_ceiling": 0.25,
     },
+    # r13 SemDeDup: k-means cluster-then-prune — candidate mass ~1/n_list
+    # of the quadratic pair space (measured 0.288 recall at ~0.07 mass on
+    # the isotropic corpus, the same structural-worst-case caveat as the
+    # LSH dial; planted near-dup recall >=0.95 is the quality contract in
+    # tests/test_dedup.py). Floor sits under both scales with margin.
+    "semantic_dedup_pairs": {
+        "exact_twin": "cosine_near_dup_pairs",
+        "pair_cols": ("keep_id", "dup_id"),
+        "recall_floor": 0.15,
+        "candidate_frac_ceiling": 0.2,
+    },
 }
 
 
@@ -402,6 +413,14 @@ def banded_dial_quality(spark, sf_dir: str, dial_dfs: dict) -> dict[str, dict]:
     other = sig.select("bucket", F.col("vec_id").alias("id_b"))
     nv = sig.count()
     cos_cand = probed.join(other, "bucket").where("id_a < id_b").count()
+    # semantic candidate mass: sum of within-cluster pair counts over the
+    # shared serving build's cluster sizes
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _ivfpq_build
+
+    assigned, _, _ = _ivfpq_build(spark, sf_dir)
+    sizes = [r["c"] for r in assigned.groupBy("list_id").agg(
+        F.count("*").alias("c")).collect()]
+    sem_cand = sum(c * (c - 1) // 2 for c in sizes)
     return {
         "ngram_jaccard_banded": {
             "recall": pair_recall("ngram_jaccard_banded"),
@@ -410,6 +429,10 @@ def banded_dial_quality(spark, sf_dir: str, dial_dfs: dict) -> dict[str, dict]:
         "cosine_near_dup_pairs_lsh": {
             "recall": pair_recall("cosine_near_dup_pairs_lsh"),
             "candidate_frac": round(cos_cand / (nv * (nv - 1) / 2), 6),
+        },
+        "semantic_dedup_pairs": {
+            "recall": pair_recall("semantic_dedup_pairs"),
+            "candidate_frac": round(sem_cand / (nv * (nv - 1) / 2), 6),
         },
     }
 

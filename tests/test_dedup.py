@@ -2114,3 +2114,48 @@ def test_ivfsq_append_batch_and_retrain(spark, clustered_vectors, tmp_path):
         ivf_sq_search(enc3, c3, b3, queries, k=5, n_probe=4), exact_full, 5
     )
     assert r2 >= 0.9, f"post-retrain recall too low: {r2}"
+
+
+def test_semantic_dedup_finds_planted_neardups(spark, clustered_vectors):
+    """SemDeDup quality contract (r13): ε-noise copies land in the same
+    k-means cluster as their source (near-identical vectors share an
+    argmin centroid), so the cluster-scoped scan must recover ≥ 0.9 of
+    planted (source, copy) pairs at a high threshold — the measurement
+    that matters, vs the isotropic-corpus recall in PARITY which is the
+    blocker's structural worst case. Also pins precision: every emitted
+    pair really clears the threshold (exact verify by construction)."""
+    import random
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import build_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.functions.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    corpus = clustered_vectors
+    rng = random.Random(77)
+    base = {r.vec_id: r.e for r in corpus.where(F.col("vec_id") % 10 == 0).collect()}
+    dups = spark.createDataFrame(
+        [
+            (10_000 + vid, [x + rng.gauss(0, 0.01) for x in e])
+            for vid, e in base.items()
+        ],
+        ["vec_id", "e"],
+    )
+    emb = corpus.unionByName(dups)
+    assigned, _ = build_ivf_index(emb, dim=64, n_list=16)
+    got = {
+        (r.keep_id, r.dup_id)
+        for r in semantic_dedup_pairs(assigned, threshold=0.95).collect()
+    }
+    planted = {(vid, 10_000 + vid) for vid in base}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted near-dup recall too low: {recall}"
+    # cluster-mates sit ~0.15-sigma apart — none should clear 0.95 except
+    # genuine plants, so the emitted set stays clean
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.e) for r in emb.collect()}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert cos >= 0.95 - 1e-9, (a, b, cos)
