@@ -9,9 +9,9 @@ retrain with atomic generation promotion) and records, per family:
   with the flatness ratio (median of the last-quarter append commits /
   median of the first-quarter append commits) — an O(corpus) append
   path fails the ≤3× bound the tfidf soak uses;
-- generation count vs the mass-trigger's geometric expectation
-  (~log2(final corpus / bootstrap batch) retrains — each retrain folds
-  the corpus, so the next 0.5× mass trip needs as much data again);
+- generation count vs the mass-trigger's EXACT simulated expectation
+  (each fold sets base += appended — corpus grows ~×1.5 per generation
+  at retrain_mass=0.5, with discrete batch overshoot);
 - exactly-once: distinct served vec_ids == rows ingested;
 - post-soak clustered recall@5 vs brute force over everything ingested.
 
@@ -127,14 +127,25 @@ def soak_family(spark, family: str, n_batches: int) -> dict:
         exact = topk(cosine_scores(corpus, queries), 5)
         recall = recall_at_k(search(queries), exact, 5)
 
+        def expected_retrains(n: int) -> int:
+            # exact simulation of the mass-trigger recurrence: each fold
+            # sets base += appended, so the corpus grows ~x(1+mass) per
+            # generation, with discrete batch-size overshoot
+            base_n, appended, r = BATCH, 0, 0
+            for _ in range(1, n):
+                appended += BATCH
+                if appended > 0.5 * base_n:
+                    base_n += appended
+                    appended = 0
+                    r += 1
+            return r
+
         quarter = max(3, len(append_times) // 4)
         early = sorted(append_times[:quarter])[quarter // 2]
         late_slice = sorted(append_times[-quarter:])
         late = late_slice[quarter // 2]
         p95 = sorted(append_times)[int(len(append_times) * 0.95) - 1]
-        import math
-
-        expected_gens = math.ceil(math.log2(ingested / BATCH))
+        expected_gens = expected_retrains(n_batches)
         result = {
             "family": family,
             "n_batches": n_batches,
@@ -152,12 +163,12 @@ def soak_family(spark, family: str, n_batches: int) -> dict:
             )
             if retrain_times
             else None,
-            "expected_retrains_log2": expected_gens,
+            "expected_retrains_simulated": expected_gens,
             "recall_at_5_post_soak": round(recall, 4),
             "pass": bool(
                 n_distinct == ingested
                 and late <= 3.0 * early
-                and abs(len(retrain_times) - expected_gens) <= 2
+                and abs(len(retrain_times) - expected_gens) <= 1
                 and recall >= 0.85
             ),
         }
