@@ -91,7 +91,7 @@ ANN_RECALL_FLOORS = {
     "ann_topk_ivfsq_neighbors": 0.5,
     # r13: append-only base+delta composite — near-exact scoring means
     # the append loss is coarse-probe only (bounds/centroids trained on
-    # the even half); measured 0.556 at sf0.01 (clustered 0.97)
+    # the even half); measured 0.556/0.572 at sf0.01/sf0.1 (clustered 0.97)
     "ann_topk_ivfsq_incremental": 0.45,
 }
 
@@ -340,7 +340,7 @@ BANDED_DIALS = {
         "candidate_frac_ceiling": 0.25,
     },
     # r13 SemDeDup: k-means cluster-then-prune — candidate mass ~1/n_list
-    # of the quadratic pair space (measured 0.288 recall at ~0.07 mass on
+    # of the quadratic pair space (measured 0.288/0.270 recall (sf0.01/sf0.1) at ~0.07 mass on
     # the isotropic corpus, the same structural-worst-case caveat as the
     # LSH dial; planted near-dup recall >=0.95 is the quality contract in
     # tests/test_dedup.py). Floor sits under both scales with margin.
