@@ -757,6 +757,36 @@ def incremental_tfidf_sink(
     return fn
 
 
+def _sink_fs(spark, path: str):
+    """(FileSystem, jvm) for the exactly-once sinks' marker/record files —
+    Hadoop FS API, so HDFS/S3/local behave alike."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _sink_read_small(fs, jvm, path: str) -> str | None:
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:  # py4j can't fill Python byte buffers — drain JVM-side
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+        return text.strip() or None
+    finally:
+        stream.close()
+
+
+def _sink_write_small(fs, jvm, path: str, text: str) -> None:
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def incremental_ann_sink(
     *,
     index_path: str,
@@ -824,31 +854,7 @@ def incremental_ann_sink(
         raise ValueError(f"unknown ANN index family: {family!r}")
     needs_corpus = family in ("ivfpq", "ivfsq")
     corpus_path = f"{index_path}/_corpus"
-
-    def _fs(spark, path: str):
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
-
-    def _read_small(fs, jvm, path: str) -> str | None:
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        if not fs.exists(p):
-            return None
-        stream = fs.open(p)
-        try:  # py4j can't fill Python byte buffers — drain JVM-side
-            text = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, jvm.java.nio.charset.StandardCharsets.UTF_8
-            )
-            return text.strip() or None
-        finally:
-            stream.close()
-
-    def _write_small(fs, jvm, path: str, text: str) -> None:
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+    _fs, _read_small, _write_small = _sink_fs, _sink_read_small, _sink_write_small
 
     def _bootstrap(batch: DataFrame) -> None:
         from ..functions.ivf import build_ivf_index, save_ivf_index
@@ -956,6 +962,184 @@ def incremental_ann_sink(
             fs.mkdirs(marker)
             if fs.exists(pending):
                 _retrain(spark)
+                fs.delete(pending, False)
+        finally:
+            batch.unpersist()
+
+    return fn
+
+
+def streaming_semantic_dedup_sink(
+    *,
+    index_path: str,
+    dim: int,
+    n_list: int = 16,
+    threshold: float = 0.95,
+    retrain_drift: float = 1.5,
+    retrain_mass: float = 0.5,
+):
+    """foreachBatch body for ONLINE SEMANTIC DEDUP at ingest — SemDeDup's
+    streaming form (the embedding sibling of `streaming_curation`'s
+    MinHash dedup): each micro-batch of (vec_id, e array<double>) drops
+    (a) within-batch near-duplicates via the cluster-scoped SemDeDup
+    kernel (`similarity.semantic_dedup_pairs` on the batch assigned to
+    the SAVED centroids — lower vec_id survives), and (b) rows whose
+    nearest-cluster probe of the PERSISTED index (`ivf_search`, k=1,
+    n_probe=1 — the same one-cluster scan the batch kernel runs) finds
+    an existing member at cosine ≥ ``threshold``. Survivors are appended
+    to the index through `ivf_append_batch` and emitted to
+    ``{index_path}/_kept/ingest_batch=*`` — the serving ANN index IS the
+    dedup state, the same build-economy as the batch SemDeDup sharing
+    the serving coarse quantizer. ivf family only: exact cosine verify
+    needs raw vectors, which compressed codes cannot provide.
+
+    Boundary loss mirrors batch SemDeDup: a near-dup assigned to a
+    different cluster than its source is missed (planted ε-copies share
+    an argmin centroid — the pytest contract); the drop rule is the
+    PAIRWISE SemDeDup rule, not transitive closure.
+
+    Exactly-once — the `incremental_ann_sink` contract verbatim (batch
+    marker / `_bootstrap` id record / `_pending_retrain` flag), with one
+    addition: the cross-batch probe structurally EXCLUDES the batch's
+    OWN delta partition from the index scan (partition-pruned, never
+    listed as input), so a replay after a crash mid-append (the batch's
+    delta already on disk) can neither match rows against themselves
+    and empty the kept set, nor race the overwrite of the directory its
+    own lineage reads. Drops are then a deterministic function of
+    (batch, saved quantizer, prior index) on every replay; vec_ids are
+    assumed unique across batches (the ingest contract every sink here
+    shares).
+
+    Reference analogue: first-seen admission against the continually-
+    refreshed global view (ryu/src/deployed_controller/
+    DIPA_Controller.py) — here admission is semantic novelty."""
+    kept_path = f"{index_path}/_kept"
+
+    def _drop_ids(spark, batch: DataFrame, cents) -> DataFrame:
+        """Within-batch dup ids: cluster-scoped pairwise rule on the
+        batch itself, assigned to the SAVED centroids."""
+        from ..functions.ivf import _assign_to_centroids
+        from ..functions.similarity import semantic_dedup_pairs
+
+        assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
+        return (
+            semantic_dedup_pairs(assigned, threshold=threshold)
+            .select(F.col("dup_id").alias("vec_id"))
+            .distinct()
+        )
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        import numpy as np
+
+        from ..functions.dedup import _write_batch_partitions
+        from ..functions.ivf import (
+            _is_complete,
+            _resolve_root,
+            build_ivf_index,
+            ivf_append_batch,
+            ivf_retrain,
+            ivf_search,
+            load_ivf_index,
+            save_ivf_index,
+        )
+        from ..functions.similarity import semantic_dedup_pairs
+
+        spark = batch.sparkSession
+        fs, jvm = _sink_fs(spark, index_path)
+        marker = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_batches/{batch_id}")
+        if fs.exists(marker):
+            return  # completed batch replayed after restart — no-op
+        if batch.isEmpty():
+            fs.mkdirs(marker)
+            return
+        batch = batch.select("vec_id", "e").persist()
+        try:
+            root = _resolve_root(spark, index_path)
+            complete = _is_complete(spark, root)
+            boot = _sink_read_small(fs, jvm, f"{index_path}/_bootstrap")
+            if complete and boot == str(batch_id):
+                # crashed bootstrap after save: the index already holds
+                # the deduped batch — recompute the kept set (the build
+                # is deterministic) only to re-land the output tree
+                assigned, _ = load_ivf_index(spark, index_path)
+                kept = batch.join(
+                    assigned.select("vec_id"), "vec_id", "left_semi"
+                )
+                _write_batch_partitions(kept, kept_path, batch_id)
+                fs.mkdirs(marker)
+                return
+            batches = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_batches")
+            any_committed = fs.exists(batches) and len(fs.listStatus(batches)) > 0
+            if not (complete and (boot is not None or any_committed)):
+                # bootstrap: within-batch dedup with the batch's own
+                # k-means, then the index is born already-deduped
+                _sink_write_small(
+                    fs, jvm, f"{index_path}/_bootstrap", str(batch_id)
+                )
+                assigned0, cents0 = build_ivf_index(batch, dim=dim, n_list=n_list)
+                drops = (
+                    semantic_dedup_pairs(assigned0, threshold=threshold)
+                    .select(F.col("dup_id").alias("vec_id"))
+                    .distinct()
+                )
+                kept_assigned = assigned0.join(drops, "vec_id", "left_anti")
+                save_ivf_index(
+                    kept_assigned.select("vec_id", "e", "list_id"),
+                    cents0,
+                    index_path,
+                )
+                kept = batch.join(drops, "vec_id", "left_anti")
+                _write_batch_partitions(kept, kept_path, batch_id)
+                fs.mkdirs(marker)
+                return
+            cent_rows = (
+                spark.read.parquet(f"{root}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+            )
+            cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+            within = _drop_ids(spark, batch, cents)
+            # self-exclusion is STRUCTURAL: the probe reads base lists +
+            # every delta EXCEPT this batch's own partition (its rows are
+            # this batch's prior kept set — matching against them on a
+            # replay would empty the kept set, and reading the directory
+            # the append below overwrites races the overwrite; the
+            # partition filter prunes it from the scan entirely). vec_ids
+            # are unique across batches by the sink's ingest contract.
+            centroids_df = spark.read.parquet(f"{root}/centroids")
+            existing = spark.read.parquet(f"{root}/lists").select(
+                "vec_id", "e", "list_id"
+            )
+            deltas_dir = jvm.org.apache.hadoop.fs.Path(f"{root}/deltas")
+            if fs.exists(deltas_dir):
+                existing = existing.unionByName(
+                    spark.read.parquet(f"{root}/deltas")
+                    .where(F.col("batch_id") != f"b{batch_id}")
+                    .select("vec_id", "e", "list_id")
+                )
+            q = batch.select(
+                F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+            )
+            cross = (
+                ivf_search(existing, centroids_df, q, k=1, n_probe=1)
+                .where(F.col("cosine") >= threshold)
+                .select(F.col("query_id").alias("vec_id"))
+                .distinct()
+            )
+            kept = batch.join(
+                within.unionByName(cross).distinct(), "vec_id", "left_anti"
+            )
+            stats = ivf_append_batch(
+                spark, index_path, kept, f"b{batch_id}",
+                retrain_drift=retrain_drift, retrain_mass=retrain_mass,
+            )
+            _write_batch_partitions(kept, kept_path, batch_id)
+            pending = jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/_pending_retrain"
+            )
+            if stats["needs_retrain"]:
+                fs.create(pending, True).close()  # flag BEFORE marker
+            fs.mkdirs(marker)
+            if fs.exists(pending):
+                ivf_retrain(spark, index_path, n_list=n_list)
                 fs.delete(pending, False)
         finally:
             batch.unpersist()

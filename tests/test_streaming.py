@@ -1819,3 +1819,127 @@ def test_streaming_ann_sink_pending_retrain_survives_crash(
     assigned, _ = load_ivf_index(spark, idx)
     assert assigned.count() == 130  # 100 + 20 + 10, all folded, no dupes
     assert assigned.select("vec_id").distinct().count() == 130
+
+
+def test_streaming_semantic_dedup_sink_replay(spark, tmp_path):
+    """Online SemDeDup at ingest (r13): the sink drops within-batch
+    near-dups (cluster-scoped pairwise rule against the saved
+    quantizer) and rows matching an EXISTING index member at the
+    threshold, appends survivors, and emits them to the `_kept` tree.
+    Contracts: exact planted drop sets at a clean threshold (0.999:
+    planted ε-copies read ~0.999999, ordinary cluster mates ~0.978);
+    a crash replay with the batch's own delta already on disk must not
+    self-match and empty the kept set (the self-exclusion leg); a full
+    re-run is a marker no-op."""
+    import os
+    import random as _random
+    import time as _time
+
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import load_ivf_index
+    from dipa_collaborative_pulsar_idps_spark.streaming.pipelines import (
+        streaming_semantic_dedup_sink,
+    )
+
+    rng = _random.Random(13)
+
+    def cluster_rows(n_clusters, per, start_id, seed_rng):
+        rows, vid = [], start_id
+        for _ in range(n_clusters):
+            c = [seed_rng.gauss(0, 1) for _ in range(64)]
+            for _ in range(per):
+                rows.append((vid, [x + seed_rng.gauss(0, 0.15) for x in c]))
+                vid += 1
+        return rows
+
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(10)]
+
+    def members(center_ids, per, start_id):
+        rows, vid = [], start_id
+        for ci in center_ids:
+            for _ in range(per):
+                rows.append(
+                    (vid, [x + rng.gauss(0, 0.15) for x in centers[ci]])
+                )
+                vid += 1
+        return rows
+
+    b0_rows = members(range(10), 10, 0)  # ids 0..99
+    by_id = dict(b0_rows)
+    dup_rng = _random.Random(99)
+    # 5 in-batch dups of ids 0..4 (higher ids -> dropped by the rule)
+    b0 = b0_rows + [
+        (900 + i, [x + dup_rng.gauss(0, 0.001) for x in by_id[i]]) for i in range(5)
+    ]
+    # fresh batch-1 rows stay IN-distribution (new members of the same
+    # clusters) so the drift trigger stays quiet — the deleted-marker
+    # crash below must be a real crash shape (marker precedes retrain,
+    # so "folded but unmarked" cannot arise; the drift leg is phase 3)
+    b1_fresh = members(range(5), 10, 1000)  # ids 1000..1049
+    b1 = (
+        b1_fresh
+        # 5 cross-batch dups of ids 10..14 (already in the index)
+        + [
+            (2000 + i, [x + dup_rng.gauss(0, 0.001) for x in by_id[10 + i]])
+            for i in range(5)
+        ]
+        # 1 in-batch dup of a fresh batch-1 row
+        + [(2100, [x + dup_rng.gauss(0, 0.001) for x in dict(b1_fresh)[1000]])]
+    )
+
+    replay_dir = str(tmp_path / "replay")
+    os.makedirs(replay_dir, exist_ok=True)
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, ["vec_id", "e"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay_dir)
+        _time.sleep(0.05)
+
+    idx = str(tmp_path / "sem_idx")
+    fn = streaming_semantic_dedup_sink(index_path=idx, dim=64, threshold=0.999)
+    run = _ann_stream_runner(spark, tmp_path, fn, replay_dir)
+    run("ckpt1")
+
+    assigned, _ = load_ivf_index(spark, idx)
+    served = {r.vec_id for r in assigned.select("vec_id").collect()}
+    assert served == set(range(100)) | set(range(1000, 1050)), sorted(served)[-5:]
+    kept = spark.read.parquet(f"{idx}/_kept")
+    assert kept.count() == 150
+    k1 = {r.vec_id for r in kept.where("ingest_batch = 1").collect()}
+    assert k1 == set(range(1000, 1050))
+
+    # crash replay: batch 1's delta is already on disk — the probe must
+    # not match the batch against itself and overwrite the delta empty
+    import shutil
+
+    shutil.rmtree(f"{idx}/_batches/1")
+    run("ckpt2")
+    assigned, _ = load_ivf_index(spark, idx)
+    assert assigned.count() == 150
+    assert assigned.select("vec_id").distinct().count() == 150
+    assert spark.read.parquet(f"{idx}/_kept").where("ingest_batch = 1").count() == 50
+
+    # whole-stream replay: markers short-circuit everything
+    run("ckpt3")
+    assert load_ivf_index(spark, idx)[0].count() == 150
+
+    # phase 3: a far-distribution batch trips the DRIFT trigger and the
+    # in-loop retrain folds base + deltas — dedup state survives as the
+    # new generation
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import _read_pointer
+
+    far_rng = _random.Random(5)
+    far = spark.createDataFrame(
+        [
+            (3000 + i, [far_rng.gauss(8, 1) for _ in range(64)])
+            for i in range(20)
+        ],
+        ["vec_id", "e"],
+    )
+    far.coalesce(1).write.mode("append").parquet(replay_dir)
+    _time.sleep(0.05)
+    run("ckpt4")
+    assert _read_pointer(spark, idx) == "gen-00001"
+    assigned, _ = load_ivf_index(spark, idx)
+    assert assigned.count() == 170
+    assert assigned.select("vec_id").distinct().count() == 170
+    assert spark.read.parquet(f"{idx}/_kept").where("ingest_batch = 2").count() == 20
