@@ -736,7 +736,7 @@ WITH supply AS (
   WHERE r_name = 'EUROPE'
 )
 SELECT p_partkey, p_type, s_name, s_acctbal, n_name,
-       CAST(ROUND(r.unit_cost, 4) AS DOUBLE) AS unit_cost
+       r.unit_cost AS unit_cost
 FROM regional r
 JOIN part ON p_partkey = r.partkey
 WHERE p_size <= 5
@@ -756,7 +756,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin window — both keyed on partkey, both skew-free. Ties on the
     exact minimum keep every tied supplier, as in Q2 itself. MIN of
     identically-computed doubles is association-free, so the value
-    oracle is exact without decimal quantization."""
+    oracle is exact without decimal quantization — and the output keeps
+    the RAW double (no ROUND: Spark's BigDecimal half-up and DuckDB's
+    double rounding disagree by 1 ulp of the 4th decimal on boundary
+    values — 3 rows at sf0.1 — while the unrounded double is
+    bit-identical by construction)."""
     t = Tables(spark, sf_dir)
     supply = t.lineitem.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
@@ -788,7 +792,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "s_acctbal",
             "n_name",
-            F.round("unit_cost", 4).cast("double").alias("unit_cost"),
+            "unit_cost",
         )
     )
 
