@@ -326,6 +326,7 @@ def pq_search_adc(
     codebooks: np.ndarray,
     queries: DataFrame,
     k: int = 5,
+    rotate: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC top-k scan: approximate cosine between each query and every
     encoded vector, computed entirely from code gathers.
@@ -339,6 +340,14 @@ def pq_search_adc(
     ``_MAX_QUERY_BATCH`` bound (the serving batch is the small side by
     construction); each corpus partition emits only its per-partition
     top-k per query, then ``topk`` merges globally.
+
+    ``rotate`` (r13 opt): an optional (d, d) rotation applied to the
+    collected query matrix on the driver — ``q_mat @ R``, the exact
+    numpy product :func:`rotate_vectors` computes inside its Arrow UDF,
+    so results are bit-identical. The serving batch is bounded and
+    collected here anyway; rotating it through a distributed Python-UDF
+    pass cost a whole extra worker round-trip per probe (guide §4 — the
+    boundary crossing, not the matmul, was the cost).
     """
     m, ksub, dsub = codebooks.shape
     q_rows = queries.limit(_MAX_QUERY_BATCH + 1).collect()  # bounded-collect: serving batch ≤ _MAX_QUERY_BATCH, enforced below
@@ -352,6 +361,8 @@ def pq_search_adc(
         )
     q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.qe for r in q_rows], dtype=np.float64)  # (Q, d)
+    if rotate is not None:
+        q_mat = q_mat @ np.asarray(rotate, dtype=np.float64)
     q_norm = np.sqrt((q_mat**2).sum(1))
     # (Q, m, ksub) inner-product LUT + (m, ksub) codeword squared norms
     lut = np.stack(

@@ -212,14 +212,24 @@ def ann_topk_lsh(
     k: int = 5,
     n_planes: int = 8,
     probe_radius: int = 1,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane buckets + multi-probe (flip up to
     *probe_radius* sign bits), exact cosine on candidates only.
 
     corpus: (vec_id, e); queries: (query_id, qe). Output like :func:`topk`.
     Scanned fraction ≈ Σ C(n_planes, r≤radius) / 2^n_planes of the corpus.
+    ``corpus_sig`` lets a caller supply a pre-computed (and typically
+    persisted) corpus signature frame — the production 'index once, probe
+    many' shape; it must be ``hyperplane_signature(corpus, "e", dim,
+    n_planes)`` for the same corpus/geometry (bit-identical by
+    construction: the signature is a deterministic function).
     """
-    c_sig = hyperplane_signature(corpus.withColumnRenamed("e", "e"), "e", dim, n_planes)
+    c_sig = (
+        corpus_sig
+        if corpus_sig is not None
+        else hyperplane_signature(corpus, "e", dim, n_planes)
+    )
     q_sig = hyperplane_signature(
         queries.withColumnRenamed("qe", "qe").withColumn("e", F.col("qe")), "e", dim, n_planes
     ).drop("e")

@@ -22,11 +22,14 @@ def clear_all_caches() -> None:
 
     datapipe2.clear_shingle_cache()
     datapipe3.clear_corpus_cache()
+    datapipe3.clear_ivf_build_cache()
+    datapipe3.clear_lsh_sig_cache()
     datapipe3.clear_lsh_index_cache()
     datapipe3.clear_ivfpq_build_cache()
     datapipe3.clear_ivfsq_build_cache()
     datapipe3.clear_pq_serve_cache()
     datapipe3.clear_ivf_inc_cache()
+    datapipe3.clear_inc_serve_cache()
     datapipe4.clear_component_cache()
     datapipe5.clear_gram_cache()
     datapipe6.clear_score_cache()
