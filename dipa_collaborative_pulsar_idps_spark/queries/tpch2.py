@@ -675,12 +675,24 @@ GROUP BY s_name
 """,
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 shape: the sole-blame supplier scan — EXISTS (another supplier
-    touched the order) + NOT EXISTS (no OTHER supplier was late) as
-    left-semi + left-anti self-joins on the orderkey-keyed fact. 'Late' is
-    derived (shipdate > orderdate + 90d) since the slim schema has no
-    receipt/commit dates. All three legs share the l_orderkey partitioning;
-    supplier/nation dims broadcast."""
+    """Q21 shape: the sole-blame supplier scan. 'Late' is derived
+    (shipdate > orderdate + 90d) since the slim schema has no
+    receipt/commit dates; supplier/nation dims broadcast.
+
+    r13 opt (guide §2.4 — remove shuffles outright): the EXISTS/NOT
+    EXISTS pair was two self-joins (left-semi + left-anti) that scanned
+    and shuffled the orderkey-keyed fact three times. Both quantifiers
+    are per-order DISTINCT-SUPPLIER facts, so ONE window pass over the
+    join's existing l_orderkey partitioning computes them:
+    EXISTS(other supplier on the order) ⟺ |distinct suppliers| > 1, and
+    NOT EXISTS(OTHER supplier late) for a late row ⟺ |distinct late
+    suppliers| = 1 (the row's own supplier is late, so it is the set's
+    only member). Plan: 6 exchanges → 3 (lineitem + orders into the
+    join; the window reuses that partitioning; tiny s_name aggregate),
+    one scan of each input instead of three. Orders are ≤7 lines — the
+    window's per-key state is bounded; no skew axis. Oracle unchanged
+    (still the EXISTS/NOT EXISTS form) — equivalence is re-proven by the
+    value hash at all three SFs."""
     t = Tables(spark, sf_dir)
     base = (
         t.lineitem.join(
@@ -697,18 +709,22 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    l1 = base.where(F.col("late") & (F.col("o_orderstatus") == "F"))
-    l2 = base.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = base.where(F.col("late")).select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
-    )
+    w = Window.partitionBy("l_orderkey")
     sole = (
-        l1.join(
-            l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
-        ).join(
-            l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
+        base.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .where(
+            F.col("late")
+            & (F.col("o_orderstatus") == "F")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
     )
     return (
