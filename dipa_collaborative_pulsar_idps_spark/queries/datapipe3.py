@@ -299,13 +299,19 @@ _IVFPQ_BUILD_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _ivfpq_build(spark: SparkSession, sf_dir: str) -> tuple:
-    """(assigned persisted, centroids, residual codebooks) at the SCALE
-    geometry. `assigned` is persisted because training, encoding, and the
-    refine corpus all re-evaluate it (an Arrow assignment pass each time
-    otherwise); `clear_ivfpq_build_cache()` owns the unpersist."""
+    """(assigned persisted, centroids, residual codebooks, encoded
+    persisted) at the SCALE geometry. `assigned` is persisted because
+    training, encoding, and the refine corpus all re-evaluate it (an
+    Arrow assignment pass each time otherwise). `encoded` (r13 opt) is
+    the residual PQ code relation — `save_ivfpq_index` materializes
+    exactly this on disk ('encode once, serve many'); without it every
+    probe re-ran the corpus encode Arrow pass that pq.ivfpq_search
+    itself documents as 'the build step leaking into serving'.
+    Deterministic encode → bit-identical results.
+    `clear_ivfpq_build_cache()` owns the `encoded` unpersist."""
     import os
 
-    from ..functions.pq import train_pq_residual
+    from ..functions.pq import _residuals, pq_encode, train_pq_residual
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cached = _IVFPQ_BUILD_CACHE.get(key)
@@ -318,14 +324,20 @@ def _ivfpq_build(spark: SparkSession, sf_dir: str) -> tuple:
         assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=SCALE.ivfpq_ksub,
         sample_cap=SCALE.pq_sample_cap,
     )
-    _IVFPQ_BUILD_CACHE[key] = (assigned, centroids, cb)
+    enc = pq_encode(_residuals(assigned, centroids), cb, keep=("list_id",)).persist()
+    _IVFPQ_BUILD_CACHE[key] = (assigned, centroids, cb, enc)
     return _IVFPQ_BUILD_CACHE[key]
 
 
 def clear_ivfpq_build_cache() -> None:
-    """Drop the memoized IVF-PQ builds (the persisted `assigned` frame is
-    owned by the shared coarse-build cache — clear_ivf_build_cache
-    unpersists it)."""
+    """Drop the memoized IVF-PQ builds: unpersist the encoded relation
+    (owned here); the persisted `assigned` frame is owned by the shared
+    coarse-build cache — clear_ivf_build_cache unpersists it."""
+    for entry in _IVFPQ_BUILD_CACHE.values():
+        try:
+            entry[3].unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
     _IVFPQ_BUILD_CACHE.clear()
 
 
@@ -882,18 +894,19 @@ def ann_topk_ivfpq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle. Residual-encoded (FAISS IVFADC, r11): the PQ quantizes
     v − centroid[list_id], concentrating codeword range on within-list
     structure — the standard recall lever at fixed m/ksub."""
-    from ..functions.pq import ivfpq_search
+    from ..functions.pq import ivfpq_search_encoded
 
     emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    # session-memoized build (shared with the refined twin): training,
-    # encoding, and the probe all re-evaluate `assigned`, so the cache
-    # holds it persisted — the 'build once, serve many' shape
-    assigned, centroids, cb = _ivfpq_build(spark, sf_dir)
-    return ivfpq_search(
-        assigned, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe
+    # session-memoized build (shared with the refined twin): probes scan
+    # the memoized ENCODED relation (r13 opt — ivfpq_search re-encoded
+    # the corpus per invocation; save_ivfpq_index is the disk form of
+    # this 'encode once, serve many' shape)
+    _assigned, centroids, cb, enc = _ivfpq_build(spark, sf_dir)
+    return ivfpq_search_encoded(
+        enc, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
 
 
@@ -908,7 +921,12 @@ def ann_topk_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is the shared session memo (r13 opt — also serves
     `ann_topk_ivf_exhaustive`; the persisted `assigned` is owned by
     clear_ivf_build_cache)."""
-    from ..functions.pq import ivfpq_search, train_pq_residual
+    from ..functions.pq import (
+        _residuals,
+        ivfpq_search_encoded,
+        pq_encode,
+        train_pq_residual,
+    )
 
     emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
@@ -921,10 +939,16 @@ def ann_topk_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb = train_pq_residual(
             assigned, centroids, dim=64, m=SCALE.ivfpq_m, ksub=n, sample_cap=n
         )
-        return (assigned, centroids, cb)
+        # encode once into the serve memo (r13 opt): ivfpq_search re-ran
+        # this corpus Arrow pass per invocation; the oracle re-proves
+        # bit-identity of the encoded serving path
+        enc = pq_encode(
+            _residuals(assigned, centroids), cb, keep=("list_id",)
+        ).persist()
+        return (enc, centroids, cb)
 
-    assigned, centroids, cb = _pq_serve(spark, sf_dir, "ivfpq_exh", build)
-    return ivfpq_search(assigned, centroids, cb, q, k=5, n_probe=8).select(
+    enc, centroids, cb = _pq_serve(spark, sf_dir, "ivfpq_exh", build)
+    return ivfpq_search_encoded(enc, centroids, cb, q, k=5, n_probe=8).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     )
 
@@ -941,15 +965,19 @@ def ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs `ann_topk_ivfpq_exhaustive`, the refined≡brute-force certifier
     (all lists probed + candidate set covering the corpus → exact
     equality) is pinned in tests/test_dedup.py."""
-    from ..functions.pq import ivfpq_search_refined
+    from ..functions.pq import ivfpq_search_encoded_refined
 
     emb = _corpus(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    assigned, centroids, cb = _ivfpq_build(spark, sf_dir)  # shared build
-    return ivfpq_search_refined(
-        assigned, centroids, cb, q, k=5, n_probe=SCALE.ivf_n_probe, refine_factor=4
+    # shared build; ADC scans the memoized ENCODED relation (r13 opt —
+    # ivfpq_search_refined re-encoded the corpus per invocation) and the
+    # refine fetch rescans the memoized raw corpus
+    _assigned, centroids, cb, enc = _ivfpq_build(spark, sf_dir)
+    return ivfpq_search_encoded_refined(
+        enc, centroids, cb, emb, q, k=5, n_probe=SCALE.ivf_n_probe,
+        refine_factor=4,
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
 
 

@@ -173,7 +173,7 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe3 import _ivfpq_build
     from ..functions.similarity import semantic_dedup_pairs
 
-    assigned, _, _ = _ivfpq_build(spark, sf_dir)
+    assigned = _ivfpq_build(spark, sf_dir)[0]
     return semantic_dedup_pairs(assigned, threshold=0.4).withColumn(
         "cosine", F.round("cosine", 6)
     )

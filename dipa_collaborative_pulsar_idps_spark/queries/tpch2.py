@@ -778,11 +778,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     values — 3 rows at sf0.1 — while the unrounded double is
     bit-identical by construction)."""
     t = Tables(spark, sf_dir)
-    supply = t.lineitem.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     eur_supp = (
         t.supplier.join(
             F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
@@ -790,6 +785,30 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .where(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    small_part = F.broadcast(t.part.where(F.col("p_size") <= 5))
+    # r13 opt (guide §2.3/§3.2): both final joins are WHOLE-GROUP filters
+    # on the (partkey, suppkey) aggregate — EUROPE keeps/drops entire
+    # suppkey groups, p_size ≤ 5 entire partkey groups — so pushing them
+    # below the aggregation as broadcast semi-joins leaves every surviving
+    # group's MIN over exactly the same rows. The partkey exchange then
+    # carries ~2% of lineitem (10% small parts × 1/5 EUROPE) instead of
+    # all of it; the window reuses that exchange as before.
+    lines = (
+        t.lineitem.join(
+            small_part.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "semi",
+        ).join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "semi",
+        )
+    )
+    supply = lines.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     regional = supply.join(
         F.broadcast(eur_supp), F.col("suppkey") == F.col("s_suppkey")
@@ -799,7 +818,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         regional.withColumn("min_cost", F.min("unit_cost").over(w))
         .where(F.col("unit_cost") == F.col("min_cost"))
         .join(
-            F.broadcast(t.part.where(F.col("p_size") <= 5)),
+            small_part,
             F.col("p_partkey") == F.col("partkey"),
         )
         .select(
