@@ -32,7 +32,21 @@ def _permutations(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingles array<string>) — distinct word n-grams.
+    """(id, shingles array<bigint>) — distinct word n-grams, each gram
+    carried as its 64-bit ``xxhash64`` (seed 42, Spark's default).
+
+    r13 opt (guide §2.3/§8 — shuffle and compare a lightweight proxy,
+    not the payload): every downstream consumer uses shingles only
+    through set SIZE, intersection COUNTS, and the MinHash base hash
+    ``pmod(xxhash64(gram), p)`` — none needs the gram text. Hashing at
+    the source makes the persisted frame, both verification shuffle
+    sides, and the ``array_intersect`` comparisons operate on 8-byte
+    longs instead of ~20-40-byte strings, and MinHash signatures stay
+    BIT-IDENTICAL (their base hash is a pure function of this value).
+    Jaccard counts are identical absent a 64-bit collision inside a
+    compared pair's union (P ≈ |union|²/2⁶⁵ per pair); the exact-parity
+    queries' DuckDB oracles re-prove value equality at every checked SF,
+    and tests pin hashed-vs-string jaccard equality directly.
 
     Repartitions straight off the scan: a compact doc file arrives in few
     splits, and tokenize+shingle is the compute-heavy part — it must spread
@@ -44,7 +58,7 @@ def shingle_sets(
     gram = "concat_ws(' ', " + ", ".join(f"element_at(tokens, i + {j})" for j in range(n)) + ")"
     shingle_expr = (
         f"CASE WHEN size(tokens) >= {n} "
-        f"THEN transform(sequence(1, size(tokens) - {n - 1}), i -> {gram}) "
+        f"THEN transform(sequence(1, size(tokens) - {n - 1}), i -> xxhash64({gram})) "
         "ELSE array() END"
     )
     return (
@@ -67,6 +81,12 @@ def minhash_signatures(
     permutation — h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p,
     p = 2^31-1, all JVM codegen.
 
+    The shingle column already carries ``xxhash64(gram)`` (see
+    :func:`shingle_sets`), so the base hash is ``pmod(shingle, p)`` — the
+    SAME value the pre-hashed form ``pmod(xxhash64(gram_text), p)``
+    produced, making every signature bit-identical to the string-shingle
+    implementation (pinned in tests/test_dedup.py).
+
     Formerly an explode + num_perm min-aggregates; the higher-order form
     computes the identical signatures (verified bit-equal) with ZERO
     shuffle and without materializing the ~100× shingle row blowup — at
@@ -82,7 +102,7 @@ def minhash_signatures(
     perms = _permutations(num_perm, seed)
     shingled = shingled.where(F.size("shingles") > 0)
     withh = shingled.withColumn(
-        "h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+        "h", F.transform("shingles", lambda s: F.pmod(s, F.lit(_PRIME)))
     )
     # one parsed SQL string instead of num_perm composed Column trees:
     # identical expressions (bit-equality pinned in tests), but ~1 Py4J

@@ -1377,13 +1377,19 @@ def test_trim_duplicate_spans_planted_truth(spark):
 
 def test_minhash_signature_expr_form_bit_equals_column_form(spark):
     """minhash_signatures builds its per-permutation mins as ONE parsed
-    SQL string (Py4J build-cost fix); the signatures must stay bit-equal
-    to the composed-Column formulation it replaced."""
+    SQL string over pre-hashed bigint shingles (Py4J build-cost fix +
+    r13 hashed-shingle source). The signatures must stay bit-equal to
+    the composed-Column STRING-shingle formulation they replaced:
+    shingle_sets emits xxhash64(gram), and pmod(that, p) is the same
+    base hash the old pmod(xxhash64(gram_text), p) computed — so this
+    reference rebuilds the string grams independently and pins both the
+    expr-form and the hashed-source equivalences at once."""
     from dipa_collaborative_pulsar_idps_spark.functions.dedup import (
         _PRIME,
         _permutations,
         minhash_signatures,
         shingle_sets,
+        toks_on,
     )
 
     docs = spark.createDataFrame(
@@ -1393,7 +1399,22 @@ def test_minhash_signature_expr_form_bit_equals_column_form(spark):
     sh = shingle_sets(docs)
     got = {r.id: list(r.sig) for r in minhash_signatures(sh, 16).collect()}
     perms = _permutations(16, 42)
-    withh = sh.where(F.size("shingles") > 0).withColumn(
+    # independent string-shingle reference (the pre-r13 pipeline)
+    gram = "concat_ws(' ', " + ", ".join(f"element_at(tokens, i + {j})" for j in range(3)) + ")"
+    str_sh = (
+        docs.select(F.col("doc_id").alias("id"), toks_on("text").alias("tokens"))
+        .select(
+            "id",
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(tokens) >= 3 "
+                    f"THEN transform(sequence(1, size(tokens) - 2), i -> {gram}) "
+                    "ELSE array() END"
+                )
+            ).alias("shingles"),
+        )
+    )
+    withh = str_sh.where(F.size("shingles") > 0).withColumn(
         "h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
     )
     sig = F.array(
@@ -1406,6 +1427,28 @@ def test_minhash_signature_expr_form_bit_equals_column_form(spark):
     )
     want = {r.id: list(r.sig) for r in withh.select("id", sig.alias("sig")).collect()}
     assert got == want and got
+
+    # jaccard over hashed shingles equals jaccard over string shingles
+    # (collision-free on this corpus, as at every oracle-checked SF)
+    def jac(frame):
+        a = frame.select(F.col("id").alias("ia"), F.col("shingles").alias("sa"))
+        b = frame.select(F.col("id").alias("ib"), F.col("shingles").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb"))
+        return {
+            (r.ia, r.ib): r.j
+            for r in a.join(b, F.col("ia") < F.col("ib"))
+            .select(
+                "ia",
+                "ib",
+                (
+                    inter.cast("double")
+                    / (F.size("sa") + F.size("sb") - inter)
+                ).alias("j"),
+            )
+            .collect()
+        }
+
+    assert jac(sh) == jac(str_sh)
 
 
 def test_trim_duplicate_spans_null_text_counts_zero(spark):
