@@ -20,9 +20,10 @@ probe needs, each maintainable by appending ONE batch's worth of data:
 Probe strategy (mirrors `incremental_near_dup_pairs`' probe-then-verify):
 candidate generation reads ONLY the pruned posting buckets (every neighbor
 with a nonzero TF-IDF dot shares ≥1 token with the query, so recall is
-exact); scoring then re-tokenizes just the candidate docs fetched from the
-corpus store and computes the exact tfidf cosine under the CURRENT global
-(df, N). Result: probing batch B against corpus C returns exactly
+exact); scoring then reads the candidate docs' term vectors back out of
+the posting lists themselves (they store tf) and computes the exact tfidf
+cosine under the CURRENT global (df, N) — the raw corpus store is never
+touched at probe time. Result: probing batch B against corpus C returns exactly
 ``tfidf_topk(C ∪ B, query_ids=B)`` — the equivalence the pytest contract
 pins — at O(batch + touched posting lists + candidates) cost, never
 O(corpus).
@@ -171,19 +172,31 @@ def tfidf_probe_topk(
     ``tfidf_topk(old ∪ new, query_ids=new ids)`` (the pytest contract),
     computed incrementally:
 
-    1. candidate generation: the batch's distinct tokens hash to ≤
-       *n_buckets* posting buckets; ONLY those (tb=…) partitions are read
-       (bounded collect of ≤ n_buckets ints drives partition pruning) and
-       semi-joined on the token — any neighbor with a nonzero dot shares
-       a token, so recall is exact;
-    2. verification fetch: the candidate ids (LSH-style small set) are
-       semi-joined back to the corpus store — only those docs are
-       re-tokenized;
+    1. candidate generation: the batch's distinct tokens (with their
+       bucket ids) are broadcast and semi-joined on (tb, t) — any
+       neighbor with a nonzero dot shares a token, so recall is exact,
+       and carrying ``tb`` in the join key lets dynamic partition
+       pruning skip the untouched (tb=…) leaves of a disk-resident
+       postings tree (r13 opt: this replaces an EAGER driver collect of
+       the bucket list — the probe plan is now fully lazy, one action
+       instead of a collect job + the main job);
+    2. candidate term vectors come from the INDEX ITSELF: the stored
+       posting entries already carry (doc_id, t, tf), so the candidate
+       ids are semi-joined back to the postings relation — no fetch of
+       the raw corpus and no re-tokenize (r13 opt, guide §2.4/§8: the
+       index IS the lightweight proxy; the pre-r13 path re-read + re-
+       exploded + re-aggregated the candidate documents per probe, a
+       full corpus-store scan the posting lists make redundant — the
+       tf values are identical because both derive from the same
+       deterministic tokenizer);
     3. exact scoring: the tfidf_topk math over (candidates ∪ batch) with
        the query set pinned to the batch ids, with one crucial swap:
        weights use the GLOBAL (df, N) from the incremental df/stats
        tables, never a df re-derived from the restricted frame (the
-       candidate restriction may shrink candidate mass, never df).
+       candidate restriction may shrink candidate mass, never df). The
+       global N rides as a broadcast one-row frame (n_old + the batch's
+       distinct-doc count) instead of a driver-collected literal, so no
+       eager job runs at build time.
 
     The batch term-frequency frame is persisted (it feeds df, counts,
     candidates, and scoring); the handle is appended to *persisted_out*
@@ -204,41 +217,45 @@ def tfidf_probe_topk(
         .groupBy("t")
         .agg(F.sum("df").alias("df"))
     )
-    # one driver job yields both probe scalars: batch doc count (for N)
-    # and the token-bucket set (≤ n_buckets ints, drives partition pruning)
-    probe_stats = new_tf.agg(
-        F.countDistinct("doc_id").alias("n_new"),
-        F.collect_set(
-            F.pmod(F.xxhash64("t"), F.lit(n_buckets)).cast("int")
-        ).alias("buckets"),
-    ).collect()[0]  # bounded-collect: one row, ≤ n_buckets + 1 values
-    n_total = int(n_old) + int(probe_stats["n_new"])
-    buckets = list(probe_stats["buckets"])
-
-    # 1. candidate generation over pruned posting buckets
-    qtok = new_tf.select("t").distinct()
-    # no .distinct() on the candidate ids: the semi-join below already
-    # dedupes, and the aggregate would cost one more exchange
-    cand_ids = (
-        postings.where(F.col("tb").isin(buckets))
-        .join(F.broadcast(qtok), "t", "semi")
-        .select(F.col("doc_id").alias(id_col))
+    # global N as a broadcast ONE-ROW frame: n_old (a driver int the
+    # caller already holds) + this batch's distinct-doc count — no eager
+    # collect, the count is a subquery stage over the cached batch tf
+    n_total_df = new_tf.agg(
+        (F.countDistinct("doc_id") + F.lit(int(n_old))).alias("n_total")
     )
-    # 2. fetch + re-tokenize just the candidates
-    cand_tf = _tokens(
-        old_docs.join(cand_ids, id_col, "semi"), id_col, text_col
+
+    # 1. candidate generation: broadcast the batch's (tb, t) token set
+    # into a semi-join — tb in the key drives dynamic partition pruning
+    # on a disk-partitioned postings tree; no .distinct() on the
+    # candidate ids (the semi-join below already dedupes)
+    qtok = new_tf.select("t").distinct().withColumn(
+        "tb", F.pmod(F.xxhash64("t"), F.lit(n_buckets)).cast("int")
+    )
+    cand_ids = (
+        postings.join(F.broadcast(qtok), ["tb", "t"], "semi").select("doc_id")
+    )
+    # 2. candidate term vectors straight from the stored posting lists
+    # (they carry tf — same deterministic tokenizer, so identical values)
+    cand_tf = postings.select("doc_id", "t", "tf").join(
+        cand_ids, "doc_id", "semi"
     )
     # 3. exact tfidf cosine under GLOBAL (df, N) — same math/rounding as
-    # tfidf_topk, with df supplied instead of re-derived
+    # tfidf_topk, with df supplied instead of re-derived; N arrives via
+    # the broadcast one-row frame (identical double arithmetic: long N
+    # cast to double exactly as the old literal was)
     both = cand_tf.unionByName(new_tf)
     w = (
         both.join(df_all, "t")
-        .where(F.col("df") < F.lit(n_total))
-        .where(F.col("df") <= F.lit(float(max_df_frac)) * F.lit(n_total))
+        .crossJoin(F.broadcast(n_total_df))
+        .where(F.col("df") < F.col("n_total"))
+        .where(F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_total"))
         .select(
             "doc_id",
             "t",
-            (F.col("tf") * F.log(F.lit(float(n_total)) / F.col("df"))).alias("w"),
+            (
+                F.col("tf")
+                * F.log(F.col("n_total").cast("double") / F.col("df"))
+            ).alias("w"),
         )
         # three consumers below (norms + both join sides) — without the
         # persist each re-runs the candidate fetch + tokenize + df join
