@@ -196,7 +196,15 @@ def tfidf_probe_topk(
        candidate restriction may shrink candidate mass, never df). The
        global N rides as a broadcast one-row frame (n_old + the batch's
        distinct-doc count) instead of a driver-collected literal, so no
-       eager job runs at build time.
+       eager job runs at build time. r13 job-count fix (guide §1.1/§2.4 —
+       the probe is overhead-bound at bench scale, 27 jobs/action, most
+       of them broadcast-exchange subqueries re-running the not-yet-
+       filled caches): the query side is an ``is_new`` flag carried
+       through the union instead of a broadcast semi-join on the batch
+       ids, and per-doc norms ride ON the weight rows via a window over
+       the persisted frame instead of two broadcast joins against a
+       norm aggregate — same ``round(dot/(nq·nc), 6)`` arithmetic, three
+       broadcast exchanges (and their upstream re-runs) gone.
 
     The batch term-frequency frame is persisted (it feeds df, counts,
     candidates, and scoring); the handle is appended to *persisted_out*
@@ -243,31 +251,43 @@ def tfidf_probe_topk(
     # tfidf_topk, with df supplied instead of re-derived; N arrives via
     # the broadcast one-row frame (identical double arithmetic: long N
     # cast to double exactly as the old literal was)
-    both = cand_tf.unionByName(new_tf)
+    both = cand_tf.withColumn("is_new", F.lit(False)).unionByName(
+        new_tf.withColumn("is_new", F.lit(True))
+    )
+    # df_all is vocabulary-sized by construction (same bound the static
+    # twin tfidf_topk broadcasts its df table under)
     w = (
-        both.join(df_all, "t")
+        both.join(F.broadcast(df_all), "t")
         .crossJoin(F.broadcast(n_total_df))
         .where(F.col("df") < F.col("n_total"))
         .where(F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_total"))
         .select(
             "doc_id",
             "t",
+            "is_new",
             (
                 F.col("tf")
                 * F.log(F.col("n_total").cast("double") / F.col("df"))
             ).alias("w"),
         )
-        # three consumers below (norms + both join sides) — without the
-        # persist each re-runs the candidate fetch + tokenize + df join
+        # per-doc norm rides ON the rows (window over the doc key) so the
+        # scoring join needs no norm-aggregate broadcasts; same shuffle
+        # key the old groupBy("doc_id") aggregate paid
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id"))
+            ),
+        )
+        # two consumers below (both join sides) — without the persist
+        # each re-runs the candidate fetch + df join + norm window
         .persist()
     )
     if persisted_out is not None:
         persisted_out.append(w)
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    new_ids = new_tf.select("doc_id").distinct()
-    q = w.join(F.broadcast(new_ids), "doc_id", "semi").alias("q")
+    q = w.where(F.col("is_new")).alias("q")
     c = w.alias("c")
-    dots = (
+    scored = (
         q.join(
             c,
             (F.col("q.t") == F.col("c.t")) & (F.col("q.doc_id") != F.col("c.doc_id")),
@@ -275,13 +295,11 @@ def tfidf_probe_topk(
         .groupBy(
             F.col("q.doc_id").alias("query_id"), F.col("c.doc_id").alias("neighbor_id")
         )
-        .agg(F.sum(F.col("q.w") * F.col("c.w")).alias("dot"))
-    )
-    nq = nrm.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nq"))
-    nc = nrm.select(F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("nc"))
-    scored = (
-        dots.join(F.broadcast(nq), "query_id")
-        .join(F.broadcast(nc), "neighbor_id")
+        .agg(
+            F.sum(F.col("q.w") * F.col("c.w")).alias("dot"),
+            F.max(F.col("q.nrm")).alias("nq"),
+            F.max(F.col("c.nrm")).alias("nc"),
+        )
         .select(
             "query_id",
             "neighbor_id",
