@@ -474,6 +474,21 @@ def pick_grouped_quantile_strategy(
     return "range" if max_group_rows > max_rows_per_group else "window"
 
 
+#: Session-memoized routing decisions (r13): the max-group-size probe is
+#: a full aggregate pass whose ONLY output is the window-vs-range branch
+#: choice, and "the router never changes the answer" — both branches
+#: return identical values (property-tested) — so re-probing the same
+#: (session, caller-key) on every invocation re-measures a known fact.
+#: Memoizing the BRANCH (a string, not any data) is correctness-free by
+#: construction; cleared with the other session caches.
+_ROUTE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def clear_route_memo() -> None:
+    """Forget memoized window/range routing decisions (lifecycle end)."""
+    _ROUTE_MEMO.clear()
+
+
 def grouped_exact_quantiles_auto(
     df: DataFrame,
     group_cols: list[str],
@@ -481,6 +496,8 @@ def grouped_exact_quantiles_auto(
     qs: list[float],
     max_rows_per_group: int = GROUPED_QUANTILE_TASK_ROWS,
     n_parts: int = 64,
+    persisted_out: list | None = None,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Per-group PERCENTILE_CONT with AUTOMATIC strategy choice — callers
     who don't know their group shape get the right plan instead of a
@@ -500,32 +517,75 @@ def grouped_exact_quantiles_auto(
     Both return the identical long format ``(*group_cols, q, value)``
     and the same IEEE interpolation, so the router never changes the
     answer — a property test certifies result equality against both
-    manual forms in both regimes. The result is eagerly pinned
-    (|groups|·|qs| rows — metadata scale) so the sliver cache can be
-    released before returning. Callers with table stats in hand can skip
-    the probe by calling the manual forms directly."""
+    manual forms in both regimes. By default the result is eagerly
+    pinned (|groups|·|qs| rows — metadata scale) so the sliver cache can
+    be released before returning. Callers with table stats in hand can
+    skip the probe by calling the manual forms directly.
+
+    ``persisted_out`` (r13, guide §1.1 — the eager pin was a large,
+    per-invocation build-phase cost at bench scale): when the caller
+    owns the sliver cache's lifecycle (appends here, unpersists after
+    its action — the engine's standard drained-per-invocation list
+    pattern), the WINDOW branch is returned LAZY: the only eager work
+    left is the routing probe (one map-side-combined count aggregate,
+    which doubles as the cache fill), and the selection itself runs
+    inside the caller's own action instead of as an extra pinned job.
+    The RANGE branch keeps its eager pin in both modes — it must
+    release its internal range-metadata state deterministically, and
+    its output is metadata-scale.
+
+    ``memo_key`` (r13): a caller-chosen stable label (e.g. "<query>:
+    <sf_dir>") under which the ROUTING DECISION is memoized per session.
+    The probe's only output is the branch choice, and both branches are
+    value-identical, so repeat invocations skip the probe job (and, in
+    the lazy window branch, the then-single-consumer sliver persist)
+    with zero correctness exposure. First invocation still probes."""
     from pyspark import StorageLevel
 
+    lazy = persisted_out is not None
+    sc_app = df.sparkSession.sparkContext.applicationId
+    mk = (sc_app, memo_key) if memo_key is not None else None
+    strategy = _ROUTE_MEMO.get(mk) if mk is not None else None
+
+    if strategy is not None and lazy:
+        if strategy == "range":
+            vals = _grouped_vals(df, group_cols, col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )  # the range form scans the sliver several times
+            persisted_out.append(vals)
+            return grouped_exact_quantiles_df(
+                df, group_cols, col, qs, n_parts=n_parts, _vals=vals
+            )
+        # window branch with the probe memoized: the sliver has exactly
+        # ONE consumer (the window pass) — no persist needed at all
+        return grouped_exact_quantiles_window(df, group_cols, col, qs)
+
     vals = _grouped_vals(df, group_cols, col).persist(StorageLevel.MEMORY_AND_DISK)
+    if lazy:
+        persisted_out.append(vals)
     try:
-        mx = (
-            vals.groupBy("gk")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c").alias("mx"))
-            .first()
-            .mx
-        )
-        if mx is None:  # no non-null values anywhere: empty long frame
-            return grouped_exact_quantiles_window(
-                df, group_cols, col, qs, _vals=vals
-            ).localCheckpoint(eager=True)
-        strategy = pick_grouped_quantile_strategy(int(mx), max_rows_per_group)
+        if strategy is None:
+            mx = (
+                vals.groupBy("gk")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("mx"))
+                .first()
+                .mx
+            )
+            if mx is None:  # no non-null values anywhere: empty long frame
+                out = grouped_exact_quantiles_window(
+                    df, group_cols, col, qs, _vals=vals
+                )
+                return out if lazy else out.localCheckpoint(eager=True)
+            strategy = pick_grouped_quantile_strategy(int(mx), max_rows_per_group)
+            if mk is not None:
+                _ROUTE_MEMO[mk] = strategy
         if strategy == "range":
             return grouped_exact_quantiles_df(
                 df, group_cols, col, qs, n_parts=n_parts, _vals=vals
             )  # already localCheckpoint(eager)-pinned by the range form
-        return grouped_exact_quantiles_window(
-            df, group_cols, col, qs, _vals=vals
-        ).localCheckpoint(eager=True)
+        out = grouped_exact_quantiles_window(df, group_cols, col, qs, _vals=vals)
+        return out if lazy else out.localCheckpoint(eager=True)
     finally:
-        vals.unpersist()
+        if not lazy:
+            vals.unpersist()

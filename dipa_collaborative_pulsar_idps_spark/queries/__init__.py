@@ -18,6 +18,9 @@ def clear_all_caches() -> None:
         datapipe7,
         datapipe8,
         media,
+        relational_ext,
+        relational_ext2,
+        scalars,
     )
 
     datapipe2.clear_shingle_cache()
@@ -37,6 +40,13 @@ def clear_all_caches() -> None:
     datapipe8.clear_js_dist_cache()
     datapipe8.clear_tfidf_index_cache()
     media.clear_media_count_cache()
+    relational_ext.clear_pctl_persists()
+    relational_ext2.clear_median_persists()
+    scalars.clear_variant_persists()
+
+    from ..operators import selection
+
+    selection.clear_route_memo()
 
 
 __all__ = [

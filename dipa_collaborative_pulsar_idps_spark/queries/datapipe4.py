@@ -32,8 +32,21 @@ _COMPONENT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_component_cache() -> None:
-    """Drop memoized cluster-label frames (explicit lifecycle end)."""
+    """Drop memoized cluster-label frames and the exact-percentile
+    sliver persists (explicit lifecycle end)."""
     _COMPONENT_CACHE.clear()
+    for _df in _PCTL_PERSISTS:
+        try:
+            _df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _PCTL_PERSISTS.clear()
+
+
+#: Sliver persists handed back by grouped_exact_quantiles_auto on behalf
+#: of `exact_price_percentiles` — drained per invocation so the selection
+#: can run lazily inside the query's own action (r13).
+_PCTL_PERSISTS: list[DataFrame] = []
 
 
 def _embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,10 +469,22 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrows a task, as it does at 100 TB."""
     from ..operators.selection import grouped_exact_quantiles_auto
 
+    # drain the previous invocation's sliver persist (owned lifecycle —
+    # lets the selection run lazily inside this query's own action
+    # instead of as an eagerly pinned extra job)
+    for _df in _PCTL_PERSISTS:
+        try:
+            _df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _PCTL_PERSISTS.clear()
+
     t = Tables(spark, sf_dir)
     qdf = grouped_exact_quantiles_auto(
         t.lineitem, ["l_returnflag"], "l_extendedprice", [0.5, 0.95, 0.99],
         n_parts=32,  # right-sized for the bench corpus; raise with data scale
+        persisted_out=_PCTL_PERSISTS,
+        memo_key=f"exact_price_percentiles:{sf_dir}",
     )
     return qdf.groupBy("l_returnflag").agg(
         F.round(F.max(F.when(F.col("q") == 0.5, F.col("value"))), 4).alias("p50"),

@@ -125,13 +125,24 @@ def price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-format quantile frame pivots wide and broadcasts back."""
     from ..operators.selection import grouped_exact_quantiles_auto
 
+    # drain the previous invocation's sliver persist (owned lifecycle —
+    # lets the selection run lazily inside this query's own action)
+    for _df in _BRAND_PCTL_PERSISTS:
+        try:
+            _df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _BRAND_PCTL_PERSISTS.clear()
+
     t = Tables(spark, sf_dir)
     base = t.part.groupBy("p_brand").agg(
         F.min("p_retailprice").alias("min_price"),
         F.max("p_retailprice").alias("max_price"),
     )
     qdf = grouped_exact_quantiles_auto(
-        t.part, ["p_brand"], "p_retailprice", [0.5, 0.9], n_parts=32
+        t.part, ["p_brand"], "p_retailprice", [0.5, 0.9], n_parts=32,
+        persisted_out=_BRAND_PCTL_PERSISTS,
+        memo_key=f"price_percentiles_by_brand:{sf_dir}",
     )
     wide = qdf.groupBy("p_brand").agg(
         F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("median_price"),
@@ -140,6 +151,21 @@ def price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(F.broadcast(wide), "p_brand", "left").select(
         "p_brand", "median_price", "p90_price", "min_price", "max_price"
     )
+
+
+#: Sliver persists handed back by grouped_exact_quantiles_auto on behalf
+#: of `price_percentiles_by_brand` — drained per invocation (r13).
+_BRAND_PCTL_PERSISTS: list[DataFrame] = []
+
+
+def clear_pctl_persists() -> None:
+    """Unpersist the brand-percentile sliver persists (lifecycle end)."""
+    for _df in _BRAND_PCTL_PERSISTS:
+        try:
+            _df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _BRAND_PCTL_PERSISTS.clear()
 
 
 @query(

@@ -220,6 +220,17 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join, matching PERCENTILE_CONT over zero rows."""
     from ..operators.selection import grouped_exact_quantiles_auto
 
+    # drain the previous invocation's persists (owned lifecycle — r13:
+    # the eager base pin + eagerly pinned selection were the dominant
+    # per-invocation build cost; with the caches owned across the call
+    # everything below runs lazily inside the query's own action)
+    for _df in _VARIANT_PERSISTS:
+        try:
+            _df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _VARIANT_PERSISTS.clear()
+
     t = Tables(spark, sf_dir)
     v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
@@ -227,27 +238,26 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is persisted and feeds the base aggregates AND the selection
     # passes (boundary sample + range counts) — re-deriving the parse in
     # each consumer would multiply the dominant cost of this query. The
-    # int sum is exact through the double projection (|k| ≪ 2^53); the
-    # selection result materializes eagerly at |groups|·|qs| rows, so
-    # the cache releases immediately after.
+    # int sum is exact through the double projection (|k| ≪ 2^53). The
+    # routing probe inside the auto router fills both caches (its vals
+    # sliver nests this frame's scan), so the base aggregate and the
+    # selection read cached rows at action time — no re-parse.
     kd = t.events.select("event_type", k.alias("ki")).persist()
-    try:
-        # |groups|-row aggregate, pinned eagerly while the cache is hot so
-        # the deferred execution of the returned join can't re-parse
-        base = kd.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count("ki").alias("n_with_k"),
-            F.sum("ki").cast("long").alias("sum_k"),
-        ).localCheckpoint(eager=True)
-        qdf = grouped_exact_quantiles_auto(
-            kd.select("event_type", F.col("ki").cast("double").alias("kv")),
-            ["event_type"],
-            "kv",
-            [0.5],
-            n_parts=32,
-        )
-    finally:
-        kd.unpersist()
+    _VARIANT_PERSISTS.append(kd)
+    base = kd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("ki").alias("n_with_k"),
+        F.sum("ki").cast("long").alias("sum_k"),
+    )
+    qdf = grouped_exact_quantiles_auto(
+        kd.select("event_type", F.col("ki").cast("double").alias("kv")),
+        ["event_type"],
+        "kv",
+        [0.5],
+        n_parts=32,
+        persisted_out=_VARIANT_PERSISTS,
+        memo_key=f"variant_props_metrics:{sf_dir}",
+    )
     p50 = qdf.groupBy("event_type").agg(
         F.max(F.col("value")).alias("p50_raw")  # single q=0.5 row per group
     )
@@ -258,3 +268,19 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_k",
         F.round("p50_raw", 4).alias("p50_k"),
     )
+
+
+#: Persists owned on behalf of `variant_props_metrics` (the parsed
+#: variant sliver + the selection's vals sliver) — drained per
+#: invocation (r13).
+_VARIANT_PERSISTS: list[DataFrame] = []
+
+
+def clear_variant_persists() -> None:
+    """Unpersist the variant-metrics persists (lifecycle end)."""
+    for _df in _VARIANT_PERSISTS:
+        try:
+            _df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _VARIANT_PERSISTS.clear()

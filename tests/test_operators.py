@@ -807,6 +807,59 @@ def test_grouped_exact_quantiles_auto_routes_and_matches(spark, monkeypatch):
     assert out.columns == ["g", "q", "value"] and out.count() == 0
 
 
+def test_grouped_exact_quantiles_auto_lazy_and_route_memo(spark):
+    """r13 optimization contracts of the auto router: (a) the lazy mode
+    (persisted_out) returns values identical to the eager default in
+    BOTH regimes; (b) memo_key memoizes only the BRANCH — a repeat call
+    skips the probe (no new persist handle in the window branch) and
+    still returns identical values; (c) clear_route_memo forgets it."""
+    from dipa_collaborative_pulsar_idps_spark.operators import selection as sel
+
+    qs = [0.1, 0.5, 0.9]
+    small = spark.range(6_000).select(
+        F.pmod("id", F.lit(500)).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(997)) * 0.25).alias("v"),
+    )
+    giant = spark.range(6_000).select(
+        F.pmod("id", F.lit(3)).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(997)) * 0.25).alias("v"),
+    )
+    for df_in, kwargs in (
+        (small, {}),
+        (giant, {"max_rows_per_group": 1_000, "n_parts": 8}),
+    ):
+        eager = {
+            (r.g, r.q): r.value
+            for r in sel.grouped_exact_quantiles_auto(df_in, ["g"], "v", qs, **kwargs).collect()
+        }
+        handles: list = []
+        lazy = {
+            (r.g, r.q): r.value
+            for r in sel.grouped_exact_quantiles_auto(
+                df_in, ["g"], "v", qs, persisted_out=handles,
+                memo_key="t:lazy", **kwargs
+            ).collect()
+        }
+        assert lazy == eager and handles  # first call probes → persist handed back
+        # memoized repeat: window branch hands back NO new persist (the
+        # sliver has one consumer), range branch still persists its sliver
+        handles2: list = []
+        memo = {
+            (r.g, r.q): r.value
+            for r in sel.grouped_exact_quantiles_auto(
+                df_in, ["g"], "v", qs, persisted_out=handles2,
+                memo_key="t:lazy", **kwargs
+            ).collect()
+        }
+        assert memo == eager
+        branch = sel._ROUTE_MEMO[(spark.sparkContext.applicationId, "t:lazy")]
+        assert bool(handles2) == (branch == "range")
+        for h in handles + handles2:
+            h.unpersist()
+        sel.clear_route_memo()
+    assert not sel._ROUTE_MEMO
+
+
 def test_media_ops_degrade_on_corrupt_blobs(spark):
     """One corrupt blob of ANY modality degrades its own row (stub
     features / pass-through resize), never the task — and the fused
