@@ -166,6 +166,7 @@ def tfidf_probe_topk(
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_df_frac: float = 1.0,
     persisted_out: list | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-*k* TF-IDF neighbors (query_id, neighbor_id, cosine, rk) of
     every *new_docs* doc over the combined corpus — EQUAL to
@@ -285,7 +286,16 @@ def tfidf_probe_topk(
     )
     if persisted_out is not None:
         persisted_out.append(w)
-    q = w.where(F.col("is_new")).alias("q")
+    # the query side is the PROBE BATCH's weight rows — bounded by the
+    # micro-batch size at any corpus scale, while the candidate side grows
+    # with the corpus. The planner can't see that (q is a filter over the
+    # persisted w relation, so it inherits w's size estimate and picks a
+    # sort-merge join — two exchanges + sorts of the candidate rows); the
+    # broadcast hint encodes it (guide §3.1), making the dots join map-side
+    # over the candidate weights. `broadcast_queries=False` is the escape
+    # hatch for probe batches large enough that shuffling is cheaper.
+    q_rows = w.where(F.col("is_new"))
+    q = (F.broadcast(q_rows) if broadcast_queries else q_rows).alias("q")
     c = w.alias("c")
     scored = (
         q.join(

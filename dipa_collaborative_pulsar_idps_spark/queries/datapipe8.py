@@ -428,6 +428,7 @@ def tfidf_topk(
     k: int = _TFIDF_TOPK,
     max_df_frac: float = 1.0,
     query_ids: list[int] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Operator form of :func:`tfidf_topk_similar_docs` over any document
     frame (see the declared query's docstring for the contract and scale
@@ -473,8 +474,17 @@ def tfidf_topk(
         if query_ids is not None
         else F.col("q.doc_id") < n_queries
     )
+    # the query side is bounded (n_queries docs / the probe's query_ids)
+    # while the corpus side grows with the data; the planner can't see
+    # that through the self-join of the derived w relation and picks a
+    # sort-merge join — shuffling ALL corpus weight rows by token. The
+    # broadcast hint (guide §3.1) makes the dots join map-side: the
+    # corpus side's only remaining exchange is the (query, neighbor)
+    # partial aggregate. `broadcast_queries=False` keeps the shuffle form
+    # for callers with unbounded query sets.
+    q_side = q.where(q_pred)
     dots = (
-        q.where(q_pred)
+        (F.broadcast(q_side) if broadcast_queries else q_side)
         .join(
             c,
             (F.col("q.t") == F.col("c.t"))
