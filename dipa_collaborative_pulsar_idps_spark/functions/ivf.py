@@ -283,19 +283,30 @@ def ivf_search(
     return topk(scored, k)
 
 
-def _write_ivf_tree(assigned: DataFrame, centroids: DataFrame, root: str) -> None:
+def _write_ivf_tree(
+    assigned: DataFrame, centroids: DataFrame, root: str
+) -> tuple[float, int]:
     """The index trees themselves (lists hive-partitioned by list_id +
     centroids + the stats/batch_id=base baseline) into *root* — shared by
     :func:`save_ivf_index` (root = the index path) and
-    :func:`ivf_retrain` (root = a fresh generation dir)."""
+    :func:`ivf_retrain` (root = a fresh generation dir). Returns the
+    baseline ``(mean_sq_err, n_vectors)`` it stamped.
+
+    The baseline is measured on the READ-BACK of the just-written lists —
+    the same measure-what-serving-scans contract as the append path (r11
+    advisor there), and one full pass cheaper: measuring the in-memory
+    ``assigned`` frame re-ran its whole lazy subtree (corpus scan + the
+    assignment Arrow pass) a second time (r13 opt, guide §1.2)."""
     assigned.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{root}/lists")
     centroids.write.mode("overwrite").parquet(f"{root}/centroids")
-    err, n = quantization_error(assigned, centroids)
     spark = centroids.sparkSession
+    committed = spark.read.parquet(f"{root}/lists").select("vec_id", "e", "list_id")
+    err, n = quantization_error(committed, centroids)
     _write_stats_row(spark, root, "base", n, err, seq=0)
     _mark_committed(spark, root)  # LAST: marker-presence ⇒ complete tree
+    return err, n
 
 
 def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
@@ -358,14 +369,25 @@ def _read_delta_dir(spark, root: str, cols: tuple[str, ...]) -> DataFrame | None
     return spark.read.parquet(root).select(*cols)
 
 
+#: The stats-row schema every `_write_stats_row` since the commit_seq
+#: format stamps (batch_id is the hive partition column). Reading with
+#: this EXPLICIT schema skips the mergeSchema footer-merge pass (one
+#: extra job per read — r13 opt, guide §5 driver round-trips) while
+#: keeping the same legacy tolerance: parquet files written before the
+#: ``commit_seq`` column simply read it as NULL, exactly what mergeSchema
+#: produced for them.
+_STATS_SCHEMA = "n_vectors long, mean_sq_err double, commit_seq long, batch_id string"
+
+
 def _stats_rows(spark, path: str) -> list:
     """Every committed ``stats/batch_id=*`` row (empty list when no stats
-    tree exists). Read with mergeSchema so rows written before the
-    ``commit_seq`` column coexist with new ones."""
+    tree exists). Read with the explicit stats schema so rows written
+    before the ``commit_seq`` column coexist with new ones (they read a
+    NULL commit_seq) without paying mergeSchema's footer-merge job."""
     fs, stats_path = _hadoop_fs(spark, f"{path}/stats")
     if not fs.exists(stats_path):
         return []
-    return spark.read.option("mergeSchema", "true").parquet(f"{path}/stats").collect()  # bounded-collect: one row per committed batch
+    return spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()  # bounded-collect: one row per committed batch
 
 
 def _base_and_appended(rows: list, path: str) -> tuple[dict, int]:
@@ -398,6 +420,22 @@ def read_index_stats(spark, path: str) -> tuple[dict, int]:
     """(base stats row as a dict, total appended row count) from the
     ``stats/batch_id=*`` commits — the inputs to the retrain triggers."""
     return _base_and_appended(_stats_rows(spark, path), path)
+
+
+def _post_append_stats(stats_before: list, batch_id: str, batch_n: int) -> int:
+    """Total appended row count AFTER committing ``batch_id`` with
+    ``batch_n`` rows, derived from the pre-commit stats rows — identical
+    by construction to re-reading the stats tree (the tree after the
+    commit is exactly ``stats_before`` with this batch's row added or, on
+    a replay, overwritten), without the extra read+collect round trip the
+    append paths used to pay per commit (r13 opt, guide §5)."""
+    prior_n = sum(
+        int(r["n_vectors"]) for r in stats_before if r["batch_id"] == batch_id
+    )
+    appended_before = sum(
+        int(r["n_vectors"]) for r in stats_before if r["batch_id"] != "base"
+    )
+    return appended_before - prior_n + batch_n
 
 
 def _commit_seq_for(rows: list, batch_id: str) -> int:
@@ -531,7 +569,10 @@ def ivf_append_batch(
         spark, root, batch_id, batch_n, batch_err,
         seq=_commit_seq_for(stats_before, batch_id),
     )
-    base, appended_n = read_index_stats(spark, root)
+    # post-commit ledger state derived from the pre-commit rows + the row
+    # just stamped (identical to a re-read by construction; r13 opt —
+    # this was a second stats read+collect per append)
+    appended_n = _post_append_stats(stats_before, batch_id, batch_n)
     drift = _drift_ratio(batch_err, base["mean_sq_err"])
     appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
     return {
@@ -589,7 +630,7 @@ def ivf_retrain(
         sample_per_list=sample_per_list,
     )
     gen = _next_generation(spark, path)
-    _write_ivf_tree(assigned, centroids, f"{path}/{gen}")
+    err, n = _write_ivf_tree(assigned, centroids, f"{path}/{gen}")
     _write_pointer(spark, path, gen)
     if prune_old:
         if old_root == path:  # flat pre-generation layout
@@ -597,11 +638,12 @@ def ivf_retrain(
                 _delete_tree(spark, f"{path}/{sub}")
         else:
             _delete_tree(spark, old_root)
-    base, _ = read_index_stats(spark, f"{path}/{gen}")
+    # the staged tree's baseline is the stamp _write_ivf_tree just wrote —
+    # no need to read the stats tree back (r13 opt, guide §5)
     return {
         "generation": gen,
-        "n_vectors": base["n_vectors"],
-        "mean_sq_err": base["mean_sq_err"],
+        "n_vectors": n,
+        "mean_sq_err": err,
         "n_list": n_list,
     }
 
@@ -624,8 +666,10 @@ def index_health(spark, path: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     root = _resolve_root(spark, path)
-    # tiny: one row per batch; mergeSchema tolerates pre-commit_seq rows
-    stats = spark.read.option("mergeSchema", "true").parquet(f"{root}/stats")
+    # tiny: one row per batch; the explicit schema tolerates
+    # pre-commit_seq rows (they read commit_seq NULL) without
+    # mergeSchema's footer-merge job (r13 opt)
+    stats = spark.read.schema(_STATS_SCHEMA).parquet(f"{root}/stats")
     base = stats.where(F.col("batch_id") == "base").select(
         F.col("n_vectors").alias("base_n"), F.col("mean_sq_err").alias("base_err")
     )

@@ -493,10 +493,11 @@ def save_ivfpq_index(
 
 def _write_ivfpq_tree(
     assigned: DataFrame, centroids: DataFrame, codebooks: np.ndarray, root: str
-) -> None:
+) -> tuple[float, int]:
     """The IVF-PQ trees (residual codes + centroids + codebooks + base
     stats) into *root*, ``_COMMITTED`` marker last — shared by
-    :func:`save_ivfpq_index` and :func:`ivfpq_retrain`."""
+    :func:`save_ivfpq_index` and :func:`ivfpq_retrain`. Returns the
+    baseline ``(mean_sq_err, n_vectors)`` it stamped."""
     from .ivf import _mark_committed, _write_stats_row
 
     res = _residuals(assigned, centroids)
@@ -510,6 +511,7 @@ def _write_ivfpq_tree(
     err, n = pq_reconstruction_error(res.select("vec_id", "e"), codebooks)
     _write_stats_row(spark, root, "base", n, err, seq=0)
     _mark_committed(spark, root)  # LAST: marker-presence ⇒ complete tree
+    return err, n
 
 
 def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, np.ndarray]:
@@ -630,11 +632,11 @@ def ivfpq_append_batch(
         _base_and_appended,
         _commit_seq_for,
         _drift_ratio,
+        _post_append_stats,
         _resolve_root,
         _round_ratio,
         _stats_rows,
         _write_stats_row,
-        read_index_stats,
     )
 
     root = _resolve_root(spark, path)
@@ -683,7 +685,10 @@ def ivfpq_append_batch(
         spark, root, batch_id, batch_n, batch_err,
         seq=_commit_seq_for(stats_before, batch_id),
     )
-    base, appended_n = read_index_stats(spark, root)
+    # post-commit ledger state from the pre-commit rows + the stamped row
+    # (identical to a re-read by construction; r13 opt — was a second
+    # stats read+collect per append)
+    appended_n = _post_append_stats(stats_before, batch_id, batch_n)
     drift = _drift_ratio(batch_err, base["mean_sq_err"])
     appended_frac = appended_n / base["n_vectors"] if base["n_vectors"] else 0.0
     return {
@@ -730,7 +735,6 @@ def ivfpq_retrain(
         _resolve_root,
         _write_pointer,
         build_ivf_index,
-        read_index_stats,
     )
 
     old_root = _resolve_root(spark, path)
@@ -747,7 +751,7 @@ def ivfpq_retrain(
         assigned, centroids, dim, m=m, ksub=ksub, seed=seed, sample_cap=sample_cap
     )
     gen = _next_generation(spark, path)
-    _write_ivfpq_tree(assigned, centroids, codebooks, f"{path}/{gen}")
+    err, n = _write_ivfpq_tree(assigned, centroids, codebooks, f"{path}/{gen}")
     _write_pointer(spark, path, gen)
     if prune_old:
         if old_root == path:  # flat pre-generation layout
@@ -755,11 +759,12 @@ def ivfpq_retrain(
                 _delete_tree(spark, f"{path}/{sub}")
         else:
             _delete_tree(spark, old_root)
-    base, _ = read_index_stats(spark, f"{path}/{gen}")
+    # the staged tree's baseline is the stamp _write_ivfpq_tree just
+    # wrote — no need to read the stats tree back (r13 opt, guide §5)
     return {
         "generation": gen,
-        "n_vectors": base["n_vectors"],
-        "mean_sq_err": base["mean_sq_err"],
+        "n_vectors": n,
+        "mean_sq_err": err,
         "n_list": n_list,
         "m": m,
         "ksub": ksub,

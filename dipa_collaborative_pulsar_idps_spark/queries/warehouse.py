@@ -310,14 +310,25 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.selection import exact_quantiles
 
     t = Tables(spark, sf_dir)
-    freqs = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq"))
-    base = freqs.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("freq").alias("n_rows"),
-        F.max("freq").alias("max_freq"),
-        F.avg("freq").alias("avg_freq"),
-    ).first()
-    p50, p99 = exact_quantiles(freqs, "freq", [0.5, 0.99], n_parts=32)
+    # persisted for the builder's OWN two eager consumers (the base
+    # aggregate and the quantile machinery) so the events scan + the
+    # user_id shuffle run once, not twice (r13 opt, guide §5: the
+    # docstring's "costs exactly the shuffle the join itself would pay"
+    # was paying it twice); released before returning — the returned
+    # frame is built from the collected scalars and holds no reference.
+    freqs = (
+        t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq")).persist()
+    )
+    try:
+        base = freqs.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("freq").alias("n_rows"),
+            F.max("freq").alias("max_freq"),
+            F.avg("freq").alias("avg_freq"),
+        ).first()
+        p50, p99 = exact_quantiles(freqs, "freq", [0.5, 0.99], n_parts=32)
+    finally:
+        freqs.unpersist()
     raw = spark.createDataFrame(
         [(base.n_keys, base.n_rows, base.max_freq, p50, p99, base.avg_freq)],
         "n_keys bigint, n_rows bigint, max_freq bigint, "
