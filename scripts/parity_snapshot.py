@@ -417,7 +417,9 @@ def banded_dial_quality(spark, sf_dir: str, dial_dfs: dict) -> dict[str, dict]:
     # shared serving build's cluster sizes
     from dipa_collaborative_pulsar_idps_spark.queries.datapipe3 import _ivfpq_build
 
-    assigned, _, _ = _ivfpq_build(spark, sf_dir)
+    # r13: _ivfpq_build returns (assigned, centroids, cb, encoded) — the
+    # encode-once serving memo added a 4th element
+    assigned = _ivfpq_build(spark, sf_dir)[0]
     sizes = [r["c"] for r in assigned.groupBy("list_id").agg(
         F.count("*").alias("c")).collect()]
     sem_cand = sum(c * (c - 1) // 2 for c in sizes)
