@@ -170,8 +170,10 @@ def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
     """Persist the merge table (rank-ordered) as parquet — the tokenizer
     artifact of a 'train once, apply in every job' pipeline (the BPE
     analogue of functions/ivf.save_ivf_index)."""
+    from ..localdf import local_rows_df
+
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    spark.createDataFrame(rows, "rank int, a string, b string").coalesce(1).write.mode(
+    local_rows_df(spark, rows, "rank int, a string, b string").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
 

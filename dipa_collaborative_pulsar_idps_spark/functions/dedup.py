@@ -249,7 +249,10 @@ def save_lsh_index(
     _write_batch_partitions(
         entries, f"{path}/bands", ingest_batch, partition_cols=("band", "ingest_batch")
     )
-    spark.createDataFrame(
+    from ..localdf import local_rows_df
+
+    local_rows_df(
+        spark,
         [(num_perm, bands, rows_per_band, shingle_n, seed)],
         "num_perm int, bands int, rows_per_band int, shingle_n int, seed int",
     ).write.mode("overwrite").parquet(f"{path}/meta")

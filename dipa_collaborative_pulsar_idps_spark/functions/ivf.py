@@ -211,7 +211,10 @@ def build_ivf_index(
     cents = _lloyd(x, n_list, seed)
     assigned = _assign_to_centroids(corpus, cents)
     spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
+    from ..localdf import local_rows_df
+
+    centroids = local_rows_df(
+        spark,
         [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
     )
@@ -510,8 +513,12 @@ def _write_stats_row(
     :func:`_commit_seq_for`) instead of appending a duplicate (the
     exactly-once shape). ``commit_seq`` records commit ORDER — base is 0 —
     so the health ledger never depends on batch_id lexicographics."""
-    spark.createDataFrame(
-        [(n, err, int(seq))], "n_vectors long, mean_sq_err double, commit_seq long"
+    from ..localdf import local_rows_df
+
+    local_rows_df(
+        spark,
+        [(int(n), float(err), int(seq))],
+        "n_vectors long, mean_sq_err double, commit_seq long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats/batch_id={batch_id}")
 
 
@@ -573,18 +580,22 @@ def ivf_append_batch(
             "appended_frac": _round_ratio(appended_frac),
             "needs_retrain": appended_frac > retrain_mass,
         }
-    cent_rows = spark.read.parquet(f"{root}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+    # one centroids read serves both the assignment collect and the
+    # error-measure join; the sort is driver-side — n_list rows — so the
+    # collect skips orderBy's range-partitioning sample job (r14, guide §5)
+    centroids = spark.read.parquet(f"{root}/centroids")
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["list_id"])  # bounded-collect: n_list rows
     cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
     assigned.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{root}/deltas/batch_id={batch_id}")
     # measure the COMMITTED batch (read-back, not the in-memory frame), so
-    # the stat reflects exactly what serving will scan
-    committed = spark.read.parquet(f"{root}/deltas/batch_id={batch_id}").select(
-        "vec_id", "e", "list_id"
-    )
-    centroids = spark.read.parquet(f"{root}/centroids")
+    # the stat reflects exactly what serving will scan; the explicit
+    # schema (the frame just written) skips the footer-inference job
+    committed = spark.read.schema(assigned.schema).parquet(
+        f"{root}/deltas/batch_id={batch_id}"
+    ).select("vec_id", "e", "list_id")
     batch_err, batch_n = quantization_error(committed, centroids)
     _write_stats_row(
         spark, root, batch_id, batch_n, batch_err,
@@ -639,8 +650,10 @@ def ivf_retrain(
     ``n_list`` defaults to the current centroid count. Returns
     {generation, n_vectors, mean_sq_err, n_list}."""
     old_root = _resolve_root(spark, path)
-    corpus = load_ivf_index(spark, path)[0].select("vec_id", "e")
-    cent_rows = spark.read.parquet(f"{old_root}/centroids").collect()  # bounded-collect: n_list rows
+    loaded, old_centroids = load_ivf_index(spark, path)
+    corpus = loaded.select("vec_id", "e")
+    # reuse the loaded centroids frame instead of a second read (r14)
+    cent_rows = old_centroids.collect()  # bounded-collect: n_list rows
     if n_list is None:
         n_list = len(cent_rows)
     assigned, centroids = build_ivf_index(

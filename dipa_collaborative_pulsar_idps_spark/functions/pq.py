@@ -264,12 +264,14 @@ def save_pq(spark, codebooks: np.ndarray, path: str) -> None:
     disk. The table is tiny — m·ksub rows of dsub doubles — and parquet
     doubles round-trip bit-exactly."""
     m, ksub, dsub = codebooks.shape
+    from ..localdf import local_rows_df
+
     rows = [
         (int(j), int(c), [float(x) for x in codebooks[j, c]])
         for j in range(m)
         for c in range(ksub)
     ]
-    spark.createDataFrame(rows, "j int, c int, centroid array<double>").coalesce(
+    local_rows_df(spark, rows, "j int, c int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(path)
 
@@ -293,9 +295,11 @@ def save_opq(spark, rotation: np.ndarray, codebooks: np.ndarray, path: str) -> N
     tiny) beside the codebooks in :func:`save_pq`'s layout. Same
     train-once/serve-many contract: re-training OPQ yields a different R
     and every stored code column would need rebuilding."""
+    from ..localdf import local_rows_df
+
     save_pq(spark, codebooks, f"{path}/pq")
     rows = [(int(i), [float(x) for x in rotation[i]]) for i in range(len(rotation))]
-    spark.createDataFrame(rows, "i int, vals array<double>").coalesce(1).write.mode(
+    local_rows_df(spark, rows, "i int, vals array<double>").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/rotation")
 
@@ -664,11 +668,14 @@ def ivfpq_append_batch(
             "appended_frac": _round_ratio(appended_frac),
             "needs_retrain": appended_frac > retrain_mass,
         }
-    cent_rows = spark.read.parquet(f"{root}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+    # one centroids read serves both the assignment collect and the
+    # residual join; driver-side sort skips orderBy's range-partitioning
+    # sample job (r14, guide §5)
+    centroids = spark.read.parquet(f"{root}/centroids")
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["list_id"])  # bounded-collect: n_list rows
     cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     codebooks = load_pq(spark, f"{root}/pq")
     assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
-    centroids = spark.read.parquet(f"{root}/centroids")
     # persisted: the residual relation feeds BOTH the delta write and the
     # committed-code rescore below (two jobs; one assignment/join pass)
     res = _residuals(assigned, centroids).persist()
@@ -680,8 +687,9 @@ def ivfpq_append_batch(
         # measure the COMMITTED batch (read back the delta's code rows and
         # rescore them against the batch residuals), mirroring
         # ivf_append_batch's contract: the stat reflects exactly what
-        # serving will scan (r11 advisor)
-        committed = spark.read.parquet(
+        # serving will scan (r11 advisor); explicit schema (the frame just
+        # written) skips the footer-inference job
+        committed = spark.read.schema(enc.schema).parquet(
             f"{root}/codes_deltas/batch_id={batch_id}"
         ).select("vec_id", "codes")
         batch_err, batch_n = pq_code_error(res, committed, codebooks)

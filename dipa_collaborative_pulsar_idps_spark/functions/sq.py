@@ -449,7 +449,12 @@ def ivfsq_append_batch(
             "appended_frac": _round_ratio(appended_frac),
             "needs_retrain": appended_frac > retrain_mass,
         }
-    cent_rows = spark.read.parquet(f"{root}/centroids").orderBy("list_id").collect()  # bounded-collect: n_list rows
+    # driver-side sort of the bounded centroid rows skips orderBy's
+    # range-partitioning sample job (r14, guide §5)
+    cent_rows = sorted(
+        spark.read.parquet(f"{root}/centroids").collect(),  # bounded-collect: n_list rows
+        key=lambda r: r["list_id"],
+    )
     cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     bounds = load_sq(spark, f"{root}/bounds")
     assigned = _assign_to_centroids(batch.select("vec_id", "e"), cents)
@@ -457,7 +462,8 @@ def ivfsq_append_batch(
     enc.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{root}/codes_deltas/batch_id={batch_id}")
-    committed = spark.read.parquet(
+    # explicit schema (the frame just written): no footer-inference job
+    committed = spark.read.schema(enc.schema).parquet(
         f"{root}/codes_deltas/batch_id={batch_id}"
     ).select("vec_id", "codes")
     batch_err, batch_n, clip_frac = sq_code_error(batch, committed, bounds)
@@ -541,8 +547,10 @@ def ivfsq_retrain(
 def save_sq(spark, bounds: np.ndarray, path: str) -> None:
     """Persist the SQ bounds (2 rows of d doubles — tiny) — same
     train-once/serve-many contract as the PQ codebooks."""
+    from ..localdf import local_rows_df
+
     rows = [(int(i), [float(x) for x in bounds[i]]) for i in range(2)]
-    spark.createDataFrame(rows, "i int, vals array<double>").coalesce(1).write.mode(
+    local_rows_df(spark, rows, "i int, vals array<double>").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
 

@@ -65,8 +65,10 @@ def _write_index_batch(
     )
     dfb = tf.groupBy("t").agg(F.count("*").alias("df"))
     _write_batch_partitions(dfb, f"{path}/df", ingest_batch)
+    from ..localdf import local_rows_df
+
     _write_batch_partitions(
-        spark.createDataFrame([(int(n_docs),)], "n_docs long"),
+        local_rows_df(spark, [(int(n_docs),)], "n_docs long"),
         f"{path}/stats",
         ingest_batch,
     )
@@ -111,7 +113,9 @@ def save_tfidf_index(
         )
     finally:
         tf.unpersist()
-    spark.createDataFrame([(n_buckets,)], "n_buckets int").write.mode(
+    from ..localdf import local_rows_df
+
+    local_rows_df(spark, [(n_buckets,)], "n_buckets int").write.mode(
         "overwrite"
     ).parquet(f"{path}/meta")
 

@@ -208,13 +208,14 @@ def grouped_exact_quantiles(
                 wanted = [i for i in need if lo <= i < hi]
                 if wanted:
                     need_rows.append((*g, int(pid), int(lo), wanted))
+        from ..localdf import local_rows_df
+
         schema_cols = d.select(*group_cols).schema
-        need_df = spark.createDataFrame(
+        need_df = local_rows_df(
+            spark,
             need_rows,
-            schema=(
-                ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_cols)
-                + ", pid int, off bigint, want array<bigint>"
-            ),
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_cols)
+            + ", pid int, off bigint, want array<bigint>",
         )
         # NULL-safe equi-join: groupBy keeps NULL group keys, so the
         # lookup join must match them too (a plain equi-join would drop

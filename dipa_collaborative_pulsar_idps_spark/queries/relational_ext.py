@@ -309,7 +309,10 @@ GROUP BY tier
 )
 def inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    dim = spark.createDataFrame(
+    from ..localdf import local_rows_df
+
+    dim = local_rows_df(
+        spark,
         [
             ("AUTOMOBILE", "retail"),
             ("BUILDING", "industrial"),
@@ -317,7 +320,7 @@ def inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("MACHINERY", "industrial"),
             ("HOUSEHOLD", "retail"),
         ],
-        ["seg", "tier"],
+        "seg string, tier string",
     )
     return (
         t.customer.join(F.broadcast(dim), F.col("c_mktsegment") == F.col("seg"))

@@ -329,7 +329,10 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         p50, p99 = exact_quantiles(freqs, "freq", [0.5, 0.99], n_parts=32)
     finally:
         freqs.unpersist()
-    raw = spark.createDataFrame(
+    from ..localdf import local_rows_df
+
+    raw = local_rows_df(
+        spark,
         [(base.n_keys, base.n_rows, base.max_freq, p50, p99, base.avg_freq)],
         "n_keys bigint, n_rows bigint, max_freq bigint, "
         "p50_raw double, p99_raw double, avg_raw double",

@@ -214,8 +214,10 @@ def delete_docs(
     transactional; the rewrite shape is identical).
 
     Returns the number of rows deleted."""
-    ids_df = spark.createDataFrame(
-        [(int(i),) for i in doc_ids], "doc_id long"
+    from .localdf import local_rows_df
+
+    ids_df = local_rows_df(
+        spark, [(int(i),) for i in doc_ids], "doc_id long"
     ).distinct()
     corpus = spark.read.parquet(path)
     touched = [
