@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine_cols, grouped_topk_scores, topk
+from .similarity import cosine_cols, topk
 
 #: Pointer file naming the ACTIVE generation directory under an index
 #: root — written by :func:`ivf_retrain` (and the PQ sibling). An index
@@ -274,16 +274,24 @@ def ivf_search(
     """Top-k by cosine, scanning only the n_probe nearest inverted lists.
 
     queries: (query_id, qe array<double>). Output: like similarity.topk.
-    """
-    probes = probe_lists(centroids, queries, n_probe)
-    # Cogroup on list_id: each inverted list's vectors cross one Arrow
-    # boundary once (not once per probing query), BLAS-scored per list with
-    # per-list top-k — the global window then merges n_probe·k id rows per
-    # query instead of every candidate (see grouped_topk_scores).
-    scored = grouped_topk_scores(
-        assigned.select("list_id", "vec_id", "e"), probes, k, key="list_id"
+
+    r14 serving shape (guide §2.4): the bounded probe relation
+    (n_queries × n_probe rows) is collected and rides the scan kernel's
+    closure — the inverted lists are scanned IN PLACE (partition-pruned
+    by the list filter on a loaded index) instead of cogroup-Exchanged
+    on list_id per probe; scoring arithmetic is grouped_topk_scores'
+    verbatim, so results are unchanged (the exhaustive twin's value
+    oracle re-proves it)."""
+    from .similarity import collect_probe_map, probed_scan_topk, raw_topk_scorer
+
+    probe_map = collect_probe_map(probe_lists(centroids, queries, n_probe))
+    return probed_scan_topk(
+        assigned.select("list_id", "vec_id", "e"),
+        probe_map,
+        k,
+        key="list_id",
+        scorer=raw_topk_scorer(k),
     )
-    return topk(scored, k)
 
 
 def _write_ivf_tree(

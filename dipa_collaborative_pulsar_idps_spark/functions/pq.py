@@ -795,9 +795,9 @@ def ivfpq_search_encoded(
 ) -> DataFrame:
     """IVF-PQ ADC scan over a PRE-encoded corpus (vec_id, codes, list_id)
     — the serving half of the index: no raw-vector column anywhere, no
-    per-batch encode pass. Cogroups on list_id like ivf_search, but the
-    kernel gathers from the per-query PQ lookup table instead of
-    BLAS-ing raw vectors.
+    per-batch encode pass. Scans the probed lists in place like
+    ivf_search (probe map in the kernel closure), but the kernel gathers
+    from the per-query PQ lookup table instead of BLAS-ing raw vectors.
 
     IVFADC (r11): codes are RESIDUAL codes, so the reconstruction is
     v̂ = c + r̂ with c = centroid[list_id]. Per (query, list) the kernel
@@ -813,31 +813,27 @@ def ivfpq_search_encoded(
     m, ksub, dsub = codebooks.shape
 
     from .ivf import probe_lists
+    from .similarity import collect_probe_map, probed_scan_topk
 
-    cent_rows = centroids.orderBy("list_id").collect()  # bounded-collect: n_list rows
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["list_id"])  # bounded-collect: n_list rows
     n_lists = max(r["list_id"] for r in cent_rows) + 1
     cents = np.zeros((n_lists, len(cent_rows[0]["centroid"])), dtype=np.float64)
     for r in cent_rows:
         cents[r["list_id"]] = r["centroid"]
 
-    probes = probe_lists(centroids, queries, n_probe)
+    # r14 serving shape (guide §2.4): the bounded probe relation rides the
+    # ADC kernel's closure — the code relation is scanned in place
+    # (partition-pruned by the list filter on a loaded index) instead of
+    # cogroup-Exchanged on list_id per probe. Per-(list, query) algebra is
+    # unchanged (and fully elementwise after the tiny LUT matmuls, so
+    # scores are chunking-independent); the exhaustive twin's brute-force
+    # value oracle re-proves the equality.
+    probe_map = collect_probe_map(probe_lists(centroids, queries, n_probe))
 
     n2 = (codebooks**2).sum(2)
 
-    def fn(probes_pdf: pd.DataFrame, codes_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
-        if not len(probes_pdf) or not len(codes_pdf):
-            return empty
-        lid = int(codes_pdf["list_id"].iloc[0])
+    def scorer(qid: np.ndarray, qm: np.ndarray, lid: int, codes_pdf: pd.DataFrame):
         c = cents[lid]  # (d,)
-        qid = probes_pdf["query_id"].to_numpy(dtype=np.int64)
-        qm = np.array(probes_pdf["qe"].tolist(), dtype=np.float64)
         qn = np.sqrt((qm**2).sum(1))
         codes = np.array(codes_pdf["codes"].tolist(), dtype=np.int64)
         nid = codes_pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -867,7 +863,7 @@ def ivfpq_search_encoded(
             out_n.append(ids[part])
             out_c.append(s[part])
         if not out_q:
-            return empty
+            return None
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),
@@ -876,16 +872,13 @@ def ivfpq_search_encoded(
             }
         )
 
-    scored = (
-        enc.select("list_id", "vec_id", "codes")
-        .groupBy("list_id")
-        .cogroup(probes.groupBy("list_id"))
-        .applyInPandas(
-            lambda codes_pdf, probes_pdf: fn(probes_pdf, codes_pdf),
-            "query_id long, neighbor_id long, cosine double",
-        )
+    return probed_scan_topk(
+        enc.select("list_id", "vec_id", "codes"),
+        probe_map,
+        k,
+        key="list_id",
+        scorer=scorer,
     )
-    return topk(scored, k)
 
 
 def ivfpq_search_encoded_refined(

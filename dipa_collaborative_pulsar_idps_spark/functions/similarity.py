@@ -175,6 +175,107 @@ def grouped_topk_scores(
     )
 
 
+def collect_probe_map(probes: DataFrame) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Collect the BOUNDED probe relation (key, query_id, qe) into
+    ``{key: (query_ids int64[], query_matrix float64[Q_k, d])}`` for
+    closure shipping — the r14 serving shape (guide §2.4/§3.1): the probe
+    side is ``n_queries × n_probe`` rows by construction (the serving
+    batch), so instead of COGROUPING it with the corpus on the key — an
+    Exchange of the whole code/vector relation per probe — the tiny probe
+    map rides the scan kernel's closure and the corpus is scanned IN
+    PLACE (partition-pruned by the key filter for hive-partitioned
+    indexes). Doubles survive the driver round trip bit-exactly, and the
+    per-(key, query) scoring arithmetic is row-independent, so scores are
+    unchanged."""
+    rows = probes.collect()  # bounded-collect: n_queries × n_probe rows
+    acc: dict[int, tuple[list, list]] = {}
+    for r in rows:
+        ids, vecs = acc.setdefault(int(r[0]), ([], []))
+        ids.append(r[1])
+        vecs.append(r[2])
+    return {
+        key: (np.array(ids, dtype=np.int64), np.array(vecs, dtype=np.float64))
+        for key, (ids, vecs) in acc.items()
+    }
+
+
+def probed_scan_topk(
+    corpus_keyed: DataFrame,
+    probe_map: dict[int, tuple[np.ndarray, np.ndarray]],
+    k: int,
+    key: str,
+    scorer,
+) -> DataFrame:
+    """Top-k candidate scoring WITHOUT the cogroup exchange: filter
+    ``corpus_keyed`` to the probed keys (partition pruning on
+    hive-partitioned list/code relations), ``mapInPandas`` over it with
+    the probe map in the closure, and score each batch's per-key groups
+    with ``scorer(query_ids, query_matrix, key_value, group_pdf) ->
+    DataFrame(query_id, neighbor_id, cosine)``. Each group emits only its
+    per-group top-k (lossless: top-k of a union is the top-k of per-part
+    top-ks under the same (cosine DESC, neighbor_id ASC) order the global
+    :func:`topk` window applies), so the final window merges
+    ``n_probe · k``-scale id rows per query."""
+    spark = corpus_keyed.sparkSession
+    if not probe_map:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int"
+        )
+    keys = sorted(probe_map)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for kv, grp in pdf.groupby(key, sort=False):
+                probe = probe_map.get(int(kv))
+                if probe is None:  # key not probed (filter already dropped it)
+                    continue
+                res = scorer(probe[0], probe[1], int(kv), grp)
+                if res is not None and len(res):
+                    outs.append(res)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = corpus_keyed.where(F.col(key).isin(keys)).mapInPandas(
+        scan, "query_id long, neighbor_id long, cosine double"
+    )
+    return topk(scored, k)
+
+
+def raw_topk_scorer(k: int):
+    """Per-group exact-cosine top-k scorer for :func:`probed_scan_topk` —
+    the numpy pipeline of :func:`grouped_topk_scores` verbatim (normalized
+    BLAS matmul, self-excluded, (−score, id) lexsort cut)."""
+
+    def scorer(qid: np.ndarray, qm: np.ndarray, _kv: int, corpus_pdf: pd.DataFrame):
+        nid = corpus_pdf["vec_id"].to_numpy(dtype=np.int64)
+        em = np.array(corpus_pdf["e"].tolist(), dtype=np.float64)
+        sims = (qm / np.linalg.norm(qm, axis=1, keepdims=True)) @ (
+            em / np.linalg.norm(em, axis=1, keepdims=True)
+        ).T
+        out_q, out_n, out_c = [], [], []
+        for row, q in enumerate(qid):
+            keep = nid != q
+            s, ids = sims[row, keep], nid[keep]
+            part = np.lexsort((ids, -s))[:k]
+            out_q.append(np.full(len(part), q))
+            out_n.append(ids[part])
+            out_c.append(s[part])
+        if not out_q:
+            return None
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return scorer
+
+
 def hyperplane_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8) -> DataFrame:
     """Add a ``bucket`` int column: sign bits of dot(vec, plane_j)."""
     planes = np.array(_planes(dim, n_planes), dtype=np.float64)  # (P, d)
@@ -236,17 +337,23 @@ def ann_topk_lsh(
     masks = _probe_masks(n_planes, probe_radius)
     # Probe masks are distinct and every corpus vector lives in exactly one
     # bucket, so (query, probe_bucket) pairs are already unique — no
-    # distinct() needed. Scoring cogroups on the bucket: each bucket's
-    # vectors cross Arrow once, BLAS per bucket, per-bucket top-k (see
-    # grouped_topk_scores), then the global top-k window merges id rows.
+    # distinct() needed. r14 serving shape: the bounded probe relation
+    # (n_queries × masks rows) is collected and rides the scan kernel's
+    # closure — the bucketed corpus signature is scanned in place instead
+    # of cogroup-Exchanged on the bucket per probe (scoring arithmetic
+    # unchanged; the exhaustive configuration's value oracle re-proves it).
     probed = q_sig.withColumn(
         "bucket",
         F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
     ).select("bucket", "query_id", "qe")
-    scored = grouped_topk_scores(
-        c_sig.select("bucket", "vec_id", "e"), probed, k, key="bucket"
+    probe_map = collect_probe_map(probed)
+    return probed_scan_topk(
+        c_sig.select("bucket", "vec_id", "e"),
+        probe_map,
+        k,
+        key="bucket",
+        scorer=raw_topk_scorer(k),
     )
-    return topk(scored, k)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:

@@ -167,32 +167,28 @@ def ivf_sq_search(
     exhaustive certifier carry the same full DuckDB value oracle the flat
     SQ8 query has (queries/datapipe3.py::_SQ_TOPK_ORACLE) — unique among
     sub-linear ANN paths. Scoring is the same dequantize-then-exact-cosine
-    contract as :func:`sq_search`, cogrouped per list so each list's codes
-    cross the Arrow boundary once (not once per probing query)."""
-    from .ivf import probe_lists
+    contract as :func:`sq_search`.
 
-    probes = probe_lists(centroids, queries, n_probe)
+    r14 serving shape (guide §2.4): the bounded probe relation is
+    collected and rides the scan kernel's closure — the code relation is
+    scanned in place (partition-pruned by the list filter on a loaded
+    index) instead of cogroup-Exchanged on list_id per probe; the numpy
+    pipeline is :func:`sq_search`'s verbatim, so the exhaustive
+    certifier's flat-SQ8 value oracle re-proves the equality."""
+    from .ivf import probe_lists
+    from .similarity import collect_probe_map, probed_scan_topk
+
+    probe_map = collect_probe_map(probe_lists(centroids, queries, n_probe))
     vmin, s = bounds[0], _scale(bounds)
 
-    def fn(probes_pdf: pd.DataFrame, codes_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
-        if not len(probes_pdf) or not len(codes_pdf):
-            return empty
-        q_ids = probes_pdf["query_id"].to_numpy(dtype=np.int64)
-        q_mat = np.array(probes_pdf["qe"].tolist(), dtype=np.float64)
+    def scorer(q_ids: np.ndarray, q_mat: np.ndarray, _kv: int, codes_pdf: pd.DataFrame):
         # identical numpy pipeline to sq_search's scan — the exhaustive
         # certifier (all lists probed) must equal flat SQ8 bit-for-bit
         q_unit = q_mat / np.maximum(
             np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
         )
         codes = np.array(codes_pdf["codes"].tolist(), dtype=np.float64)
-        recon = vmin + codes / _LEVELS * s  # (B, d) — transient, per list
+        recon = vmin + codes / _LEVELS * s  # (B, d) — transient, per group
         norms = np.maximum(np.linalg.norm(recon, axis=1), 1e-12)
         cos = q_unit @ (recon / norms[:, None]).T
         vec_ids = codes_pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -205,7 +201,7 @@ def ivf_sq_search(
             out_n.append(ids[part])
             out_c.append(sc[part])
         if not out_q:
-            return empty
+            return None
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),
@@ -214,16 +210,13 @@ def ivf_sq_search(
             }
         )
 
-    scored = (
-        encoded.select("list_id", "vec_id", "codes")
-        .groupBy("list_id")
-        .cogroup(probes.groupBy("list_id"))
-        .applyInPandas(
-            lambda codes_pdf, probes_pdf: fn(probes_pdf, codes_pdf),
-            "query_id long, neighbor_id long, cosine double",
-        )
+    return probed_scan_topk(
+        encoded.select("list_id", "vec_id", "codes"),
+        probe_map,
+        k,
+        key="list_id",
+        scorer=scorer,
     )
-    return topk(scored, k)
 
 
 def ivfsq_scan_fraction(
