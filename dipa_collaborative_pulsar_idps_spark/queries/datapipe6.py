@@ -108,6 +108,90 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _char_entropy_hof(docs: DataFrame) -> DataFrame:
+    """The array-HOF reference form of the per-document entropy pipeline
+    (chars → first-occurrence distinct → counts → sequential fold) —
+    superseded as the serving kernel by the Arrow form in
+    :func:`char_entropy` (the HOFs are CodegenFallback-interpreted:
+    O(distinct_chars × doc_len) lambda evaluations per row), kept as the
+    semantic spec the parity test pins the kernel against bit-for-bit."""
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(text) > 0 THEN "
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1)) "
+            "ELSE array() END"
+        ).alias("chars"),
+    ).select(
+        "doc_id",
+        "chars",
+        F.size("chars").alias("n"),
+        F.array_distinct("chars").alias("uniq"),
+    )
+    d = d.select(
+        "doc_id",
+        "n",
+        F.size("uniq").alias("n_distinct_chars"),
+        F.expr(
+            "transform(uniq, c -> cast(size(filter(chars, x -> x = c)) as double))"
+        ).alias("cnts"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        "n_distinct_chars",
+        (
+            -F.expr(
+                "aggregate(cnts, cast(0.0 as double), (a, x) -> a + (x/n)*log2(x/n))"
+            )
+        ).alias("char_entropy_bits"),
+    )
+
+
+def char_counts_kernel_df(docs: DataFrame) -> DataFrame:
+    """The Arrow COUNTING kernel of :func:`char_entropy`: one mapInPandas
+    pass emitting each document's per-distinct-char counts in
+    FIRST-OCCURRENCE order (``Counter`` insertion order ==
+    ``array_distinct`` order). Counts are exact integers (cast to
+    double), so they are bit-identical to the HOF pipeline's
+    ``transform(uniq, c -> cast(size(filter(chars, x = c)) as double))``
+    by construction — the O(distinct_chars × doc_len) interpreted filter
+    work becomes one O(doc_len) Counter pass. The entropy FOLD stays in
+    the JVM (see :func:`char_entropy`) precisely so no Python libm enters
+    the arithmetic: an all-Python kernel was measured 1 ulp off the JVM's
+    log on real corpus values (glibc vs StrictMath), and the round-6
+    value-hash oracle tolerates zero divergence."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, ns, ds, cs = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                cnt = Counter(t)  # insertion order == first occurrence
+                ids.append(doc_id)
+                ns.append(len(t))
+                ds.append(len(cnt))
+                cs.append([float(c) for c in cnt.values()])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n": ns,
+                    "n_distinct_chars": ds,
+                    "cnts": cs,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        scan,
+        "doc_id long, n int, n_distinct_chars int, cnts array<double>",
+    )
+
+
 @query(
     "char_entropy",
     survey="ext-text",
@@ -132,53 +216,26 @@ FROM c2
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-unigram Shannon entropy per document, in bits.
 
-    Shuffle-free: per-char extraction, distinct-char counting, and the
-    entropy fold are all array higher-order functions inside one codegen
-    stage — O(distinct_chars × doc_len) per row, no explode, no groupBy.
-    (An explode + groupBy(doc_id, char) form would shuffle the entire
-    character population of a 100 TB corpus; this form shuffles nothing.)
-    Entropy is rounded to 6 decimals: the fold order over distinct chars
-    is first-occurrence in both engines, but libm log2 may differ in the
-    last ulp.
+    Shuffle-free: one Arrow counting pass + the JVM fold (r14). The
+    previous all-HOF form was CodegenFallback-interpreted at
+    O(distinct_chars × doc_len) lambda evaluations per row — the
+    counting, not the fold, was the cost. The Arrow kernel
+    (:func:`char_counts_kernel_df`) emits bit-identical counts in the
+    same first-occurrence order, and the entropy fold below is the HOF
+    form's aggregate expression VERBATIM — same JVM log2, same sequential
+    float64 accumulation — so the unrounded entropy is bit-identical to
+    :func:`_char_entropy_hof` (pinned by the parity test; an all-Python
+    fold was rejected for a measured 1-ulp libm divergence).
     """
     from ..plans.sizing import right_size
 
     t = Tables(spark, sf_dir)
-    # Spread FIRST: the O(distinct_chars × len) HOF does ~60× the work of
-    # a scan per byte, so the per-partition BYTE budget shrinks by that
-    # factor (file-size-proportional splits would make 10-minute
-    # stragglers of 128 MB tasks at real scale; a compact local file
-    # would serialize the whole stage on one core).
-    # (the budget is per COMPRESSED byte of the size estimate; measured
-    # ~20 s of HOF work per compressed MB on one core, so 32 KiB ≈ 0.6 s
-    # tasks here — a cluster deployment would budget larger for 30-60 s
-    # tasks, same dial)
+    # Spread FIRST (same straggler logic as the HOF form, budget scaled to
+    # the ~60× cheaper kernel: ~0.3 s of Counter work per compressed MB).
     d = right_size(
-        t.documents.select("doc_id", "text"), bytes_per_partition=32 << 10
-    ).select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN length(text) > 0 THEN "
-            "transform(sequence(1, length(text)), i -> substring(text, i, 1)) "
-            "ELSE array() END"
-        ).alias("chars"),
-    ).select(
-        "doc_id",
-        "chars",
-        F.size("chars").alias("n"),
-        F.array_distinct("chars").alias("uniq"),
+        t.documents.select("doc_id", "text"), bytes_per_partition=1 << 20
     )
-    # count each distinct char ONCE into an array, then fold — halves the
-    # O(distinct × len) filter work vs inlining the count twice (p·log p)
-    d = d.select(
-        "doc_id",
-        "n",
-        F.size("uniq").alias("n_distinct_chars"),
-        F.expr(
-            "transform(uniq, c -> cast(size(filter(chars, x -> x = c)) as double))"
-        ).alias("cnts"),
-    )
-    return d.select(
+    return char_counts_kernel_df(d).select(
         "doc_id",
         F.col("n").alias("n_chars_counted"),
         "n_distinct_chars",

@@ -815,3 +815,38 @@ def test_streaming_session_factory_from_worker_thread(spark):
     # the measured micro-batch count on its OWN isolated conf
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert int(result["stream_shuffle"]) == 8  # 64 shards / 8 (r10 soak)
+
+
+def test_char_entropy_kernel_bit_equals_hof_fold(spark, sf_dir):
+    """The r14 Arrow entropy kernel must reproduce the array-HOF fold
+    BIT-FOR-BIT (unrounded): same first-occurrence distinct order, same
+    sequential float64 accumulation, same log2 = log(p)/log(2) shape —
+    the round-6 value-hash oracle tolerates zero divergence here."""
+    from pyspark.sql import functions as F
+
+    from dipa_collaborative_pulsar_idps_spark.queries.datapipe6 import (
+        _char_entropy_hof,
+        char_counts_kernel_df,
+    )
+    from dipa_collaborative_pulsar_idps_spark.tables import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    hof = {r["doc_id"]: tuple(r) for r in _char_entropy_hof(docs).collect()}
+    kernel_full = char_counts_kernel_df(docs).select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        "n_distinct_chars",
+        (
+            -F.expr(
+                "aggregate(cnts, cast(0.0 as double), (a, x) -> a + (x/n)*log2(x/n))"
+            )
+        ).alias("char_entropy_bits"),
+    )
+    kern = {r["doc_id"]: tuple(r) for r in kernel_full.collect()}
+    assert set(hof) == set(kern)
+    for doc_id, want in hof.items():
+        got = kern[doc_id]
+        assert got == want, (
+            f"doc {doc_id}: kernel {got!r} != HOF {want!r} "
+            f"(entropy bits differ by {got[3] - want[3]!r})"
+        )
