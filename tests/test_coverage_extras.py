@@ -850,3 +850,45 @@ def test_char_entropy_kernel_bit_equals_hof_fold(spark, sf_dir):
             f"doc {doc_id}: kernel {got!r} != HOF {want!r} "
             f"(entropy bits differ by {got[3] - want[3]!r})"
         )
+
+
+def test_every_module_cache_is_cleared_by_clear_all_caches():
+    """Memo discipline (r14, verdict item 9): every module-level `_*_CACHE`
+    / `_*_PERSISTS` container under queries/ must have a registered
+    clearer that clear_all_caches() invokes — a memo without one would
+    leak persisted frames across bench/parity sweeps and drift toward
+    result-caching. Source-level audit: for each container, some
+    `clear_*` function in its module must reference it, and
+    clear_all_caches' own source must call that module's clearer."""
+    import inspect
+    import pathlib
+    import re
+
+    import dipa_collaborative_pulsar_idps_spark.queries as qpkg
+    from dipa_collaborative_pulsar_idps_spark.queries import clear_all_caches
+
+    hook_src = inspect.getsource(clear_all_caches)
+    audited = 0
+    for py in sorted(pathlib.Path(qpkg.__path__[0]).glob("*.py")):
+        text = py.read_text()
+        names = re.findall(r"^(_[A-Z0-9_]*(?:CACHE|PERSISTS))\s*[:=]", text, re.M)
+        if not names:
+            continue
+        clearers = {
+            m.group(1): m.group(0)
+            for m in re.finditer(r"^def (clear_\w+)\(\) -> None:", text, re.M)
+        }
+        for name in names:
+            owners = [
+                fn
+                for fn in clearers
+                if re.search(
+                    rf"^def {fn}\(\) -> None:.*?(?=^def |\Z)", text, re.M | re.S
+                ).group(0).count(name)
+            ]
+            assert owners, f"{py.stem}.{name} has no clear_* function referencing it"
+            assert any(
+                f"{py.stem}.{fn}()" in hook_src for fn in owners
+            ), f"{py.stem}.{name}: none of its clearers {owners} is called by clear_all_caches"
+            audited += 1
+    assert audited >= 15, f"audit only found {audited} containers — regex broke?"
