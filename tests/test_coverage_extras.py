@@ -892,3 +892,41 @@ def test_every_module_cache_is_cleared_by_clear_all_caches():
             ), f"{py.stem}.{name}: none of its clearers {owners} is called by clear_all_caches"
             audited += 1
     assert audited >= 15, f"audit only found {audited} containers — regex broke?"
+
+
+def test_stats_rows_reads_legacy_pre_commit_seq_files(spark, tmp_path):
+    """r13 swapped mergeSchema for the explicit _STATS_SCHEMA on stats
+    reads, relying on Spark null-filling commit_seq for files written by
+    the pre-commit_seq format — but nothing wrote such a file in tests
+    (r14, advisor item 3). Pin it: a legacy stats row (n_vectors,
+    mean_sq_err only) must read back with commit_seq NULL, coexist with
+    new-format rows, and index_health must order it by the base-first
+    fallback."""
+    from dipa_collaborative_pulsar_idps_spark.functions.ivf import (
+        _commit_seq_for,
+        _stats_rows,
+        _write_stats_row,
+        index_health,
+    )
+    from dipa_collaborative_pulsar_idps_spark.localdf import local_rows_df
+
+    root = str(tmp_path / "idx")
+    # legacy base row: the pre-commit_seq on-disk schema, written directly
+    local_rows_df(
+        spark, [(100, 0.5)], "n_vectors long, mean_sq_err double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/stats/batch_id=base")
+    # a modern append row beside it
+    rows_before = _stats_rows(spark, root)
+    assert len(rows_before) == 1
+    assert rows_before[0]["batch_id"] == "base"
+    assert rows_before[0]["commit_seq"] is None  # NULL-filled, not dropped
+    _write_stats_row(
+        spark, root, "b1", 40, 0.6, seq=_commit_seq_for(rows_before, "b1")
+    )
+    rows = {r["batch_id"]: r for r in _stats_rows(spark, root)}
+    assert rows["base"]["commit_seq"] is None
+    assert rows["base"]["n_vectors"] == 100
+    assert rows["b1"]["commit_seq"] == 1  # len(rows) fallback when no row carries a seq
+    health = index_health(spark, root).collect()
+    assert [r["batch_id"] for r in health] == ["base", "b1"]
+    assert health[1]["appended_frac"] == 0.4
